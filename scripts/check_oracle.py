@@ -1,0 +1,125 @@
+"""Local emulation of the driver's correctness gate.
+
+Runs every registered query on Spark and (when an oracle exists) the
+DuckDB twin, then compares row count, column names, and exact values
+(order-insensitive, columns sorted by name) — stricter than a hash, so
+anything passing here should hash-match for the driver.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(rows: list[tuple], colnames: list[str]) -> list[tuple]:
+    """Sort columns by name, normalize cell values, sort rows."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+
+    def norm(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return repr(round(v, 9))
+        if isinstance(v, bool):
+            return str(v)
+        if isinstance(v, (int, str)):
+            return str(v)
+        try:  # Decimal, date, datetime, arrays…
+            return str(v)
+        except Exception:
+            return repr(v)
+
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    return sorted(out)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from tpctools_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures, passes, rows_only = [], [], []
+
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"FAIL {name}: spark error: {str(e)[:500]}")
+            continue
+        dt = time.time() - t0
+
+        if name not in oracles:
+            rows_only.append(name)
+            print(f"ROWS {name}: {len(srows)} rows, cols={scols} ({dt:.1f}s)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            dcols = rel.columns
+            drows = rel.fetchall()
+        except Exception as e:
+            failures.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"FAIL {name}: duckdb error: {str(e)[:500]}")
+            continue
+
+        if sorted(scols) != sorted(dcols):
+            failures.append((name, f"columns {sorted(scols)} != {sorted(dcols)}"))
+            print(f"FAIL {name}: column mismatch\n  spark: {sorted(scols)}\n  duck:  {sorted(dcols)}")
+            continue
+        if len(srows) != len(drows):
+            failures.append((name, f"rowcount {len(srows)} != {len(drows)}"))
+            print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
+            continue
+        ns, nd = normalize(srows, scols), normalize(drows, dcols)
+        if ns != nd:
+            diff = [(a, b) for a, b in zip(ns, nd) if a != b][:3]
+            failures.append((name, f"value mismatch, first diffs: {diff}"))
+            print(f"FAIL {name}: value mismatch ({len([1 for a,b in zip(ns,nd) if a!=b])} rows differ)")
+            for a, b in diff:
+                print(f"  spark: {a}\n  duck:  {b}")
+            continue
+        passes.append(name)
+        print(f"PASS {name}: {len(srows)} rows ({dt:.1f}s)")
+
+    print(
+        f"\n== {len(passes)} oracle-pass, {len(rows_only)} rows-only, "
+        f"{len(failures)} FAIL =="
+    )
+    for name, why in failures:
+        print(f"  FAIL {name}: {why[:300]}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,63 @@
+"""Table loaders over the parquet fixtures.
+
+One call per table; scans stay lazy so Catalyst prunes columns and pushes
+predicates into the parquet reader (verify with
+``df.explain("formatted")`` → ``PushedFilters`` / ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from tpctools_spark.schemas import TESTDATA_TABLE_NAMES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a lazy DataFrame.
+
+    Pins the session timezone to UTC: the fixtures' timestamps are naive
+    UTC wall-clock (what DuckDB sees), and events.ts is reconstructed
+    from epoch nanos as an LTZ value — without this pin a non-UTC caller
+    session would render every event-time output shifted.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _events(spark, path)
+    return spark.read.parquet(path)
+
+
+def _events(spark: SparkSession, path: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
+
+    Read the physical int64 via ``nanosAsLong`` and truncate ns→µs into a
+    proper timestamp — the identical truncation DuckDB applies when it
+    reads nanos, so both engines see the same microsecond instants.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every fixture table present in ``sf_dir``."""
+    out: dict[str, DataFrame] = {}
+    for name in TESTDATA_TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each fixture table as a temp view for ``spark.sql``."""
+    for name, df in tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,85 @@
+"""Multimodal binary-column processing (image/audio/video pattern).
+
+Media lives in DataFrames as opaque ``binary`` columns plus typed
+metadata; decode/feature-extraction runs as Arrow-batched
+``mapInPandas`` stages so bytes never round-trip through Python row by
+row. This container ships no media codecs, so ``decode_media`` is a
+deterministic stub behind an import-guard — the Spark-side plumbing
+(schemas, batch shape, UDF signature, partitioning) is the real,
+tested artifact.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_digest", StringType()),
+        StructField("feat_mean_byte", DoubleType()),
+        StructField("decoder", StringType()),
+    ]
+)
+
+
+def decode_media(payload: bytes, media_type: str) -> dict:
+    """Decode one media payload into features.
+
+    STUB: real decoders (PIL/librosa/av) are not installed in this
+    container. For non-text media this raises; for text payloads it
+    computes deterministic fake features so the distributed plumbing is
+    exercised end-to-end. Swap the body for a real codec in production.
+    """
+    if media_type.startswith(("image/", "audio/", "video/")):
+        try:
+            import PIL  # noqa: F401  (not installed here)
+        except ImportError as exc:
+            raise NotImplementedError(
+                f"no codec available for {media_type}; install media libs"
+            ) from exc
+    # deterministic fake decode for text payloads
+    return {
+        "n_bytes": len(payload),
+        "content_digest": hashlib.sha256(payload).hexdigest()[:16],
+        "feat_mean_byte": (sum(payload) / len(payload)) if payload else 0.0,
+        "decoder": "stub-v1",
+    }
+
+
+def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Arrow-batched feature extraction over (doc_id, payload, media_type).
+
+    ``mapInPandas`` streams Arrow record batches into Python — the bytes
+    cross the JVM↔Python boundary once per batch, not per row. The
+    output schema is fixed (FEATURE_SCHEMA) so downstream plans are
+    stable regardless of the decoder.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode_media(
+                    bytes(payload) if payload is not None else b"", media_type
+                )
+                for payload, media_type in zip(pdf["payload"], pdf["media_type"])
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            out.insert(1, "media_type", pdf["media_type"].values)
+            yield out[[f.name for f in FEATURE_SCHEMA.fields]]
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)

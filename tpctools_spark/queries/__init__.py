@@ -1,0 +1,22 @@
+"""Declared operator inventory (SURVEY.md §2.B).
+
+Importing this package registers every query into
+:mod:`tpctools_spark.registry`. One module per §2.B category.
+"""
+
+from tpctools_spark.queries import (  # noqa: F401
+    scans,
+    filters,
+    joins,
+    aggregates,
+    windows,
+    sorts_sets,
+    scalars,
+    eventtime,
+    tpch,
+    dedup,
+    similarity,
+    textstats,
+    streaming_demo,
+    multimodal,
+)

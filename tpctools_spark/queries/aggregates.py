@@ -1,0 +1,192 @@
+"""§2.B.4 — aggregations.
+
+Every groupBy here compiles to partial (map-side) + final hash aggregation
+— the shuffle moves pre-aggregated partials, not raw rows, so these scale
+with group cardinality, not input size. Money sums use exact decimal math
+(see ``_util``) so hashes match the DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tpctools_spark.catalog import table
+from tpctools_spark.queries._util import davg, dsum, money, rate, trunc_digits
+from tpctools_spark.registry import query
+
+
+@query(
+    "agg_group_sum",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_base_price,
+           CAST(floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) * 100) AS DOUBLE) / 100 AS sum_disc_price,
+           CAST(floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                          * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) * 100) AS DOUBLE) / 100 AS sum_charge,
+           CAST(floor(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) * 100) AS DOUBLE) / 100 AS avg_qty,
+           CAST(floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice) * 100) AS DOUBLE) / 100 AS avg_price,
+           CAST(floor(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(l_discount) * 100) AS DOUBLE) / 100 AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the flagship hash aggregation.
+
+    Filter pushes to the scan; six aggregates fold in one pass. The group
+    key (returnflag, linestatus) has ~6 values, so the final exchange
+    moves 6 rows per map partition regardless of scale.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    price = money(F.col("l_extendedprice"))
+    disc = rate(F.col("l_discount"))
+    tax = rate(F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("2000-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            trunc_digits(F.sum(price * (F.lit(1) - disc)).cast("double"), 2).alias(
+                "sum_disc_price"
+            ),
+            trunc_digits(
+                F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double"), 2
+            ).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            trunc_digits(
+                F.sum(rate(F.col("l_discount"))).cast("double")
+                / F.count("l_discount"),
+                2,
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expands to a two-phase plan in Spark)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query("agg_approx_distinct")  # approx ≠ oracle → rows-only check
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate count-distinct (single pass, no expand).
+
+    At 100 TB this is the right default for cardinality estimation: fixed
+    sketch size per group, mergeable map-side, no shuffle blowup.
+    """
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_price
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (TPC-DS Q18/Q22/Q67 pattern).
+
+    Spark expands rollup into a union of grouping sets before the hash
+    aggregate; COALESCE labels the subtotal rows deterministically.
+    """
+    return (
+        table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_spent,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING SUM(CAST(o_totalprice AS DECIMAL(12,2))) > 1500000
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (TPC-H Q11 HAVING shape)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            dsum(F.col("o_totalprice")).alias("total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(money(F.col("o_totalprice"))).alias("_exact_total"),
+        )
+        .filter(F.col("_exact_total") > 1_500_000)
+        .drop("_exact_total")
+    )
+
+
+@query(
+    "agg_distinct_input",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_order_flags
+    FROM (SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over pre-deduplicated rows (distinct-then-count).
+
+    Uses a full-column distinct (deterministic) rather than
+    ``dropDuplicates`` on a subset, which keeps an arbitrary row.
+    """
+    return (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_returnflag")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_order_flags"))
+    )

@@ -1,0 +1,347 @@
+"""§2.B.9 — deduplication family for training-data pipelines.
+
+Five dedup strategies over the ``documents`` corpus, each with the scale
+path spelled out:
+
+- exact:       hash-groupBy on normalized text — one shuffle on the hash.
+- minhash+LSH: shingle → minhash signature → band buckets → bucket join.
+  Candidate generation never compares all pairs; cost is driven by
+  bucket occupancy, which the band/row parameters control.
+- simhash:     64-bit signature via per-bit majority vote; near-dups
+  collide on 16-bit bands (hamming ≤ 3 guarantee with 4 bands).
+- n-gram jaccard: inverted index on word 3-grams (selective keys) —
+  the prefix-filter family; exact similarity, no all-pairs scan.
+- embedding cosine: label-blocked exact cosine (at scale the blocking
+  key comes from a coarse quantizer/IVF instead of a label).
+
+Everything is built-in expressions (xxhash64, HOFs) — no Python UDFs in
+any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tpctools_spark.catalog import table
+from tpctools_spark.queries._util import trunc_digits
+from tpctools_spark.registry import query
+
+N_MINHASH = 32  # signature length
+MINHASH_BANDS = 8  # 8 bands × 4 rows
+
+
+def _words(col: str = "text") -> F.Column:
+    """Single-space tokenization of normalized text (mirrors the oracle's
+    ``string_split(lower(trim(text)), ' ')`` exactly)."""
+    return F.split(F.lower(F.trim(F.col(col))), " ")
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(lower(trim(text))) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: sha256 of normalized text, keep the lowest doc_id.
+
+    One hash-shuffle on the digest; at 100 TB the digest (32 bytes)
+    shuffles instead of the document bodies.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("content_hash"),
+            "doc_id",
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id → array<long> of N_MINHASH minhashes over the word set.
+
+    minhash_i(doc) = min over distinct words of xxhash64(i, word); pure
+    column expressions, so signatures are deterministic and computed in
+    a single pass (no shuffle until the band step).
+    """
+    tokens = docs.select(
+        "doc_id", F.explode(F.array_distinct(_words())).alias("word")
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("word"))).alias(f"mh_{i}")
+        for i in range(N_MINHASH)
+    ]
+    sig = tokens.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[f"mh_{i}" for i in range(N_MINHASH)]).alias("signature")
+    )
+
+
+@query("dedup_minhash")  # hash-function specific → rows-only
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate candidate pairs.
+
+    Pipeline: shingle → 32-hash signature → 8 bands of 4 → band-hash
+    buckets → self-join within buckets → signature agreement estimates
+    Jaccard. Only documents sharing a band bucket are ever compared.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sig = _minhash_signatures(docs).cache()
+
+    rows_per_band = N_MINHASH // MINHASH_BANDS
+    bands = sig.select(
+        "doc_id",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("signature", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "signature", "bb.band", "bb.bucket")
+
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("signature").alias("sig_a"),
+        "band",
+        "bucket",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("signature").alias("sig_b"),
+        "band",
+        "bucket",
+    )
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+                lambda x: x,
+            )
+        ).cast("double")
+        / F.lit(float(N_MINHASH)),
+        4,
+    )
+    return (
+        pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.5)
+    )
+
+
+@query("dedup_simhash")  # hash-function specific → rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (per-bit majority vote over token
+    hashes), plus its 4×16-bit band keys for hamming-≤3 bucketing.
+
+    The vote is an aggregation over exploded tokens — fully JVM-side;
+    the signature assembles via bit arithmetic, no UDF.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tokens = docs.select("doc_id", F.explode(_words()).alias("word")).withColumn(
+        "h", F.xxhash64("word")
+    )
+    # Per bit: sum of +1/-1 votes; bit set iff the vote is positive.
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"v_{i}")
+        for i in range(64)
+    ]
+    voted = tokens.groupBy("doc_id").agg(
+        *votes, F.count(F.lit(1)).alias("n_tokens")
+    )
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"v_{i}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseXOR(term)
+    out = voted.select("doc_id", "n_tokens", sim.alias("simhash"))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "simhash",
+        *[
+            F.shiftright(F.col("simhash"), 16 * b)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias(f"band_{b}")
+            for b in range(4)
+        ],
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH grams AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                 range(1, greatest(len(w) - 1, 1)),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents)
+      ) WHERE gram IS NOT NULL
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(floor(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) * 10000) AS DOUBLE) / 10000 AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs via an inverted index.
+
+    3-gram shingles are selective keys, so the self-join touches only
+    documents that actually share a shingle (prefix-filtering family) —
+    never the full n² pair space. Jaccard is an exact integer ratio, so
+    the threshold decision is FP-safe against the oracle.
+    """
+    docs = table(spark, sf_dir, "documents")
+    w = _words()
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.when(F.size(w) >= 3, F.sequence(F.lit(1), F.size(w) - 2))
+                    .otherwise(F.array().cast("array<int>")),
+                    # F.concat (not concat_ws) so a null word nulls the
+                    # whole gram — same semantics as the oracle's ||.
+                    lambda i: F.concat(
+                        F.element_at(w, i),
+                        F.lit(" "),
+                        F.element_at(w, i + 1),
+                        F.lit(" "),
+                        F.element_at(w, i + 2),
+                    ),
+                )
+            ).alias("gram"),
+        )
+        .filter(F.col("gram").isNotNull())
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "gram")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jacc = F.col("n_shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_shared")
+    )
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jacc >= 0.2)
+        .select("doc_a", "doc_b", trunc_digits(jacc, 4).alias("jaccard"))
+    )
+
+
+@query(
+    "dedup_embedding",
+    oracle="""
+    WITH prep AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             CAST(list_sum(list_transform(embedding,
+                    x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(25,16))))
+                  AS DOUBLE) AS sq_norm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(floor(CAST(list_sum(list_transform(list_zip(a.e, b.e),
+                   p -> CAST(p[1] * p[2] AS DECIMAL(25,16)))) AS DOUBLE)
+                 / (sqrt(a.sq_norm) * sqrt(b.sq_norm)) * 10000) AS DOUBLE) / 10000 AS cosine
+    FROM prep a JOIN prep b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE CAST(list_sum(list_transform(list_zip(a.e, b.e),
+            p -> CAST(p[1] * p[2] AS DECIMAL(25,16)))) AS DOUBLE)
+          / (sqrt(a.sq_norm) * sqrt(b.sq_norm)) >= 0.5
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label.
+
+    The label acts as the coarse blocking key (at 100 TB: an IVF/k-means
+    cell id) — candidate pairs exist only within a block. Dot products
+    accumulate per-element products as exact decimals, so Spark and the
+    oracle agree bit-for-bit and the threshold cannot flip on FP order.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq_norm = F.aggregate(
+        F.col("embedding"),
+        F.lit(0).cast("decimal(25,16)"),
+        lambda acc, x: (
+            acc + (x.cast("double") * x.cast("double")).cast("decimal(25,16)")
+        ).cast("decimal(25,16)"),
+    ).cast("double")
+    prep = emb.select(
+        "vec_id", "label", e.alias("e"), sq_norm.alias("sq_norm")
+    )
+    a = prep.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("label_a"),
+        F.col("e").alias("ea"),
+        F.col("sq_norm").alias("na"),
+    )
+    b = prep.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("e").alias("eb"),
+        F.col("sq_norm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: (x * y).cast("decimal(25,16)")),
+        F.lit(0).cast("decimal(25,16)"),
+        lambda acc, x: (acc + x).cast("decimal(25,16)"),
+    ).cast("double")
+    cosine = dot / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
+    return (
+        a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cosine_raw", cosine)
+        .filter(F.col("cosine_raw") >= 0.5)
+        .select("vec_a", "vec_b", trunc_digits(F.col("cosine_raw"), 4).alias("cosine"))
+    )

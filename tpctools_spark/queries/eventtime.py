@@ -1,0 +1,154 @@
+"""§2.B.8 — event-time windowing, batch-first (oracle-checkable).
+
+Batch formulations of the streaming window shapes; the Structured
+Streaming twins live in ``streaming_demo``/``tpctools_spark.streaming``.
+Window-start timestamps are emitted as formatted strings on both sides
+so the hash cannot diverge on timestamp rendering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tpctools_spark.catalog import table
+from tpctools_spark.queries._util import money
+from tpctools_spark.registry import query
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "window_tumbling",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_TS_FMT_DUCK}') AS bucket_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 1-hour event-time buckets (tumbling window), per event type.
+
+    Uses Spark's native ``window()`` — the same construct the streaming
+    twin uses with a watermark; in batch it is a plain hash aggregate on
+    the derived bucket column.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(money(F.col("value"))).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "window_sliding",
+    oracle=f"""
+    WITH starts AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS w_start, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE, value FROM events
+    )
+    SELECT strftime(w_start, '{_TS_FMT_DUCK}') AS window_start,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_value
+    FROM starts
+    GROUP BY 1
+    """,
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1-hour windows every 30 minutes.
+
+    Spark's ``window(ts, '1 hour', '30 minutes')`` assigns each event to
+    2 overlapping windows; the oracle reproduces the assignment by
+    unioning the two aligned start offsets.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(money(F.col("value"))).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "window_session",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+           strftime(MAX(ts), '{_TS_FMT_DUCK}') AS session_end,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) — gaps-and-islands.
+
+    Two stacked windows over one shuffle on user_id: flag session starts
+    with ``lag``, then a running sum numbers the sessions. This is the
+    batch formulation; the streaming twin is ``session_window(ts, '30
+    minutes')`` (see streaming module).
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    lag_ts = F.lag("ts").over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            lag_ts.isNull()
+            | (F.unix_micros(F.col("ts")) - F.unix_micros(lag_ts) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(cum))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), _TS_FMT_SPARK).alias("session_start"),
+        F.date_format(F.max("ts"), _TS_FMT_SPARK).alias("session_end"),
+        F.round(F.sum(money(F.col("value"))).cast("double"), 2).alias("total_value"),
+    )

@@ -1,0 +1,275 @@
+"""§2.B.3 — joins.
+
+Strategy notes for 100 TB:
+- dims (region/nation/supplier/part) are broadcast — no shuffle of the
+  fact side; ``broadcast()`` hints are explicit where it matters.
+- fact⋈fact equi-joins shuffle on the join key; AQE handles skew.
+- the as-of join is the union+window formulation — O(n log n) with a
+  single shuffle on the partition key, instead of a range-join blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tpctools_spark.catalog import table
+from tpctools_spark.queries._util import money, rate, trunc_digits
+from tpctools_spark.registry import query
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_items,
+           CAST(floor(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) * 100) AS DOUBLE) / 100
+             AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact equi-join (orders⋈lineitem) + aggregate.
+
+    Catalyst picks sort-merge or shuffled-hash on l_orderkey; at scale
+    both sides shuffle once on the key and AQE splits skewed partitions.
+    """
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "inner")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            trunc_digits(
+                F.sum(
+                    money(F.col("l_extendedprice"))
+                    * (F.lit(1) - rate(F.col("l_discount")))
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT r.r_name, COUNT(*) AS n_customers,
+           ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema dim joins with explicit broadcast of nation/region.
+
+    The fact side (customer) never shuffles for the join — each executor
+    gets the whole dim tables. This is the canonical 100 TB dim join.
+    """
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum(money(F.col("c_acctbal"))).cast("double"), 2).alias(
+                "total_acctbal"
+            ),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join — the EXISTS rewrite; emits each customer once."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — NOT EXISTS (TPC-DS Q16/Q94 pattern)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "join_multiway",
+    oracle="""
+    SELECT n.n_name,
+           CAST(floor(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) * 100) AS DOUBLE) / 100
+             AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name IN ('ASIA', 'AMERICA')
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1999-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-table join chain: two broadcast dims, then the
+    customer⋈orders⋈lineitem fact chain shuffling on its keys.
+
+    The region filter prunes before the joins (Catalyst pushes it through
+    the broadcast), so the fact chain only carries matching nations.
+    """
+    r = F.broadcast(
+        table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "AMERICA"))
+    )
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1999-01-01").cast("date"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("n_name")
+        .agg(
+            trunc_digits(
+                F.sum(
+                    money(F.col("l_extendedprice"))
+                    * (F.lit(1) - rate(F.col("l_discount")))
+                ).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT e.user_id, COUNT(*) AS n_pairs
+    FROM events e JOIN events f
+      ON e.user_id = f.user_id
+     AND f.ts > e.ts
+     AND f.ts <= e.ts + INTERVAL 1 HOUR
+    GROUP BY e.user_id
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-predicate join: pairs of events per user within one hour.
+
+    The equi part (user_id) drives the shuffle; the range predicates are
+    applied as join residuals — no nested-loop over the full cross
+    product. (A pure theta join with no equi key would be a broadcast
+    nested loop; always keep an equi anchor at scale.)
+    """
+    e = table(spark, sf_dir, "events").select(
+        F.col("user_id"), F.col("ts").alias("e_ts")
+    )
+    f = table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("f_user"), F.col("ts").alias("f_ts")
+    )
+    hour_us = 3600 * 1_000_000
+    return (
+        e.join(
+            f,
+            (e.user_id == f.f_user)
+            & (F.unix_micros(F.col("f_ts")) > F.unix_micros(F.col("e_ts")))
+            & (
+                F.unix_micros(F.col("f_ts"))
+                <= F.unix_micros(F.col("e_ts")) + F.lit(hour_us)
+            ),
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
+    "join_asof_event",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_id, user_id, ts, event_type,
+             LAST_VALUE(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_error_id
+      FROM events
+    )
+    SELECT event_id, user_id, asof_error_id
+    FROM ordered WHERE event_type = 'purchase'
+    """,
+)
+def join_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the most recent error event at or
+    before it for the same user.
+
+    Implemented as the scalable union+window formulation: one shuffle on
+    user_id, one sort by (ts, event_id), then ``last(ignorenulls)`` over
+    an unbounded-preceding frame carries the latest error forward. This
+    is O(n log n) with no range-join row blowup — the formulation to use
+    at 100 TB (a join+filter as-of is quadratic in events per key).
+    """
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ev.withColumn(
+        "asof_error_id",
+        F.last(
+            F.when(F.col("event_type") == "error", F.col("event_id")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return carried.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "asof_error_id"
+    )

@@ -1,0 +1,249 @@
+"""§2.B.7 — scalar function families.
+
+Every expression here stays inside whole-stage codegen (JVM built-ins,
+no Python UDFs) — at 100 TB these run at scan speed fused into the
+surrounding operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tpctools_spark.catalog import table
+from tpctools_spark.queries._util import money, rate, trunc_digits
+from tpctools_spark.registry import query
+
+
+@query(
+    "scalar_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           substring(p_name, 1, 5) AS name_prefix,
+           length(p_name) AS name_len,
+           concat(p_brand, ':', p_type) AS brand_type,
+           regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+           CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END AS is_widget,
+           replace(p_type, 'PROMO', 'PROMOTION') AS type_full
+    FROM part
+    """,
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: upper/substring/length/concat/regexp/like/replace."""
+    return table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.when(F.col("p_name").like("%widget%"), 1).otherwise(0).alias("is_widget"),
+        F.replace(F.col("p_type"), F.lit("PROMO"), F.lit("PROMOTION")).alias(
+            "type_full"
+        ),
+    )
+
+
+@query(
+    "scalar_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           CAST(dayofmonth(o_orderdate) AS BIGINT) AS order_day,
+           strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_ref,
+           strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS order_month_start
+    FROM orders
+    """,
+)
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date family: year/month/day, date_add, datediff, date_trunc.
+
+    Temporal outputs are formatted to strings on both sides so the
+    value-hash cannot diverge on timestamp/timezone rendering.
+    """
+    od = F.col("o_orderdate").cast("date")
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year(od).cast("bigint").alias("order_year"),
+        F.month(od).cast("bigint").alias("order_month"),
+        F.dayofmonth(od).cast("bigint").alias("order_day"),
+        F.date_format(F.date_add(od, 30), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), od)
+        .cast("bigint")
+        .alias("days_to_ref"),
+        F.date_format(F.trunc(od, "month"), "yyyy-MM-dd").alias("order_month_start"),
+    )
+
+
+@query(
+    "scalar_math_decimal",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                      * (1 + CAST(l_tax AS DECIMAL(4,2))) AS DOUBLE) * 100) AS DOUBLE) / 100 AS charge,
+           CAST(floor(l_extendedprice / l_quantity * 100) AS DOUBLE) / 100 AS unit_price,
+           CAST(abs(l_quantity - 25) AS BIGINT) AS qty_dist,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_bucket
+    FROM lineitem
+    WHERE l_quantity > 0
+    """,
+)
+def scalar_math_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic family incl. the TPC-H Q1 charge expression in exact
+    decimal (reference money type: Decimal128(11,2), src/tpch.rs:209-212).
+
+    Per-row division (unit_price) is a single deterministic double op —
+    identical in both engines; only reassociated sums need decimal.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    charge = (
+        money(F.col("l_extendedprice"))
+        * (F.lit(1) - rate(F.col("l_discount")))
+        * (F.lit(1) + rate(F.col("l_tax")))
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        trunc_digits(charge.cast("double"), 2).alias("charge"),
+        trunc_digits(F.col("l_extendedprice") / F.col("l_quantity"), 2).alias(
+            "unit_price"
+        ),
+        F.abs(F.col("l_quantity") - 25).cast("bigint").alias("qty_dist"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("bigint").alias("price_bucket"),
+    )
+
+
+@query(
+    "scalar_case_when",
+    oracle="""
+    SELECT CASE WHEN o_totalprice >= 300000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           CASE o_orderstatus WHEN 'F' THEN 'finished'
+                              WHEN 'O' THEN 'open'
+                              ELSE 'other' END AS status_name,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def scalar_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expressions (TPC-H Q8/Q12/Q14 CASE pattern)."""
+    o = table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+    )
+    status = (
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("other")
+    )
+    return (
+        o.select(band.alias("price_band"), status.alias("status_name"))
+        .groupBy("price_band", "status_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "scalar_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the ``events.props`` string column."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        table(spark, sf_dir, "events")
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query(
+    "scalar_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
+           ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_component
+    FROM embeddings
+    """,
+)
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family: size, lambda filter, element access on embeddings.
+
+    Higher-order functions (``filter``) run inside codegen — this is the
+    JVM-side way to process array columns without exploding rows.
+    """
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0))
+        .cast("bigint")
+        .alias("n_positive"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias(
+            "first_component"
+        ),
+    )
+
+
+@query(
+    "scalar_array_explode",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_components,
+           CAST(floor(CAST(SUM(CAST(component AS DECIMAL(20,10))) AS DOUBLE) * 10000) AS DOUBLE) / 10000 AS sum_components
+    FROM (SELECT label, UNNEST(embedding) AS component FROM embeddings)
+    GROUP BY label
+    """,
+)
+def scalar_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode/UNNEST: flatten vectors then aggregate per label.
+
+    The per-component decimal cast makes the re-aggregated float sum
+    order-independent (same trick as the money columns).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.explode("embedding").alias("component"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_components"),
+            trunc_digits(
+                F.sum(F.col("component").cast("decimal(20,10)")).cast("double"), 4
+            ).alias("sum_components"),
+        )
+    )
+
+
+@query("scalar_map")  # map iteration order is engine-specific → rows-only
+def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construct + lookup: build a map per row, read keys back."""
+    e = table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("user"), F.col("user_id").cast("string")
+    )
+    return e.select(
+        "event_id",
+        m.alias("props_map"),
+        F.element_at(m, F.lit("type")).alias("type_from_map"),
+        F.map_keys(m).alias("keys"),
+    )

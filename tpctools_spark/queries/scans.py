@@ -1,0 +1,150 @@
+"""§2.B.1 — scans / sources / sinks (reference-surface parity).
+
+These queries exercise the reference's whole capability surface: typed
+CSV scan (A1, src/lib.rs:55-58), snappy parquet sink (A2,
+src/lib.rs:201-205), and deterministic data generation (A8/A9,
+src/tpch.rs:35-132) — re-expressed as Spark reads/writes.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tpctools_spark.catalog import table
+from tpctools_spark.registry import query
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
+
+
+def _scratch_dir(tag: str) -> str:
+    os.makedirs(_SCRATCH, exist_ok=True)
+    return tempfile.mkdtemp(prefix=f"{tag}-", dir=_SCRATCH)
+
+
+@query(
+    "scan_parquet",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_key
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan + project/count — inverse of reference sink A2.
+
+    Only two columns appear in ReadSchema; min/max come straight from
+    row-group statistics when AQE allows.
+    """
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("min_key"),
+            F.max("l_orderkey").alias("max_key"),
+        )
+    )
+
+
+@query("scan_csv_typed")  # driver views are parquet → rows-only
+def scan_csv_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed pipe-delimited CSV scan — reference A1 (src/lib.rs:55-58):
+    explicit schema, '|' delimiter, no header, no inference.
+
+    Round-trips the region table through .tbl text and scans it back
+    with an explicit StructType, mirroring dbgen's output format
+    including the trailing delimiter (→ trailing `ignore` column,
+    src/tpch.rs:156, dropped on read — SURVEY §1.3).
+    """
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    out = _scratch_dir("csv")
+    try:
+        region = table(spark, sf_dir, "region")
+        tbl_path = os.path.join(out, "region.tbl")
+        # dbgen emits a trailing '|' per row; concat reproduces it.
+        region.select(
+            F.concat_ws(
+                "|", F.col("r_regionkey").cast("string"), F.col("r_name"), F.lit("")
+            ).alias("line")
+        ).write.mode("overwrite").text(tbl_path)
+
+        schema = StructType(
+            [
+                StructField("r_regionkey", IntegerType(), True),
+                StructField("r_name", StringType(), True),
+                StructField("ignore", StringType(), True),
+            ]
+        )
+        df = (
+            spark.read.schema(schema)
+            .option("delimiter", "|")
+            .option("header", "false")
+            .csv(tbl_path)
+            .drop("ignore")
+        )
+        # materialize before the scratch dir disappears
+        rows = df.orderBy("r_regionkey").collect()
+        return spark.createDataFrame(rows, schema=df.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@query("sink_parquet_snappy")  # write path → rows-only
+def sink_parquet_snappy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snappy parquet sink + read-back — reference A2 (src/lib.rs:201-205).
+
+    Writes nation partitioned into 2 part files (the reference's
+    part-N layout, src/lib.rs:109) and verifies the round trip.
+    """
+    out = _scratch_dir("sink")
+    try:
+        nation = table(spark, sf_dir, "nation")
+        path = os.path.join(out, "nation.parquet")
+        nation.repartition(2).write.mode("overwrite").option(
+            "compression", "snappy"
+        ).parquet(path)
+        back = spark.read.parquet(path)
+        rows = back.orderBy("n_nationkey").collect()
+        return spark.createDataFrame(rows, schema=back.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "generate_table",
+    oracle="""
+    SELECT CAST(i AS BIGINT) AS g_key,
+           CAST(i % 5 AS INTEGER) AS g_bucket,
+           strftime(DATE '1995-01-01' + CAST(i % 2400 AS INTEGER), '%Y-%m-%d') AS g_date,
+           CAST(i * 7919 % 1000000 AS DOUBLE) / 100 AS g_amount
+    FROM (SELECT UNNEST(range(0, 1000)) AS i)
+    """,
+)
+def generate_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic partition-parallel table generation — replaces the
+    reference's dbgen/dsdgen shell-out (A8/A9, src/tpch.rs:50-77).
+
+    ``spark.range`` is partition-indexed and seed-free: every column is a
+    pure function of the row id, so output is identical for any
+    partition count (the dbgen ``-C/-S`` chunking contract, property-
+    tested in tests/test_generate.py). The full generator lives in
+    tpctools_spark.generate; this query is its 1000-row contract demo.
+    """
+    i = F.col("id")
+    return spark.range(0, 1000, 1, 8).select(
+        i.alias("g_key"),
+        (i % 5).cast("int").alias("g_bucket"),
+        F.date_format(
+            F.date_add(F.lit("1995-01-01").cast("date"), (i % 2400).cast("int")),
+            "yyyy-MM-dd",
+        ).alias("g_date"),
+        ((i * 7919 % 1000000).cast("double") / 100).alias("g_amount"),
+    )

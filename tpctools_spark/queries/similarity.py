@@ -1,0 +1,162 @@
+"""§2.B.9 — similarity search over the embedding column.
+
+- ``sim_cosine_topk``: brute-force cosine top-k against a probe vector —
+  the exact baseline. One scan, no shuffle until the final top-k
+  (TakeOrderedAndProject), so it parallelizes perfectly; at 100 TB the
+  cost is one pass over the vectors.
+- ``sim_cosine_topk_ivf``: the scale path — IVF-style candidate pruning.
+  Vectors are blocked by a coarse quantizer (here: the label column as
+  the cell id; in production a k-means codebook), the probe visits only
+  the nearest cells, and the exact cosine runs inside those cells only.
+
+Dot products accumulate per-element products as exact decimals (see
+dedup.py) so both engines agree bit-for-bit — FP summation order can
+never flip a top-k boundary against the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tpctools_spark.catalog import table
+from tpctools_spark.queries._util import trunc_digits
+from tpctools_spark.registry import query
+
+PROBE_VEC_ID = 0
+TOP_K = 10
+
+# Exact-decimal dot product oracle fragment (a, b are double lists).
+_SQL_DOT = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] * p[2] AS DECIMAL(25,16)))) AS DOUBLE)"
+)
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Exact-decimal dot product of two double arrays → double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("decimal(25,16)")),
+        F.lit(0).cast("decimal(25,16)"),
+        lambda acc, x: (acc + x).cast("decimal(25,16)"),
+    ).cast("double")
+
+
+def _sq_norm(col: Column) -> Column:
+    e = _as_double(col)
+    return _dot(e, e)
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH prep AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), probe AS (
+      SELECT e AS pe, {_SQL_DOT.format(a='e', b='e')} AS p_sq FROM prep
+      WHERE vec_id = {PROBE_VEC_ID}
+    ), scored AS (
+      SELECT vec_id, label,
+             {_SQL_DOT.format(a='e', b='pe')}
+               / (sqrt({_SQL_DOT.format(a='e', b='e')}) * sqrt(p_sq)) AS cos_raw
+      FROM prep, probe
+      WHERE vec_id <> {PROBE_VEC_ID}
+    )
+    SELECT vec_id, label, CAST(floor(cos_raw * 10000) AS DOUBLE) / 10000 AS cosine,
+           ROW_NUMBER() OVER (ORDER BY cos_raw DESC, vec_id) AS rank
+    FROM scored
+    ORDER BY cos_raw DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k nearest neighbours of probe vec_id=0."""
+    emb = table(spark, sf_dir, "embeddings")
+    prep = emb.select("vec_id", "label", _as_double(F.col("embedding")).alias("e"))
+    probe = prep.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+        F.col("e").alias("pe"), _sq_norm(F.col("e")).alias("p_sq")
+    )
+    scored = (
+        prep.filter(F.col("vec_id") != PROBE_VEC_ID)
+        .crossJoin(F.broadcast(probe))
+        .withColumn(
+            "cos_raw",
+            _dot(F.col("e"), F.col("pe"))
+            / (F.sqrt(_dot(F.col("e"), F.col("e"))) * F.sqrt(F.col("p_sq"))),
+        )
+    )
+    w = F.row_number().over(Window.orderBy(F.col("cos_raw").desc(), F.col("vec_id")))
+    return (
+        scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+        .withColumn("rank", w)
+        .select(
+            "vec_id", "label", trunc_digits(F.col("cos_raw"), 4).alias("cosine"), "rank"
+        )
+    )
+
+
+@query("sim_cosine_topk_ivf")  # pruned search ≠ exact oracle → rows-only
+def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: visit only the 3 nearest cells.
+
+    Stage 1 builds per-cell centroids (label = coarse cell id) via a
+    component-wise average — posexplode → groupBy(cell, pos) → avg →
+    re-assemble, all shuffle-light since cells × dims is tiny. Stage 2
+    scores the probe against centroids and keeps the best 3 cells;
+    stage 3 runs the exact cosine only inside those cells. At 100 TB
+    this turns a full scan into reading ~nprobe/ncells of the data.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    prep = emb.select("vec_id", "label", _as_double(F.col("embedding")).alias("e"))
+
+    # stage 1: centroids per cell
+    comps = prep.select("label", F.posexplode("e").alias("pos", "val"))
+    centroids = (
+        comps.groupBy("label", "pos")
+        .agg(F.avg("val").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pc", lambda s: s.getField("c")).alias("centroid"),
+        )
+    )
+
+    probe = prep.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+        F.col("e").alias("pe")
+    )
+    # stage 2: nearest cells by centroid cosine
+    cell_scores = centroids.crossJoin(F.broadcast(probe)).withColumn(
+        "cell_cos",
+        _dot(F.col("centroid"), F.col("pe"))
+        / (
+            F.sqrt(_dot(F.col("centroid"), F.col("centroid")))
+            * F.sqrt(_dot(F.col("pe"), F.col("pe")))
+        ),
+    )
+    top_cells = (
+        cell_scores.orderBy(F.col("cell_cos").desc(), F.col("cell"))
+        .limit(3)
+        .select("cell")
+    )
+
+    # stage 3: exact cosine within the selected cells only
+    candidates = prep.join(
+        F.broadcast(top_cells), prep.label == F.col("cell")
+    ).filter(F.col("vec_id") != PROBE_VEC_ID)
+    scored = candidates.crossJoin(F.broadcast(probe)).withColumn(
+        "cos_raw",
+        _dot(F.col("e"), F.col("pe"))
+        / (F.sqrt(_dot(F.col("e"), F.col("e"))) * F.sqrt(_dot(F.col("pe"), F.col("pe")))),
+    )
+    return (
+        scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "label", trunc_digits(F.col("cos_raw"), 4).alias("cosine"))
+    )

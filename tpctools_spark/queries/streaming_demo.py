@@ -1,0 +1,121 @@
+"""§2.B.8 — Structured Streaming demos (rows-only checks).
+
+Each query runs a real Structured Streaming job over the events parquet
+with ``Trigger.AvailableNow`` (drain everything, then stop), sinks to an
+in-memory table, and returns that table as a batch DataFrame. The same
+code with a live source and a different trigger is the production
+stream — that symmetry is the point of Structured Streaming.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructType
+
+from tpctools_spark.registry import query
+from tpctools_spark.schemas import TESTDATA
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(__file__)), "..", ".scratch")
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (explicit schema — streaming
+    sources never infer).
+
+    The file source wants a directory, so the single parquet file is
+    staged into a scratch dir (in production this is the landing
+    directory new files arrive into). ``ts`` is physically
+    TIMESTAMP(NANOS) → read as int64 and truncate to microseconds, same
+    as the batch reader (catalog._events).
+    """
+    stage = os.path.join(os.path.abspath(_SCRATCH), f"stream-{uuid.uuid4().hex[:8]}")
+    os.makedirs(stage, exist_ok=True)
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "part-0.parquet")
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = StructType(
+        [
+            f if f.name != "ts" else type(f)("ts", LongType(), True)
+            for f in TESTDATA["events"].fields
+        ]
+    )
+    raw = spark.readStream.schema(schema).parquet(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _drain_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Run the stream with availableNow into a memory sink; return the
+    materialized result as a batch DataFrame."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@query("stream_dedup_watermark")  # streaming → rows-only
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: drop duplicate event_ids within a 10-minute
+    watermark — the bounded-state streaming dedup pattern. State per key
+    expires once the watermark passes, so memory is bounded at any rate.
+    """
+    ev = _stream_events(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"])
+    counted = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_unique_events")
+    )
+    return _drain_to_memory(counted, "complete")
+
+
+@query("stream_stateful_count")  # streaming → rows-only
+def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful running aggregation: tumbling 1-hour event-time windows
+    with a watermark, per event type — the canonical streaming agg.
+    """
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+        )
+    )
+    return _drain_to_memory(agg, "complete")
+
+
+@query("stream_session_window")  # streaming → rows-only
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows: 30-minute gap sessions per user via
+    ``session_window`` — the native streaming twin of the batch
+    gaps-and-islands query (eventtime.window_session)."""
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+    return _drain_to_memory(agg, "complete")

@@ -1,0 +1,189 @@
+"""§2.B.9 — text analysis for training-data pipelines.
+
+Language ID (stopword heuristic), quality scoring, token counting, and
+document fingerprinting over ``documents``. Everything is built-in
+string/array expressions — per-row, embarrassingly parallel, scan-speed
+at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tpctools_spark.catalog import table
+from tpctools_spark.queries._util import trunc_digits
+from tpctools_spark.registry import query
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(CAST(n_chars AS BIGINT)) AS total_chars,
+           SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+           CAST(floor(CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 100) AS DOUBLE) / 100
+             AS avg_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language: docs, chars, tokens."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            "n_chars",
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+            trunc_digits(
+                F.sum(F.col("n_chars").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                2,
+            ).alias("avg_chars"),
+        )
+    )
+
+
+@query(
+    "text_langid",
+    oracle="""
+    SELECT lang AS labeled_lang,
+           CASE WHEN len(list_filter(string_split(lower(trim(text)), ' '),
+                                     w -> w IN ('the', 'a', 'of'))) > 0
+                THEN 'en' ELSE 'unknown' END AS predicted_lang,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-presence language-ID heuristic vs the labeled lang.
+
+    A deliberately simple deterministic n-gram/stopword detector (the
+    fixtures' text is synthetic English-like words, so the interesting
+    output is the confusion table against the `lang` label). A real
+    pipeline swaps the rule for a per-language stopword score — the
+    Spark shape (per-row HOF + groupBy) is identical.
+    """
+    docs = table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), " ")
+    predicted = F.when(
+        F.size(F.filter(words, lambda w: w.isin("the", "a", "of"))) > 0, "en"
+    ).otherwise("unknown")
+    return (
+        docs.select(F.col("lang").alias("labeled_lang"), predicted.alias("predicted_lang"))
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(floor(CAST(length(text) AS DOUBLE)
+                 / greatest(len(string_split(text, ' ')), 1) * 10000) AS DOUBLE) / 10000 AS avg_token_len,
+           CAST(floor(CAST(len(list_filter(string_split(lower(text), ' '),
+                          w -> w IN ('the','a','of','and','to'))) AS DOUBLE)
+                 / greatest(len(string_split(text, ' ')), 1) * 10000) AS DOUBLE) / 10000 AS stopword_ratio,
+           CASE WHEN length(text) BETWEEN 100 AND 400
+                 AND len(string_split(text, ' ')) >= 20 THEN 1 ELSE 0 END AS quality_pass
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: length, token stats, stopword ratio,
+    and a pass/fail gate — the standard pre-training filter shape."""
+    docs = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    lower_words = F.split(F.lower(F.col("text")), " ")
+    n_tokens = F.size(words)
+    stop = F.size(
+        F.filter(lower_words, lambda w: w.isin("the", "a", "of", "and", "to"))
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        trunc_digits(
+            F.length("text").cast("double") / F.greatest(n_tokens, F.lit(1)), 4
+        ).alias("avg_token_len"),
+        trunc_digits(stop.cast("double") / F.greatest(n_tokens, F.lit(1)), 4).alias(
+            "stopword_ratio"
+        ),
+        F.when(
+            F.length("text").between(100, 400) & (n_tokens >= 20), 1
+        )
+        .otherwise(0)
+        .alias("quality_pass"),
+    )
+
+
+@query(
+    "text_tokens",
+    oracle="""
+    SELECT word, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM (
+      SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      FROM documents
+    )
+    GROUP BY word
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex tokenizer: term and document
+    frequency over the whole corpus (the wordcount of LLM pipelines)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z0-9]+)"), 1)
+            ).alias("word"),
+        )
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+    )
+
+
+@query("text_fingerprint")  # engine-specific hash → rows-only
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: 64-bit content hash + winnowed shingle
+    fingerprint (min/max of rolling 4-gram hashes) for copy detection."""
+    docs = table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), " ")
+    grams = F.when(
+        F.size(words) >= 4, F.sequence(F.lit(1), F.size(words) - 3)
+    ).otherwise(F.array().cast("array<int>"))
+    gram_hashes = F.transform(
+        grams,
+        lambda i: F.xxhash64(
+            F.concat_ws(
+                " ",
+                F.element_at(words, i),
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+                F.element_at(words, i + 3),
+            )
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        F.xxhash64(F.lower(F.trim(F.col("text")))).alias("content_fp"),
+        F.array_min(gram_hashes).alias("min_shingle_fp"),
+        F.array_max(gram_hashes).alias("max_shingle_fp"),
+        F.size(gram_hashes).cast("bigint").alias("n_shingles"),
+    )

@@ -1,0 +1,138 @@
+"""§2.B.5 — window functions.
+
+All windows partition by a key, so at scale each executor sorts only its
+key's rows (one shuffle on the partition key, then in-partition sort).
+Running money sums use exact decimals so frame-order FP effects cannot
+diverge from the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tpctools_spark.catalog import table
+from tpctools_spark.queries._util import money
+from tpctools_spark.registry import query
+
+
+@query(
+    "window_rank_topn",
+    oracle="""
+    SELECT c_nationkey, c_custkey, ROUND(c_acctbal, 2) AS acctbal, rn
+    FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    """,
+)
+def window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance per nation — rank-and-filter.
+
+    Spark pushes the ``rn <= 3`` filter into the window via a group-limit
+    optimization (WindowGroupLimit), so each partition keeps only 3 rows
+    before the final projection. Ties broken by c_custkey (unique).
+    """
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        table(spark, sf_dir, "customer")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "rn",
+        )
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+             AS running_total
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running order total (TPC-DS Q51 shape)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(money(F.col("o_totalprice"))).over(w).cast("double"), 2).alias(
+            "running_total"
+        ),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           date_diff('day',
+                     CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                                 ORDER BY o_orderdate, o_orderkey) AS DATE),
+                     CAST(o_orderdate AS DATE)) AS days_since_prev,
+           CAST(LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+             AS next_orderkey
+    FROM orders
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics: days between consecutive orders per customer."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    od = F.col("o_orderdate").cast("date")
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(od, F.lag(od).over(w)).cast("bigint").alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                 OVER (PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                 AS DOUBLE), 2) AS rolling_1h_value
+    FROM events
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame moving aggregate: per-user trailing 1-hour value sum.
+
+    Spark range frames need a numeric sort key, so the frame is expressed
+    over epoch microseconds — semantically identical to the oracle's
+    ``RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW`` (both
+    ends inclusive; ties share a frame, so no tiebreaker is needed).
+    """
+    hour_us = 3600 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-hour_us, 0)
+    )
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(money(F.col("value"))).over(w).cast("double"), 2).alias(
+            "rolling_1h_value"
+        ),
+    )

@@ -1,0 +1,56 @@
+"""Query/oracle registry — the driver-contract backbone.
+
+Every operator from SURVEY.md §2.B registers here as a named query:
+a PySpark callable ``(spark, sf_dir) -> DataFrame`` and (when
+SQL-expressible) a DuckDB ANSI-SQL oracle string over the same tables.
+``__spark_entry__.queries()`` / ``oracle_sql()`` read these dicts.
+
+Determinism contract (SURVEY.md §2.B preamble):
+- every aggregated/computed double is ``ROUND(x, 2)`` on BOTH sides;
+- output column names are aliased identically on both sides;
+- top-k ties are broken by a unique key column;
+- no wall-clock or randomness without a fixed seed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a named query, optionally with its DuckDB oracle SQL.
+
+    Queries without an oracle get the driver's weaker rows-only check
+    (approx aggregates, LSH, streaming, map-ordering cases).
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle.strip()
+        return fn
+
+    return deco
+
+
+def spark_queries() -> dict[str, QueryFn]:
+    """All registered queries (loads the query modules on first call)."""
+    import tpctools_spark.queries  # noqa: F401  (registration side effect)
+
+    return dict(QUERIES)
+
+
+def oracle_queries() -> dict[str, str]:
+    """All registered oracle SQL strings."""
+    import tpctools_spark.queries  # noqa: F401
+
+    return dict(ORACLES)
