@@ -1,0 +1,89 @@
+"""Benchmark the headline query suite; prints ONE JSON line.
+
+Runs the heavier queries from the §2.B inventory at the sf directory in
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``. Each query executes end-to-end into a
+``noop`` sink — full compute, no driver collect — so timings measure the
+distributed plan, not result transfer.
+
+Output: {"metric": "suite_wall_time", "value": <total sec>,
+         "unit": "sec", "queries": {name: sec, ...}, "sf": <sf>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline suite: scan+agg, broadcast/shuffle/multiway joins, windows,
+# event-time sessions, dedup, similarity, text analysis.
+HEADLINE = [
+    "agg_group_sum",
+    "filter_pred",
+    "join_inner_equi",
+    "join_multiway",
+    "tpch_q3_shipping_priority",
+    "tpch_q10_returned_items",
+    "join_theta_range",
+    "join_asof_event",
+    "window_rank_topn",
+    "window_running_sum",
+    "window_session",
+    "window_tumbling",
+    "agg_grouping_sets",
+    "scalar_math_decimal",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "sim_cosine_topk",
+    "text_tokens",
+    "multimodal_join",
+]
+
+
+def main() -> None:
+    from tpctools_spark.registry import spark_queries
+    from tpctools_spark.session import get_spark
+
+    spark = get_spark("tpctools-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = spark_queries()
+
+    # Warm the JVM + parquet footers with a trivial action.
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -67,24 +67,64 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id → array<long> of N_MINHASH minhashes over the word set.
+def _shingles(w: F.Column) -> F.Column:
+    """Word 3-gram shingles of a token array (null-safe via concat)."""
+    return F.transform(
+        F.when(F.size(w) >= 3, F.sequence(F.lit(1), F.size(w) - 2)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.concat(
+            F.element_at(w, i),
+            F.lit(" "),
+            F.element_at(w, i + 1),
+            F.lit(" "),
+            F.element_at(w, i + 2),
+        ),
+    )
 
-    minhash_i(doc) = min over distinct words of xxhash64(i, word); pure
-    column expressions, so signatures are deterministic and computed in
-    a single pass (no shuffle until the band step).
+
+def _minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id → array<long> of N_MINHASH minhashes over 3-gram shingles.
+
+    minhash_i(doc) = min over distinct shingles of xxhash64(i, shingle),
+    computed entirely row-local with nested higher-order functions —
+    no explode, no groupBy, no shuffle. One narrow codegen'd pass over
+    the corpus produces every signature; the first shuffle in the whole
+    minhash pipeline is the (tiny) band-bucket join. Shingles (not
+    unigrams) keep inter-document Jaccard — and therefore LSH bucket
+    occupancy — low, so candidate generation stays near-linear.
     """
-    tokens = docs.select(
-        "doc_id", F.explode(F.array_distinct(_words())).alias("word")
+    # No array_distinct: MIN over a multiset equals MIN over its set, and
+    # interpreted O(n²) array_distinct dominated the whole pipeline.
+    shingles = F.filter(_shingles(_words()), lambda s: s.isNotNull())
+    # Two base hashes per shingle; the classic (h1 + i·h2) family gives
+    # the other 30 "hash functions" by arithmetic. Keeps the expression
+    # tree (and its codegen compile time) small.
+    base = docs.filter(F.size(shingles) > 0).select(
+        "doc_id",
+        F.transform(
+            shingles,
+            lambda s: F.struct(
+                F.xxhash64(F.lit(1), s).alias("h1"),
+                F.xxhash64(F.lit(2), s).alias("h2"),
+            ),
+        ).alias("hs"),
     )
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("word"))).alias(f"mh_{i}")
-        for i in range(N_MINHASH)
-    ]
-    sig = tokens.groupBy("doc_id").agg(*mins)
-    return sig.select(
-        "doc_id", F.array(*[f"mh_{i}" for i in range(N_MINHASH)]).alias("signature")
+    # Materialization barrier: without it CollapseProject inlines the
+    # `hs` subexpression into all N_MINHASH signature branches and the
+    # corpus gets re-shingled 32× per row (interpreted — catastrophic).
+    # cache() (columnar path) beats localCheckpoint (RDD path, ~20×
+    # slower for HOF-heavy projections).
+    base = base.cache()
+    signature = F.transform(
+        F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("hs"), lambda p: p.getField("h1") + i * p.getField("h2")
+            )
+        ),
     )
+    return base.select("doc_id", signature.alias("signature"))
 
 
 @query("dedup_minhash")  # hash-function specific → rows-only
@@ -95,13 +135,19 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets → self-join within buckets → signature agreement estimates
     Jaccard. Only documents sharing a band bucket are ever compared.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # Cache the signatures too: the band projection references
+    # element_at(signature, k) 32 times, and without a barrier each
+    # reference re-expands the full signature transform.
     sig = _minhash_signatures(docs).cache()
 
     rows_per_band = N_MINHASH // MINHASH_BANDS
+    # Only (doc_id, band, bucket) flows through the self-join — the wide
+    # signature arrays rejoin afterwards on the (small) candidate set.
     bands = sig.select(
         "doc_id",
-        "signature",
         F.explode(
             F.array(
                 *[
@@ -118,25 +164,22 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "signature", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket")
 
-    left = bands.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("signature").alias("sig_a"),
-        "band",
-        "bucket",
-    )
-    right = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("signature").alias("sig_b"),
-        "band",
-        "bucket",
-    )
-    pairs = (
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cand = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .select("doc_a", "doc_b")
         .distinct()
+    )
+    pairs = cand.join(
+        sig.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a")),
+        "doc_a",
+    ).join(
+        sig.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b")),
+        "doc_b",
     )
     est = F.round(
         F.size(
@@ -233,7 +276,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     never the full n² pair space. Jaccard is an exact integer ratio, so
     the threshold decision is FP-safe against the oracle.
     """
-    docs = table(spark, sf_dir, "documents")
+    # The corpus arrives as one small parquet file → one input partition;
+    # spread it so shingling/distinct use every core (at 100 TB the input
+    # is already many splits and this repartition is a no-op to remove).
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     w = _words()
     grams = (
         docs.select(
@@ -256,6 +304,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("gram").isNotNull())
         .distinct()
+        # Materialize the postings once — three consumers (both join
+        # legs and the per-doc sizes) would otherwise re-tokenize the
+        # corpus; columnar cache() is the cheap barrier.
+        .cache()
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.select(F.col("doc_id").alias("doc_a"), "gram")
