@@ -1,0 +1,87 @@
+"""Behavioral invariants for the dedup family on a planted corpus.
+
+The rows-only dedup queries (minhash, simhash) can't be oracle-checked,
+so these tests plant known exact/near/unrelated duplicates and assert
+recall/specificity properties.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "green turtles watch from a mossy riverbank under pale morning "
+    "light and a distant train whistles through the valley below"
+)
+NEAR = BASE.replace("seventeen", "nineteen").replace("morning", "evening")
+UNRELATED = [
+    "completely different subject matter about quarterly financial "
+    "reports and accounting ledgers for the fiscal year ending soon",
+    "a recipe for sourdough bread requires flour water salt patience "
+    "and a healthy starter culture fed twice daily for a week",
+    "spacecraft navigation relies on star trackers gyroscopes and "
+    "ground based radio telemetry for orbit determination and control",
+]
+
+
+@pytest.fixture(scope="module")
+def planted_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("planted"))
+    rows = [(1, BASE), (2, BASE), (3, NEAR)]
+    rows += [(10 + i, t) for i, t in enumerate(UNRELATED)]
+    df = spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    return out
+
+
+def test_exact_finds_planted_copy(spark, planted_dir):
+    from tpctools_spark.registry import spark_queries
+
+    out = spark_queries()["dedup_exact"](spark, planted_dir).collect()
+    groups = {r.keep_id: r.n_copies for r in out}
+    assert groups[1] == 2  # docs 1 and 2 collapse, keep lowest id
+    assert sum(groups.values()) == 6
+    assert len(groups) == 5
+
+
+def test_minhash_recall_and_specificity(spark, planted_dir):
+    from tpctools_spark.registry import spark_queries
+
+    out = spark_queries()["dedup_minhash"](spark, planted_dir).collect()
+    pairs = {(r.doc_a, r.doc_b): r.est_jaccard for r in out}
+    assert pairs[(1, 2)] == 1.0  # identical text → identical signature
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup recalled
+    for (a, b), _ in pairs.items():
+        assert b <= 12 and {a, b} & {1, 2, 3}, f"false positive pair {(a, b)}"
+
+
+def test_simhash_identical_for_exact_copy(spark, planted_dir):
+    from tpctools_spark.registry import spark_queries
+
+    out = spark_queries()["dedup_simhash"](spark, planted_dir).collect()
+    sig = {r.doc_id: r.simhash for r in out}
+    assert sig[1] == sig[2]
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    # Near-dups on ~30-word docs land around hamming 7-11 (each word
+    # votes on all 64 bits), far below unrelated text (~32): assert the
+    # ordering, which is the property bucketing depends on at scale.
+    near = hamming(sig[1], sig[3])
+    unrelated = min(hamming(sig[1], sig[d]) for d in (10, 11, 12))
+    assert near < unrelated / 2
+
+
+def test_ngram_jaccard_exact_ratio(spark, planted_dir):
+    from tpctools_spark.registry import spark_queries
+
+    out = spark_queries()["dedup_ngram_jaccard"](spark, planted_dir).collect()
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in out}
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] > 0.5  # 4 changed grams out of ~31
+    assert not any({a, b} <= {10, 11, 12} for a, b in pairs)
