@@ -1,0 +1,92 @@
+"""Converter parity: typed pipe-CSV scan → parquet sink, `ignore` drop."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tpctools_spark.convert import convert_table, convert_to_parquet, scan_tbl
+from tpctools_spark.schemas import TPCH_REFERENCE
+
+REGION_TBL = (
+    "0|AFRICA|lar deposits blithely|\n"
+    "1|AMERICA|hs use ironic requests|\n"
+    "2|ASIA|ges. thinly even pinto beans|\n"
+)
+
+
+@pytest.fixture()
+def tbl_dir(tmp_path):
+    """A dbgen-style layout: <dir>/region.tbl/part-0.tbl with trailing |."""
+    d = tmp_path / "raw" / "region.tbl"
+    d.mkdir(parents=True)
+    (d / "part-0.tbl").write_text(REGION_TBL)
+    return str(tmp_path / "raw")
+
+
+def test_scan_reads_typed_rows(spark, tbl_dir):
+    df = scan_tbl(spark, os.path.join(tbl_dir, "region.tbl"), TPCH_REFERENCE["region"])
+    rows = {r.r_regionkey: r.r_name for r in df.collect()}
+    assert rows == {0: "AFRICA", 1: "AMERICA", 2: "ASIA"}
+    # trailing | lands in the nullable ignore column, as in the reference
+    assert df.schema["ignore"].nullable
+
+
+def test_convert_drops_ignore_and_roundtrips(spark, tbl_dir, tmp_path):
+    out = str(tmp_path / "pq" / "region.parquet")
+    convert_table(spark, os.path.join(tbl_dir, "region.tbl"),
+                  TPCH_REFERENCE["region"], out)
+    back = spark.read.parquet(out)
+    assert "ignore" not in back.columns
+    assert back.count() == 3
+    assert dict((r.r_regionkey, r.r_comment) for r in back.collect())[2].startswith("ges.")
+
+
+def test_convert_all_tables_loop(spark, tbl_dir, tmp_path):
+    out = str(tmp_path / "pq2")
+    timings = convert_to_parquet(spark, tbl_dir, out, tables=["region"])
+    assert set(timings) == {"region"}
+    assert spark.read.parquet(f"{out}/region.parquet").count() == 3
+
+
+def test_missing_input_fails_fast(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        convert_to_parquet(spark, str(tmp_path), str(tmp_path / "o"), tables=["region"])
+
+
+def test_bad_compression_rejected(spark, tbl_dir, tmp_path):
+    with pytest.raises(ValueError, match="unsupported compression"):
+        convert_table(spark, os.path.join(tbl_dir, "region.tbl"),
+                      TPCH_REFERENCE["region"], str(tmp_path / "x"),
+                      compression="lzo")
+
+
+def test_existing_output_rejected(spark, tbl_dir, tmp_path):
+    out = str(tmp_path / "pq3" / "region.parquet")
+    convert_table(spark, os.path.join(tbl_dir, "region.tbl"),
+                  TPCH_REFERENCE["region"], out)
+    with pytest.raises(Exception):  # reference panics on existing output
+        convert_table(spark, os.path.join(tbl_dir, "region.tbl"),
+                      TPCH_REFERENCE["region"], out)
+
+
+def test_cli_generate_then_convert_csv_roundtrip(spark, tmp_path):
+    """End-to-end: generate csv → convert to parquet → typed equality."""
+    from tpctools_spark.generate import build_table, generate
+
+    raw = str(tmp_path / "raw")
+    generate(spark, 0.001, 2, raw, tables=["nation"], fmt="csv")
+    # generate writes <out>/nation.csv; the converter expects .tbl ext
+    os.rename(f"{raw}/nation.csv", f"{raw}/nation.tbl")
+    out = str(tmp_path / "pq4")
+    # generated csv has no trailing '|' → scan without the ignore field
+    from pyspark.sql.types import StructType
+
+    schema = StructType([f for f in TPCH_REFERENCE["nation"].fields if f.name != "ignore"])
+    convert_to_parquet(spark, raw, out, tables=["nation"],
+                       schemas={"nation": schema}, file_ext=".csv")
+    back = spark.read.parquet(f"{out}/nation.parquet")
+    want = {(r.n_nationkey, r.n_name) for r in build_table(spark, "nation", 0.001, 1).collect()}
+    got = {(r.n_nationkey, r.n_name) for r in back.collect()}
+    assert got == want

@@ -1,0 +1,97 @@
+"""Generator properties: partition invariance, FK integrity, consistency.
+
+The partition-invariance test is the Spark re-expression of dbgen's
+``-C <parts> -S <i>`` chunking contract (reference src/tpch.rs:69-72):
+the dataset must not depend on the parallelism used to produce it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tpctools_spark.generate import ROWS_PER_SF, build_table
+from tpctools_spark.schemas import TPCH_REFERENCE
+
+SCALE = 0.001
+ALL_TABLES = list(TPCH_REFERENCE)
+
+
+def _fingerprint(df):
+    """Order-insensitive dataset digest: sum/xor of full-row hashes."""
+    h = F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
+    row = df.select(
+        F.sum(h).alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    return (row["s"], row["n"])
+
+
+@pytest.mark.parametrize("name", ALL_TABLES)
+def test_partition_invariance(spark, name):
+    a = _fingerprint(build_table(spark, name, SCALE, partitions=2))
+    b = _fingerprint(build_table(spark, name, SCALE, partitions=7))
+    assert a == b
+
+
+@pytest.mark.parametrize("name", ALL_TABLES)
+def test_schema_matches_registry(spark, name):
+    df = build_table(spark, name, SCALE, 2)
+    want = [f.name for f in TPCH_REFERENCE[name].fields if f.name != "ignore"]
+    assert df.columns == want
+
+
+def test_cardinalities(spark):
+    assert build_table(spark, "region", SCALE, 2).count() == 5
+    assert build_table(spark, "nation", SCALE, 2).count() == 25
+    n_part = build_table(spark, "part", SCALE, 2).count()
+    assert n_part == int(ROWS_PER_SF["part"] * SCALE)
+    assert build_table(spark, "partsupp", SCALE, 2).count() == 4 * n_part
+    n_ord = build_table(spark, "orders", SCALE, 2).count()
+    lines = build_table(spark, "lineitem", SCALE, 2).count()
+    assert n_ord * 1 <= lines <= n_ord * 7
+
+
+def test_fk_integrity(spark):
+    li = build_table(spark, "lineitem", SCALE, 2)
+    n_part = int(ROWS_PER_SF["part"] * SCALE)
+    n_supp = int(ROWS_PER_SF["supplier"] * SCALE)
+    bad = li.filter(
+        ~F.col("l_partkey").between(1, n_part)
+        | ~F.col("l_suppkey").between(1, n_supp)
+    ).count()
+    assert bad == 0
+    cust = build_table(spark, "customer", SCALE, 2)
+    assert cust.filter(~F.col("c_nationkey").between(0, 24)).count() == 0
+
+
+def test_orders_totalprice_equals_lineitem_sum(spark):
+    """o_totalprice is derived from the same per-line formula lineitem
+    explodes — exact decimal equality, no tolerance."""
+    orders = build_table(spark, "orders", SCALE, 2)
+    li = build_table(spark, "lineitem", SCALE, 2)
+    line_sum = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (
+                F.col("l_extendedprice")
+                * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount"))
+                * (F.lit(1).cast("decimal(4,2)") + F.col("l_tax"))
+            ).cast("decimal(17,2)")
+        ).alias("total")
+    )
+    joined = orders.join(line_sum, orders.o_orderkey == line_sum.l_orderkey, "left")
+    mismatches = joined.filter(
+        F.col("o_totalprice").cast("decimal(17,2)") != F.col("total")
+    ).count()
+    assert mismatches == 0
+
+
+def test_generate_writes_parquet(spark, tmp_path):
+    from tpctools_spark.generate import generate
+
+    out = str(tmp_path / "gen")
+    timings = generate(spark, SCALE, 2, out, tables=["region", "nation", "supplier"])
+    assert set(timings) == {"region", "nation", "supplier"}
+    assert spark.read.parquet(f"{out}/supplier.parquet").count() == int(
+        ROWS_PER_SF["supplier"] * SCALE
+    )

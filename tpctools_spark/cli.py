@@ -1,0 +1,78 @@
+"""CLI: ``generate`` / ``convert`` subcommands (reference parity).
+
+Mirrors the reference's StructOpt surface (``/root/reference/src/main.rs:22-119``):
+
+    python -m tpctools_spark.cli generate --benchmark tpch -s 0.01 \\
+        -n 8 --output /tmp/raw [--format parquet|csv]
+    python -m tpctools_spark.cli convert --benchmark tpch \\
+        --input /tmp/raw --output /tmp/pq \\
+        --format parquet --compression snappy
+
+Differences by design: no ``--generator-path`` (no external dbgen/dsdgen
+binary — generation is native Spark, SURVEY.md §2.A A8/A9), and
+``generate`` can emit parquet directly (the reference needs a separate
+convert pass).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _benchmark_tables(name: str) -> list[str]:
+    # Dispatch parity: create_benchmark, src/main.rs:113-118.
+    if name.lower() in ("tpch", "tpc-h"):
+        from tpctools_spark.schemas import TPCH_TABLE_NAMES
+
+        return TPCH_TABLE_NAMES
+    raise SystemExit(f"invalid benchmark name: {name}")
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="tpctools_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="Generate benchmark data (src/main.rs:24-43)")
+    g.add_argument("--benchmark", default="tpch")
+    g.add_argument("-s", "--scale", type=float, required=True)
+    g.add_argument("-n", "--partitions", type=int, required=True)
+    g.add_argument("--output", required=True)
+    g.add_argument("--format", default="parquet", choices=["parquet", "csv"])
+    g.add_argument("--compression", default="snappy")
+
+    c = sub.add_parser("convert", help="Convert .tbl dirs to parquet/csv (src/main.rs:45-58)")
+    c.add_argument("--benchmark", default="tpch")
+    c.add_argument("--input", required=True)
+    c.add_argument("--output", required=True)
+    c.add_argument("--format", default="parquet", choices=["parquet", "csv"])
+    c.add_argument("--compression", default="snappy")
+
+    args = p.parse_args(argv)
+    tables = _benchmark_tables(args.benchmark)
+
+    from tpctools_spark.session import get_spark
+
+    spark = get_spark(f"tpctools-{args.cmd}")
+    if args.cmd == "generate":
+        from tpctools_spark.generate import generate
+
+        timings = generate(
+            spark, args.scale, args.partitions, args.output,
+            tables=tables, fmt=args.format, compression=args.compression,
+        )
+    else:
+        from tpctools_spark.convert import convert_to_parquet
+
+        timings = convert_to_parquet(
+            spark, args.input, args.output,
+            tables=tables, fmt=args.format, compression=args.compression,
+        )
+    for name, dt in timings.items():
+        # Wall-time print parity: src/lib.rs:214, src/tpch.rs:87-90.
+        print(f"{args.cmd} {name}: {dt:.3f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
