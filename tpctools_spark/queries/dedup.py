@@ -86,45 +86,36 @@ def _shingles(w: F.Column) -> F.Column:
 def _minhash_signatures(docs: DataFrame) -> DataFrame:
     """doc_id → array<long> of N_MINHASH minhashes over 3-gram shingles.
 
-    minhash_i(doc) = min over distinct shingles of xxhash64(i, shingle),
-    computed entirely row-local with nested higher-order functions —
-    no explode, no groupBy, no shuffle. One narrow codegen'd pass over
-    the corpus produces every signature; the first shuffle in the whole
-    minhash pipeline is the (tiny) band-bucket join. Shingles (not
-    unigrams) keep inter-document Jaccard — and therefore LSH bucket
-    occupancy — low, so candidate generation stays near-linear.
+    Shape: explode shingles → 2 base hashes per shingle → groupBy doc_id
+    with 32 ``min(h1 + i·h2)`` aggregates (the classic 2-universal
+    minhash family — 2 string hashes, 32 derived functions).
+
+    Why this shape: the whole pipeline stays inside whole-stage codegen
+    (split/explode/xxhash64/hash-agg are all JVM-generated code).
+    The tempting shuffle-free alternative — nested higher-order
+    functions computing all 32 mins row-local — runs ~5× slower because
+    HOF lambdas are interpreted per element. The one shuffle here is
+    benign at any scale: partial (map-side) aggregation collapses each
+    doc to 32 longs before the exchange, so shuffle bytes are
+    O(n_docs·32·8), independent of document length. No array_distinct:
+    MIN over a multiset equals MIN over its set. Shingles (not unigrams)
+    keep inter-document Jaccard — and therefore LSH bucket occupancy —
+    low, so candidate generation stays near-linear.
     """
-    # No array_distinct: MIN over a multiset equals MIN over its set, and
-    # interpreted O(n²) array_distinct dominated the whole pipeline.
     shingles = F.filter(_shingles(_words()), lambda s: s.isNotNull())
-    # Two base hashes per shingle; the classic (h1 + i·h2) family gives
-    # the other 30 "hash functions" by arithmetic. Keeps the expression
-    # tree (and its codegen compile time) small.
-    base = docs.filter(F.size(shingles) > 0).select(
+    hashed = docs.select("doc_id", F.explode(shingles).alias("s")).select(
         "doc_id",
-        F.transform(
-            shingles,
-            lambda s: F.struct(
-                F.xxhash64(F.lit(1), s).alias("h1"),
-                F.xxhash64(F.lit(2), s).alias("h2"),
-            ),
-        ).alias("hs"),
+        F.xxhash64(F.lit(1), "s").alias("h1"),
+        F.xxhash64(F.lit(2), "s").alias("h2"),
     )
-    # Materialization barrier: without it CollapseProject inlines the
-    # `hs` subexpression into all N_MINHASH signature branches and the
-    # corpus gets re-shingled 32× per row (interpreted — catastrophic).
-    # cache() (columnar path) beats localCheckpoint (RDD path, ~20×
-    # slower for HOF-heavy projections).
-    base = base.cache()
-    signature = F.transform(
-        F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                F.col("hs"), lambda p: p.getField("h1") + i * p.getField("h2")
-            )
-        ),
+    mins = [
+        F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"mh_{i}")
+        for i in range(N_MINHASH)
+    ]
+    sig = hashed.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[f"mh_{i}" for i in range(N_MINHASH)]).alias("signature")
     )
-    return base.select("doc_id", signature.alias("signature"))
 
 
 @query("dedup_minhash")  # hash-function specific → rows-only
@@ -138,9 +129,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    # Cache the signatures too: the band projection references
-    # element_at(signature, k) 32 times, and without a barrier each
-    # reference re-expands the full signature transform.
+    # Cache the signatures: three consumers (band projection + both
+    # rejoin legs) would otherwise recompute the shingle/agg pipeline.
     sig = _minhash_signatures(docs).cache()
 
     rows_per_band = N_MINHASH // MINHASH_BANDS
