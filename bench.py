@@ -29,7 +29,10 @@ HEADLINE = [
     "join_inner_equi",
     "join_multiway",
     "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q8_market_share",
     "tpch_q10_returned_items",
+    "tpch_q18_large_volume_customer",
     "join_theta_range",
     "join_asof_event",
     "window_rank_topn",

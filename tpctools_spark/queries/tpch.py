@@ -1,11 +1,15 @@
 """Headline TPC-H-shaped queries (bench suite anchors).
 
-Q1 lives in ``aggregates.agg_group_sum``; Q5 shape in
-``joins.join_multiway``. This module adds Q3 (shipping priority) and a
-Q10-shaped returned-item report — the remaining classic multi-join +
-agg + top-k shapes expressible on the fixture columns (FIXTURES.md
-notes partsupp and several columns are absent, so Q2/Q11/etc. are out
-of scope by design).
+Q1 lives in ``aggregates.agg_group_sum``; Q6 in ``filters.filter_pred``.
+This module carries the classic multi-join/agg/top-k suite adapted to
+the fixture domains (FIXTURES.md: nations are NATION_0..24, p_type is a
+6-value enum, dates span 1995-2001; partsupp and several columns are
+absent, so Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21/Q22 are out of scope by
+design): Q3, Q5, Q7, Q8, Q10, Q14, Q15, Q18.
+
+Determinism: every money aggregate sums exact decimals (see _util);
+ratios divide two exact-by-construction doubles and truncate — both
+engines produce bit-identical results.
 """
 
 from __future__ import annotations
@@ -14,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tpctools_spark.catalog import table
-from tpctools_spark.queries._util import money, rate, trunc_digits
+from tpctools_spark.queries._util import dsum, money, rate, trunc_digits
 from tpctools_spark.registry import query
 
 _REV = (
@@ -114,4 +118,339 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(_revenue().alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
+    )
+
+
+_VOLUME_DEC = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+def _volume() -> F.Column:
+    return money(F.col("l_extendedprice")) * (F.lit(1) - rate(F.col("l_discount")))
+
+
+@query(
+    "tpch_q5_local_supplier",
+    oracle=f"""
+    SELECT n.n_name, {_REV} AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) <  DATE '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue through local suppliers, per nation of a region.
+
+    Plan shape at scale: region→nation broadcasts prune suppliers before
+    the fact joins; orders⋈lineitem shuffles on orderkey; the
+    customer-nation = supplier-nation equality rides the join condition
+    (no post-filter). Final agg has ≤25 groups — exchange is trivial.
+    """
+    r = F.broadcast(
+        table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_revenue().alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM CAST(l.l_shipdate AS DATE)) AS INTEGER) AS l_year,
+           {_REV} AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND CAST(l.l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: shipping volume between two nations by year.
+
+    The two-nation disjunction is applied after broadcasting nation to
+    both fact sides; everything heavy (lineitem⋈orders) shuffles once
+    on orderkey.
+    """
+    n1 = F.broadcast(
+        table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate")
+        .cast("date")
+        .between(F.lit("1996-01-01").cast("date"), F.lit("1997-12-31").cast("date"))
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    rev_pair = (F.col("supp_nation") == "NATION_2") & (
+        F.col("cust_nation") == "NATION_1"
+    )
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair | rev_pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate").cast("date")).alias("l_year"),
+        )
+        .agg(_revenue().alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           CAST(floor(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                                    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE) * 1000000) AS DOUBLE) / 1000000
+             AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM CAST(o.o_orderdate AS DATE)) AS INTEGER) AS o_year,
+             {_VOLUME_DEC} AS volume,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'AMERICA'
+        AND p.p_type = 'PROMO'
+        AND CAST(o.o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: market share of one nation within a region, by year.
+
+    part is filtered to one p_type before the join → broadcast;
+    numerator and denominator are decimal sums of the same exact volume
+    expression, so the share divides two exact doubles.
+    """
+    p = F.broadcast(
+        table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    )
+    r = F.broadcast(
+        table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    )
+    n1 = F.broadcast(
+        table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rkey")
+        )
+    )
+    n2 = F.broadcast(
+        table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+        )
+    )
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate")
+        .cast("date")
+        .between(F.lit("1996-01-01").cast("date"), F.lit("1997-12-31").cast("date"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    volume = _volume()
+    zero = F.lit(0).cast("decimal(12,2)")
+    base = (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(n1, F.col("c_nationkey") == F.col("n1_key"))
+        .join(r, F.col("n1_rkey") == F.col("r_regionkey"))
+        .join(n2, F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year(F.col("o_orderdate").cast("date")).alias("o_year"),
+            volume.alias("volume"),
+            F.col("nation"),
+        )
+    )
+    share = trunc_digits(
+        F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(zero))
+        .cast("double")
+        / F.sum(F.col("volume")).cast("double"),
+        6,
+    )
+    return base.groupBy("o_year").agg(share.alias("mkt_share"))
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    SELECT CAST(floor(
+             CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                           THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100
+             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             * 1000000) AS DOUBLE) / 1000000 AS promo_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-09-01'
+      AND CAST(l.l_shipdate AS DATE) <  DATE '1996-10-01'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: share of promo revenue in one month — scalar output.
+
+    part broadcasts into the month-pruned lineitem scan; one partial+
+    final agg, no grouped shuffle at all.
+    """
+    p = F.broadcast(table(spark, sf_dir, "part"))
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-09-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1996-10-01").cast("date"))
+    )
+    volume = _volume()
+    zero = F.lit(0).cast("decimal(12,2)")
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", volume).otherwise(zero)
+    ).cast("double")
+    total = F.sum(volume).cast("double")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(trunc_digits(promo * 100 / total, 6).alias("promo_revenue"))
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue0 AS (
+      SELECT l_suppkey AS supplier_no, {_REV} AS total_revenue
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue0 r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue.
+
+    The scalar max re-uses the aggregated (small) revenue relation —
+    Catalyst plans it as a broadcast of a 1-row subquery result, not a
+    second scan of lineitem. Revenue is an exact decimal sum, so the
+    equality against MAX cannot flip on FP order.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01").cast("date"))
+    )
+    revenue0 = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _revenue().alias("total_revenue")
+    )
+    max_rev = revenue0.agg(F.max("total_revenue").alias("m"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        s.join(revenue0, s.s_suppkey == revenue0.supplier_no)
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "tpch_q18_large_volume_customer",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS orderdate,
+           o.o_totalprice,
+           ROUND(CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS sum_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers with orders above a total-quantity threshold.
+
+    The HAVING subquery becomes a left-semi join against the aggregated
+    orderkey set (small after the threshold), which AQE turns into a
+    broadcast; lineitem is scanned twice but only once shuffled wide.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(money(F.col("l_quantity"))).alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias(
+                "orderdate"
+            ),
+            "o_totalprice",
+            "sum_qty",
+        )
     )
