@@ -26,6 +26,10 @@ def _benchmark_tables(name: str) -> list[str]:
         from tpctools_spark.schemas import TPCH_TABLE_NAMES
 
         return TPCH_TABLE_NAMES
+    if name.lower() in ("tpcds", "tpc-ds"):
+        from tpctools_spark.schemas_tpcds import TPCDS_TABLE_NAMES
+
+        return TPCDS_TABLE_NAMES
     raise SystemExit(f"invalid benchmark name: {name}")
 
 
@@ -54,19 +58,30 @@ def main(argv: list[str] | None = None) -> int:
     from tpctools_spark.session import get_spark
 
     spark = get_spark(f"tpctools-{args.cmd}")
+    tpcds = args.benchmark.lower() in ("tpcds", "tpc-ds")
     if args.cmd == "generate":
-        from tpctools_spark.generate import generate
+        if tpcds:
+            from tpctools_spark.generate_tpcds import generate_tpcds as gen
+        else:
+            from tpctools_spark.generate import generate as gen
 
-        timings = generate(
+        timings = gen(
             spark, args.scale, args.partitions, args.output,
             tables=tables, fmt=args.format, compression=args.compression,
         )
     else:
         from tpctools_spark.convert import convert_to_parquet
 
+        schemas = None
+        table_ext = ".tbl"
+        if tpcds:
+            from tpctools_spark.schemas_tpcds import TPCDS
+
+            schemas, table_ext = TPCDS, ".dat"  # dsdgen layout, src/tpcds.rs:89-99
         timings = convert_to_parquet(
             spark, args.input, args.output,
-            tables=tables, fmt=args.format, compression=args.compression,
+            tables=tables, schemas=schemas, fmt=args.format,
+            compression=args.compression, table_ext=table_ext,
         )
     for name, dt in timings.items():
         # Wall-time print parity: src/lib.rs:214, src/tpch.rs:87-90.
