@@ -70,6 +70,24 @@ def main() -> None:
         timings[name] = dt
         total += dt
 
+    # Generation throughput — the reference's one published number is
+    # dsdgen wall time (README.md:38); time our native generators at the
+    # bench SF into a noop sink (pure compute, no disk variance).
+    from tpctools_spark.generate import build_table
+    from tpctools_spark.generate_tpcds import build_tpcds_table
+
+    sf_num = float(os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf") or 0.1)
+    t0 = time.perf_counter()
+    for t in ("lineitem", "orders", "customer", "part", "partsupp", "supplier"):
+        build_table(spark, t, sf_num, 32).write.format("noop").mode("overwrite").save()
+    timings["gen_tpch"] = round(time.perf_counter() - t0, 3)
+    total += timings["gen_tpch"]
+    t0 = time.perf_counter()
+    for t in ("store_sales", "web_sales", "item", "customer", "date_dim"):
+        build_tpcds_table(spark, t, sf_num, 32).write.format("noop").mode("overwrite").save()
+    timings["gen_tpcds"] = round(time.perf_counter() - t0, 3)
+    total += timings["gen_tpcds"]
+
     sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
     try:
         sf_val: float | str = float(sf)

@@ -267,57 +267,38 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the threshold decision is FP-safe against the oracle.
     """
     # The corpus arrives as one small parquet file → one input partition;
-    # spread it so shingling/distinct use every core (at 100 TB the input
-    # is already many splits and this repartition is a no-op to remove).
+    # spread it so shingling uses every core (at 100 TB the input is
+    # already many splits and this repartition is a no-op to remove).
     docs = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    w = _words()
-    grams = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.when(F.size(w) >= 3, F.sequence(F.lit(1), F.size(w) - 2))
-                    .otherwise(F.array().cast("array<int>")),
-                    # F.concat (not concat_ws) so a null word nulls the
-                    # whole gram — same semantics as the oracle's ||.
-                    lambda i: F.concat(
-                        F.element_at(w, i),
-                        F.lit(" "),
-                        F.element_at(w, i + 1),
-                        F.lit(" "),
-                        F.element_at(w, i + 2),
-                    ),
-                )
-            ).alias("gram"),
-        )
-        .filter(F.col("gram").isNotNull())
-        .distinct()
-        # Materialize the postings once — three consumers (both join
-        # legs and the per-doc sizes) would otherwise re-tokenize the
-        # corpus; columnar cache() is the cheap barrier.
-        .cache()
+    # Per-doc distinct gram set and its size, entirely row-local —
+    # array_distinct replaces a 260k-row DISTINCT shuffle, and carrying
+    # n (the set size) through the join replaces a sizes aggregation +
+    # two rejoin shuffles. The whole pipeline has exactly two exchanges:
+    # the postings self-join on gram and the pair-count aggregation.
+    gs = F.array_distinct(F.filter(_shingles(_words()), lambda s: s.isNotNull()))
+    # Cache at the gram-array level: without the barrier CollapseProject
+    # inlines the (interpreted) shingle+array_distinct pipeline into all
+    # three consumers (the size filter, the n column, the explode) and
+    # into both join legs — 6 evaluations per row instead of 1.
+    base = docs.select("doc_id", gs.alias("gs")).filter(F.size("gs") > 0).cache()
+    prep = base.select(
+        "doc_id", F.size("gs").alias("n"), F.explode("gs").alias("gram")
     )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = grams.select(F.col("doc_id").alias("doc_a"), "gram")
-    b = grams.select(F.col("doc_id").alias("doc_b"), "gram")
+    a = prep.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "gram")
+    b = prep.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "gram")
     shared = (
         a.join(b, "gram")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jacc = F.col("n_shared").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_shared")
     )
-    return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jacc >= 0.2)
-        .select("doc_a", "doc_b", trunc_digits(jacc, 4).alias("jaccard"))
+    return shared.filter(jacc >= 0.2).select(
+        "doc_a", "doc_b", trunc_digits(jacc, 4).alias("jaccard")
     )
 
 
