@@ -14,11 +14,16 @@ Layout
 - :mod:`tpctools_spark.catalog`    — table loaders over the parquet fixtures
 - :mod:`tpctools_spark.registry`   — query/oracle registration (driver contract)
 - :mod:`tpctools_spark.queries`    — the declared operator inventory (§2.B)
-- :mod:`tpctools_spark.generate`   — deterministic partition-parallel data
-  generation (replaces dbgen/dsdgen shell-out, ``src/tpch.rs:35-132``)
+- :mod:`tpctools_spark.generate`   — deterministic partition-parallel TPC-H
+  generation (replaces dbgen shell-out, ``src/tpch.rs:35-132``)
+- :mod:`tpctools_spark.generate_tpcds` — schema-driven TPC-DS generation
+  (replaces dsdgen shell-out, ``src/tpcds.rs:34-104``)
+- :mod:`tpctools_spark.schemas_tpcds`  — all 24 TPC-DS schemas
+  (``src/tpcds.rs:135-636``)
 - :mod:`tpctools_spark.convert`    — typed CSV → Parquet conversion
   (``src/lib.rs:45-217``)
-- :mod:`tpctools_spark.streaming`  — Structured Streaming demos
+- :mod:`tpctools_spark.cli`        — generate/convert CLI (``src/main.rs``)
+- :mod:`tpctools_spark.queries.streaming_demo` — Structured Streaming demos
 """
 
 from tpctools_spark.session import get_spark

@@ -19,4 +19,5 @@ from tpctools_spark.queries import (  # noqa: F401
     textstats,
     streaming_demo,
     multimodal,
+    tpcds_demo,
 )

@@ -119,3 +119,53 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain_to_memory(agg, "complete")
+
+
+@query("stream_custom_state_gap")  # streaming + custom state → rows-only
+def stream_custom_state_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per user, track event count and the maximum inter-event gap.
+
+    This is the operator class Spark has no builtin for — arbitrary
+    per-key state (here: last timestamp, running max gap) updated per
+    micro-batch with Arrow-vectorized Python, bounded by group-state
+    semantics. With a live source the same code maintains state across
+    batches; ``availableNow`` drains the backlog in one pass.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _stream_events(spark, sf_dir).select("user_id", "ts")
+
+    out_schema = "user_id long, n_events long, max_gap_seconds double"
+    state_schema = "last_ts double, n long, max_gap double"
+
+    def track_gaps(key, pdfs, state: GroupState):
+        last_ts, n, max_gap = (
+            state.get if state.exists else (None, 0, 0.0)
+        )
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf["ts"]).astype("int64") / 1e9
+            for t in sorted(ts):
+                if last_ts is not None:
+                    max_gap = max(max_gap, t - last_ts)
+                last_ts = t
+                n += 1
+        state.update((last_ts, n, max_gap))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "max_gap_seconds": [round(max_gap, 3)],
+            }
+        )
+
+    tracked = ev.groupBy("user_id").applyInPandasWithState(
+        track_gaps,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _drain_to_memory(tracked, "update")
