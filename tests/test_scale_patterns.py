@@ -1,0 +1,59 @@
+"""Physical-plan assertions for the scale-technique joins."""
+
+from __future__ import annotations
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """The whole point of bucketing: the join itself needs no shuffle.
+
+    Broadcast is disabled so the join can't be rewritten away (at real
+    scale both sides are too big to broadcast — that's when bucketing
+    pays); the bucketed sort-merge join must then read both sides with
+    no Exchange on the join keys.
+    """
+    from tpctools_spark.registry import spark_queries
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = spark_queries()["join_bucketed"](spark, "/root/testdata/sf0.001")
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in plan
+    assert "SortMergeJoin" in plan
+    # the only exchange allowed is the post-join aggregation on
+    # o_orderstatus — never on the join keys
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+
+
+def test_salted_join_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    from tpctools_spark.registry import spark_queries
+
+    sf = "/root/testdata/sf0.001"
+    salted = {
+        (r.o_orderstatus, r.n_lines, r.sum_price)
+        for r in spark_queries()["join_skew_salted"](spark, sf).collect()
+    }
+    from tpctools_spark.catalog import table
+    from tpctools_spark.queries._util import dsum
+
+    o = table(spark, sf, "orders").filter(
+        F.col("o_orderdate").cast("date") >= F.lit("1997-01-01").cast("date")
+    )
+    li = table(spark, sf, "lineitem")
+    plain = {
+        (r.o_orderstatus, r.n_lines, r.sum_price)
+        for r in o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+        .collect()
+    }
+    assert salted == plain

@@ -20,4 +20,5 @@ from tpctools_spark.queries import (  # noqa: F401
     streaming_demo,
     multimodal,
     tpcds_demo,
+    scale_patterns,
 )

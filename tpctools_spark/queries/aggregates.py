@@ -190,3 +190,50 @@ def agg_distinct_input(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n_order_flags"))
     )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(floor(quantile_cont(o_totalprice, 0.25) * 10000) AS DOUBLE) / 10000 AS p25,
+           CAST(floor(quantile_cont(o_totalprice, 0.50) * 10000) AS DOUBLE) / 10000 AS p50,
+           CAST(floor(quantile_cont(o_totalprice, 0.90) * 10000) AS DOUBLE) / 10000 AS p90
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group.
+
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    linear-interpolation definition and agree bitwise on the fixture
+    doubles (verified empirically); outputs truncate to 4 decimals as
+    cross-engine insurance. Exact percentile sorts per group — at
+    100 TB prefer ``agg_approx_percentile`` (bounded-memory sketch).
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        trunc_digits(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        trunc_digits(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
+        trunc_digits(F.expr("percentile(o_totalprice, 0.90)"), 4).alias("p90"),
+    )
+
+
+@query("agg_approx_percentile")  # sketch-based → rows-only
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the KLL-style sketch
+    (``approx_percentile``): bounded memory per group regardless of
+    cardinality — the 100 TB path, mergeable across partitions.
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.25, 0.5, 0.9), 10000)"
+        ).alias("approx_p")
+    ).select(
+        "o_orderstatus",
+        F.round(F.element_at("approx_p", 1), 2).alias("p25"),
+        F.round(F.element_at("approx_p", 2), 2).alias("p50"),
+        F.round(F.element_at("approx_p", 3), 2).alias("p90"),
+    )

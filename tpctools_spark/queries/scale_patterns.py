@@ -1,0 +1,121 @@
+"""Scale-technique operators: bucketed co-located joins, skew salting.
+
+These demonstrate — as first-class, verified queries — the two join
+techniques a 100 TB deployment leans on beyond AQE's defaults:
+
+- **bucketing**: pre-shuffle both fact tables into the same bucket
+  layout so the join needs *no exchange at read time* (amortize one
+  shuffle across every future join on that key);
+- **salting**: explode the build side S ways and scatter the probe side
+  with ``pmod(hash, S)`` so one hot key spreads over S tasks.
+
+Both produce results identical to the plain join, so each is
+oracle-checked against the straightforward SQL — the technique changes
+the physical plan, never the answer.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tpctools_spark.catalog import table
+from tpctools_spark.queries._util import dsum
+from tpctools_spark.registry import query
+
+N_SALT = 8
+_BUCKETS = 8
+
+_JOIN_AGG_SQL = """
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_lines,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS sum_price
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
+    GROUP BY o.o_orderstatus
+"""
+
+
+@query("join_bucketed", oracle=_JOIN_AGG_SQL)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketed tables: zero exchanges at read time.
+
+    Both sides are written once as bucketed+sorted tables on the join
+    key; the join then runs as a per-bucket sort-merge with NO Exchange
+    in the plan (tests assert this). At 100 TB this is the pattern for
+    fact-fact joins repeated across a workload: pay the shuffle once at
+    layout time, never again.
+    """
+    tag = uuid.uuid4().hex[:8]
+    base = os.path.join(tempfile.gettempdir(), f"tpctools_buckets_{tag}")
+    o_name, l_name = f"orders_b_{tag}", f"lineitem_b_{tag}"
+
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") >= F.lit("1997-01-01").cast("date")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    (
+        o.write.bucketBy(_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", os.path.join(base, "orders"))
+        .mode("overwrite")
+        .saveAsTable(o_name)
+    )
+    (
+        li.select("l_orderkey", "l_extendedprice")
+        .write.bucketBy(_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", os.path.join(base, "lineitem"))
+        .mode("overwrite")
+        .saveAsTable(l_name)
+    )
+    ob, lb = spark.table(o_name), spark.table(l_name)
+    return (
+        ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+    )
+
+
+@query("join_skew_salted", oracle=_JOIN_AGG_SQL)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant join via salting: same answer, spread hot keys.
+
+    The (small-after-filter) orders side replicates into N_SALT copies;
+    every lineitem row picks one deterministic salt. A key carrying k
+    rows lands in N_SALT partitions of ~k/N_SALT instead of one — the
+    manual version of what AQE skew-join does adaptively, needed when a
+    single key alone exceeds a task's memory.
+    """
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") >= F.lit("1997-01-01").cast("date")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    salts = F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1))).alias("salt")
+    o_salted = o.select("o_orderkey", "o_orderstatus", salts)
+    l_salted = li.select(
+        "l_orderkey",
+        "l_extendedprice",
+        F.pmod(F.xxhash64("l_orderkey", F.lit(42)), F.lit(N_SALT)).alias("salt"),
+    )
+    return (
+        o_salted.join(
+            l_salted,
+            (o_salted.o_orderkey == l_salted.l_orderkey)
+            & (o_salted.salt == l_salted.salt),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+    )
