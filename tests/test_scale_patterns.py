@@ -57,3 +57,20 @@ def test_salted_join_matches_plain(spark):
         .collect()
     }
     assert salted == plain
+
+
+def test_partitioned_read_prunes_directories(spark, tmp_path):
+    """The partition predicate must land in PartitionFilters (directory
+    pruning), not the row-level data filter."""
+    from pyspark.sql import functions as F
+
+    from tpctools_spark.catalog import table
+
+    out = str(tmp_path / "by_status")
+    o = table(spark, "/root/testdata/sf0.001", "orders")
+    o.write.partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan or (
+        "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1].split("]")[0]
+    )

@@ -83,3 +83,52 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
             yield out[[f.name for f in FEATURE_SCHEMA.fields]]
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_index", LongType()),
+        StructField("byte_offset", LongType()),
+        StructField("frame_digest", StringType()),
+    ]
+)
+
+FRAMES_PER_DOC = 3
+
+
+def sample_frames(df: DataFrame) -> DataFrame:
+    """Frame-sampling plumbing: one media row fans out to N frame rows.
+
+    The video pattern at 100 TB — ``mapInPandas`` output cardinality is
+    independent of input cardinality, so a decoder can emit a row per
+    sampled frame without exploding anything JVM-side first. The stub
+    "decoder" samples FRAMES_PER_DOC evenly-spaced byte offsets and
+    fingerprints a 64-byte window at each; a real build swaps the body
+    for av/ffmpeg keyframe extraction with the same schema and shape.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                if not data:
+                    continue
+                for i in range(FRAMES_PER_DOC):
+                    off = (len(data) * i) // FRAMES_PER_DOC
+                    window = data[off : off + 64]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_index": i,
+                            "byte_offset": off,
+                            "frame_digest": hashlib.sha256(window).hexdigest()[:16],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, FRAME_SCHEMA)

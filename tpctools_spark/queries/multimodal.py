@@ -59,3 +59,16 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("text/plain").alias("media_type"),
     )
     return extract_features(docs)
+
+
+@query("multimodal_frame_sample")  # stubbed decode → rows-only
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fan-out binary pipeline: each payload yields FRAMES_PER_DOC frame
+    rows (video keyframe-sampling shape) via a single mapInPandas stage
+    whose output cardinality is decoder-controlled."""
+    from tpctools_spark.multimodal import sample_frames
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return sample_frames(docs)

@@ -148,3 +148,40 @@ def generate_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("g_date"),
         ((i * 7919 % 1000000).cast("double") / 100).alias("g_amount"),
     )
+
+
+@query(
+    "sink_partitioned_prune",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write → partition-pruned read.
+
+    Writes orders partitioned by ``o_orderstatus`` (directory-per-value
+    layout), then reads back with an equality predicate on the
+    partition column. The read plan's ``PartitionFilters`` prove the
+    scan touches exactly one directory — at 100 TB this is the
+    difference between reading everything and reading 1/k of it. The
+    aggregate result is oracle-checked against the unpartitioned
+    source, so the layout round-trip provably loses nothing.
+    """
+    out = _scratch_dir("partitioned")
+    o = table(spark, sf_dir, "orders")
+    (
+        o.write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(os.path.join(out, "orders_by_status"))
+    )
+    back = spark.read.parquet(os.path.join(out, "orders_by_status")).filter(
+        F.col("o_orderstatus") == "F"
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_orderkey").alias("min_key"),
+    )

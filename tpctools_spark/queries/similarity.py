@@ -160,3 +160,74 @@ def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", "label", trunc_digits(F.col("cos_raw"), 4).alias("cosine"))
     )
+
+
+K_CLUSTERS = 8
+KMEANS_ITERS = 3
+
+
+@query("kmeans_embeddings")  # iterative algorithm → rows-only
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means over the embedding column (3 iterations).
+
+    The iterative-algorithm pattern Spark handles with a driver-side
+    loop over *tiny* state: each iteration scans the data once to
+    assign points to the nearest centroid (pure row-local expressions
+    against broadcast literal centroids) and recomputes centroids with
+    an exact decimal component mean (order-independent, so the result
+    is identical under any partitioning). Only K×dim doubles ever reach
+    the driver — the dataset itself never does. At 100 TB each
+    iteration is one scan + one ~K·dim-row aggregate.
+
+    Seeds are the first K vectors by vec_id (deterministic); ties in
+    assignment break toward the lower cluster id.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    emb = emb.cache()
+
+    seeds = (
+        emb.filter(F.col("vec_id") < K_CLUSTERS)
+        .orderBy("vec_id")
+        .collect()
+    )
+    centroids = [list(r.e) for r in seeds]
+
+    def assign_col(cents: list[list[float]]) -> F.Column:
+        """cluster id of the nearest centroid (squared L2, row-local)."""
+        pairs = []
+        for k, c in enumerate(cents):
+            lit_c = F.array(*[F.lit(float(v)) for v in c])
+            d2 = F.aggregate(
+                F.zip_with(F.col("e"), lit_c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            pairs.append(F.struct(d2.alias("d"), F.lit(k).alias("k")))
+        return F.array_min(F.array(*pairs)).getField("k").alias("cluster")
+
+    for _ in range(KMEANS_ITERS):
+        assigned = emb.select("vec_id", "e", assign_col(centroids))
+        comp = assigned.select(
+            "cluster", F.posexplode("e").alias("pos", "val")
+        ).groupBy("cluster", "pos").agg(
+            (
+                F.sum(F.col("val").cast("decimal(30,15)")) / F.count(F.lit(1))
+            ).cast("double").alias("m")
+        )
+        rows = comp.collect()
+        new_c = {k: dict() for k in range(K_CLUSTERS)}
+        for r in rows:
+            new_c[r.cluster][r.pos] = r.m
+        centroids = [
+            [new_c[k][p] for p in sorted(new_c[k])] if new_c[k] else centroids[k]
+            for k in range(K_CLUSTERS)
+        ]
+
+    final = emb.select("vec_id", assign_col(centroids))
+    return (
+        final.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_points"), F.min("vec_id").alias("min_vec_id"))
+        .orderBy("cluster")
+    )
