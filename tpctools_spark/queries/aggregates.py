@@ -237,3 +237,38 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("approx_p", 2), 2).alias("p50"),
         F.round(F.element_at("approx_p", 3), 2).alias("p90"),
     )
+
+
+@query(
+    "agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(floor(regr_slope(l_extendedprice, l_quantity) * 10000) AS DOUBLE) / 10000 AS slope,
+           CAST(floor(regr_intercept(l_extendedprice, l_quantity) * 10000) AS DOUBLE) / 10000 AS intercept,
+           CAST(floor(corr(l_extendedprice, l_quantity) * 1000000) AS DOUBLE) / 1000000 AS correlation,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in linear-regression aggregates (slope/intercept/corr).
+
+    Both engines implement the same single-pass covariance formulas;
+    results agree to ~1e-15 relative on the fixtures, so truncation at
+    4-6 decimals is stable. One hash-agg, partial+final — the same
+    shuffle profile as any sum at 100 TB.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        trunc_digits(F.expr("regr_slope(l_extendedprice, l_quantity)"), 4).alias(
+            "slope"
+        ),
+        trunc_digits(
+            F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4
+        ).alias("intercept"),
+        trunc_digits(F.corr("l_extendedprice", "l_quantity"), 6).alias(
+            "correlation"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )

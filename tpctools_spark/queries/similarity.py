@@ -231,3 +231,42 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_points"), F.min("vec_id").alias("min_vec_id"))
         .orderBy("cluster")
     )
+
+
+@query("embedding_group_medoid")  # grouped pandas op → rows-only
+def embedding_group_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label medoid via grouped ``applyInPandas`` + numpy.
+
+    The grouped-UDF pattern: each label's vectors arrive as ONE pandas
+    DataFrame (Arrow-batched), numpy does an O(n·d) vectorized pass
+    (mean centroid → nearest member), and only a 1-row summary leaves
+    Python. Rows are sorted by vec_id inside the group before any
+    reduction so results are identical under any input partitioning.
+    At 100 TB the label is the shuffle key; group size — not dataset
+    size — bounds worker memory.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+
+    out_schema = (
+        "label int, n_vecs long, medoid_vec_id long, medoid_dist double"
+    )
+
+    def medoid(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        centroid = mat.mean(axis=0)
+        dists = np.sqrt(((mat - centroid) ** 2).sum(axis=1))
+        i = int(dists.argmin())  # ties: lowest index = lowest vec_id
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vecs": [len(pdf)],
+                "medoid_vec_id": [int(pdf["vec_id"].iloc[i])],
+                "medoid_dist": [float(np.floor(dists[i] * 10000) / 10000)],
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(medoid, out_schema)
