@@ -48,16 +48,18 @@ def _events(spark: SparkSession, path: str) -> DataFrame:
 
 
 def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Load every fixture table present in ``sf_dir``."""
+    """Load every fixture table present in ``sf_dir`` (through
+    :func:`table`, so events gets its nanos handling)."""
     out: dict[str, DataFrame] = {}
     for name in TESTDATA_TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            out[name] = table(spark, sf_dir, name)
     return out
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register each fixture table as a temp view for ``spark.sql``."""
+    """Register each fixture table as a temp view for ``spark.sql`` —
+    the raw-SQL entry point of the engine."""
     for name, df in tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)

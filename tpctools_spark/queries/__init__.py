@@ -21,4 +21,5 @@ from tpctools_spark.queries import (  # noqa: F401
     multimodal,
     tpcds_demo,
     scale_patterns,
+    subqueries,
 )

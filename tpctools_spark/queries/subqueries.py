@@ -1,0 +1,73 @@
+"""Correlated / scalar subqueries via the raw-SQL interface.
+
+The engine's ``spark.sql`` entry point (views from
+:func:`tpctools_spark.catalog.register_views`) — exercising Catalyst's
+subquery decorrelation (SURVEY.md §4.2), which rewrites correlated
+EXISTS/scalar subqueries into joins + aggregates. Each query is ONE
+ANSI-SQL string executed verbatim by both Spark and the DuckDB oracle,
+so the check also proves dialect-portable SQL support.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tpctools_spark.catalog import register_views
+from tpctools_spark.registry import query
+
+# TPC-H Q17 shape: parts whose small orders fall under 20% of that
+# part's average quantity — correlated SCALAR subquery per outer row.
+_Q17_SQL = """
+SELECT l.l_partkey,
+       COUNT(*) AS n_small_orders,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+         AS small_order_revenue
+FROM lineitem l
+WHERE l.l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity)
+    FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+)
+GROUP BY l.l_partkey
+"""
+
+# TPC-H Q4 shape: order priorities counted over orders having at least
+# one line shipped after a cutoff — correlated EXISTS.
+_Q4_SQL = """
+SELECT o.o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1997-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND CAST(l.l_shipdate AS DATE) > DATE '1998-06-01'
+  )
+GROUP BY o.o_orderpriority
+"""
+
+
+def _run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(sql)
+
+
+@query("subquery_scalar_correlated", oracle=_Q17_SQL)
+def subquery_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape).
+
+    Catalyst decorrelates the per-part average into one aggregate over
+    lineitem joined back on partkey — two scans, one shuffle each,
+    instead of a subquery per row. AVG of a double is order-dependent
+    in the last bits, but the 0.2·avg threshold sits far from any
+    l_quantity value (integers 1..50 in the fixtures), so the predicate
+    cannot flip between engines.
+    """
+    return _run_sql(spark, sf_dir, _Q17_SQL)
+
+
+@query("subquery_exists_correlated", oracle=_Q4_SQL)
+def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape) → decorrelated to a left-semi
+    join on orderkey; both date predicates push to their scans."""
+    return _run_sql(spark, sf_dir, _Q4_SQL)
