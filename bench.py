@@ -58,8 +58,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = spark_queries()
 
-    # Warm the JVM + parquet footers with a trivial action.
-    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    # Warm the JVM, parquet reader, codegen, and shuffle machinery once,
+    # outside the timed region (standard benchmark hygiene — cold-start
+    # Janino compiles are a per-process constant, not a per-query cost).
+    from pyspark.sql import functions as F
+
+    region = spark.read.parquet(os.path.join(SF_DIR, "region.parquet"))
+    nation = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+    (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("n_nationkey").cast("decimal(12,2)")).alias("s"),
+        )
+        .write.format("noop").mode("overwrite").save()
+    )
 
     timings: dict[str, float] = {}
     total = 0.0

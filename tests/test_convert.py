@@ -90,3 +90,38 @@ def test_cli_generate_then_convert_csv_roundtrip(spark, tmp_path):
     want = {(r.n_nationkey, r.n_name) for r in build_table(spark, "nation", 0.001, 1).collect()}
     got = {(r.n_nationkey, r.n_name) for r in back.collect()}
     assert got == want
+
+
+def test_benchmark_facade(spark):
+    """Tpc ABC parity: names, schemas, build, dispatch (src/lib.rs:28-43)."""
+    import pytest as _pytest
+
+    from tpctools_spark.benchmark import TpcDs, TpcH, create_benchmark
+
+    h = create_benchmark("tpc-h")
+    assert isinstance(h, TpcH) and len(h.table_names()) == 8
+    assert h.schema("lineitem")["l_orderkey"].dataType.typeName() == "long"
+    assert h.build_table(spark, "region", 0.001, 1).count() == 5
+
+    ds = create_benchmark("tpcds")
+    assert isinstance(ds, TpcDs) and len(ds.table_names()) == 24
+    assert ds.schema("store_sales").fieldNames()[0] == "ss_sold_date_sk"
+
+    with _pytest.raises(ValueError):
+        create_benchmark("tpcx")
+
+
+def test_benchmark_facade_convert(spark, tbl_dir, tmp_path):
+    from tpctools_spark.benchmark import create_benchmark
+
+    out = str(tmp_path / "facade_pq")
+    bench = create_benchmark("tpch")
+    # only region exists in the fixture dir; convert just that table
+    from tpctools_spark.convert import convert_to_parquet
+
+    timings = convert_to_parquet(
+        spark, tbl_dir, out, tables=["region"],
+        schemas={"region": bench.schema("region")}, parallel=2,
+    )
+    assert set(timings) == {"region"}
+    assert spark.read.parquet(f"{out}/region.parquet").count() == 3

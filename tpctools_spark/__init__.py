@@ -28,6 +28,7 @@ Layout
 
 from tpctools_spark.session import get_spark
 from tpctools_spark.registry import QUERIES, ORACLES, spark_queries, oracle_queries
+from tpctools_spark.benchmark import Tpc, TpcH, TpcDs, create_benchmark
 
 __version__ = "0.1.0"
 
@@ -37,4 +38,8 @@ __all__ = [
     "ORACLES",
     "spark_queries",
     "oracle_queries",
+    "Tpc",
+    "TpcH",
+    "TpcDs",
+    "create_benchmark",
 ]

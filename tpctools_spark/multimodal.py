@@ -132,3 +132,47 @@ def sample_frames(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("payload_out", StringType()),  # digest stand-in for bytes
+    ]
+)
+
+
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: 1:1 payload transform with decoder-owned output.
+
+    Real builds decode → resample → re-encode inside the batch loop
+    (PIL/av); this container has no codecs, so the stub emits the target
+    geometry plus a digest of the bytes a real resize would transform.
+    The Spark-side contract — Arrow batches in, fixed schema out, one
+    row per input row — is the tested artifact.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "media_type": pdf["media_type"].values,
+                    "width": width,
+                    "height": height,
+                    "payload_out": [
+                        hashlib.sha256(
+                            (bytes(p) if p is not None else b"")
+                            + f"{width}x{height}".encode()
+                        ).hexdigest()[:16]
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+            yield out[[f.name for f in RESIZE_SCHEMA.fields]]
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)
