@@ -31,6 +31,10 @@ SUBSET = [
     "sim_cosine_topk",
     "text_tokens",
     "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q22_global_sales_opportunity",
 ]
 
 
