@@ -29,10 +29,14 @@ HEADLINE = [
     "join_inner_equi",
     "join_multiway",
     "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
     "tpch_q5_local_supplier",
     "tpch_q8_market_share",
     "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_quantity_revenue",
     "tpch_q18_large_volume_customer",
+    "tpch_q22_global_sales_opportunity",
     "join_theta_range",
     "join_asof_event",
     "window_rank_topn",

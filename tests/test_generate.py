@@ -65,6 +65,28 @@ def test_fk_integrity(spark):
     assert cust.filter(~F.col("c_nationkey").between(0, 24)).count() == 0
 
 
+def test_lineitem_partsupp_referential_contract(spark):
+    """dbgen guarantee: every (l_partkey, l_suppkey) pair is a partsupp
+    row — lineitem picks one of the part's 4 supplier slots (Q9/Q20
+    depend on the composite-key join being total)."""
+    li = build_table(spark, "lineitem", SCALE, 2)
+    ps = build_table(spark, "partsupp", SCALE, 2)
+    orphans = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(
+            ps.select(
+                F.col("ps_partkey").alias("l_partkey"),
+                F.col("ps_suppkey").alias("l_suppkey"),
+            ),
+            ["l_partkey", "l_suppkey"],
+            "left_anti",
+        )
+        .count()
+    )
+    assert orphans == 0
+
+
 def test_orders_totalprice_equals_lineitem_sum(spark):
     """o_totalprice is derived from the same per-line formula lineitem
     explodes — exact decimal equality, no tolerance."""

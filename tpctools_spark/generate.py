@@ -301,10 +301,22 @@ def build_table(
         o, j, odate = F.col("o"), F.col("j"), F.col("odate")
         ship = F.date_add(odate, (_u(16, 121, o, j) + 1).cast("int"))
         receipt = F.date_add(ship, (_u(17, 30, o, j) + 1).cast("int"))
+        # dbgen's referential contract: every (l_partkey, l_suppkey) pair
+        # exists in partsupp. Pick one of the part's 4 partsupp slots and
+        # reproduce that row's supplier formula (same seed 60) exactly.
+        lpart = _u(18, n_part, o, j) + 1
+        slot = _u(19, 4, o, j)
+        lsupp = (
+            F.pmod(
+                lpart + slot * ((n_supp // 4) + 1) + _u(60, 7, lpart, slot),
+                F.lit(n_supp),
+            )
+            + 1
+        )
         return df.select(
             o.alias("l_orderkey"),
-            (_u(18, n_part, o, j) + 1).alias("l_partkey"),
-            (_u(19, n_supp, o, j) + 1).alias("l_suppkey"),
+            lpart.alias("l_partkey"),
+            lsupp.alias("l_suppkey"),
             j.cast("int").alias("l_linenumber"),
             _line_qty(o, j).cast(MONEY).alias("l_quantity"),
             _line_price(o, j).cast(MONEY).alias("l_extendedprice"),

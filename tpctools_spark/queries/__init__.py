@@ -14,6 +14,7 @@ from tpctools_spark.queries import (  # noqa: F401
     scalars,
     eventtime,
     tpch,
+    tpch_generated,
     dedup,
     similarity,
     textstats,

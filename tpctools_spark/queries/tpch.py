@@ -6,9 +6,10 @@ the fixture domains (FIXTURES.md: nations are NATION_0..24, p_type is a
 6-value enum, dates span 1995-2001): Q3, Q5, Q7, Q8, Q10, Q14, Q15, Q18
 directly, plus Q4/Q13/Q17/Q22 with documented predicate substitutions
 for absent columns (l_commitdate, o_comment, p_container, c_phone).
-partsupp does not exist in the fixtures, so Q2/Q9/Q11/Q16/Q20 and the
-remaining comment/shipmode-dependent queries (Q12/Q19/Q21) stay out of
-scope by design.
+partsupp does not exist in the fixtures, so Q2/Q9/Q11/Q12/Q16/Q19/Q20/
+Q21 run in true spec form over the native generator instead — see
+:mod:`tpctools_spark.queries.tpch_generated` — completing the 22-query
+TPC-H surface.
 
 Determinism: every money aggregate sums exact decimals (see _util);
 ratios divide two exact-by-construction doubles and truncate — both

@@ -1,0 +1,340 @@
+"""The remaining TPC-H spec queries, run over the native generator.
+
+The driver fixtures omit partsupp and several spec columns (l_shipmode,
+l_commitdate, l_receiptdate, p_container, c_phone, comments), so
+Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21 cannot be oracle-checked against the
+fixture views. The native generator (:mod:`tpctools_spark.generate`)
+emits the reference's complete 8-table schema
+(``/root/reference/src/tpch.rs:140-241``) with dbgen-faithful value
+domains, so these queries run in their TRUE spec form over generated
+input — completing the 22-query TPC-H surface together with the
+fixture-oracle suite (Q1≡agg_group_sum, Q6≡filter_pred, Q3-Q5, Q7, Q8,
+Q10, Q13-Q15, Q17, Q18, Q22 in ``tpch.py``).
+
+Rows-only checks: generation is seeded and partition-invariant, so
+results are stable across runs and parallelism; pytest asserts
+non-emptiness and spot invariants. Substitution parameters (brand,
+nation, region, dates) are legal TPC-H parameter choices drawn from the
+generated domains.
+
+Scale note: ``_SCALE`` keeps the in-query generation fast at test time;
+on a cluster the same query bodies read the generated tables from
+parquet (``generate`` → ``sink``) instead of regenerating — the plan
+below the scan is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tpctools_spark.generate import build_table
+from tpctools_spark.registry import query
+
+_SCALE = 0.01
+
+
+def _t(spark: SparkSession, name: str) -> DataFrame:
+    return build_table(spark, name, _SCALE, spark.sparkContext.defaultParallelism)
+
+
+def _round2(c: F.Column) -> F.Column:
+    """Decimal aggregate → 2-decimal double (exact, order-independent)."""
+    return F.round(c.cast("double"), 2)
+
+
+@query("tpch_q2_min_cost_supplier")  # generated input → rows-only
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2: lowest-cost EUROPE supplier per brass part of size 15.
+
+    The correlated MIN subquery decorrelates into a groupBy on
+    ps_partkey over the region-restricted partsupp, joined back on
+    (partkey, cost) — one aggregation instead of a per-row rescan. The
+    region→nation→supplier dimension chain broadcasts into partsupp.
+    """
+    r = _t(spark, "region").filter(F.col("r_name") == "EUROPE")
+    n = _t(spark, "nation").join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+    s = _t(spark, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    eligible = _t(spark, "partsupp").join(
+        F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    min_cost = eligible.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    p = _t(spark, "part").filter(
+        (F.col("p_size") == 15) & F.col("p_type").endswith("BRASS")
+    )
+    return (
+        eligible.join(
+            min_cost.withColumnRenamed("ps_partkey", "mc_partkey"),
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey",
+            "p_mfgr", "s_address", "s_phone", "s_comment",
+        )
+    )
+
+
+@query("tpch_q9_product_profit")  # generated input → rows-only
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: profit by nation and order year for green parts.
+
+    profit = l_extendedprice·(1−l_discount) − ps_supplycost·l_quantity,
+    all exact decimals. lineitem joins partsupp on the composite
+    (partkey, suppkey) key — the one wide shuffle; part (name filter)
+    and the supplier→nation chain broadcast.
+    """
+    li = _t(spark, "lineitem")
+    p = _t(spark, "part").filter(F.col("p_name").contains("green")).select("p_partkey")
+    ps = _t(spark, "partsupp").select("ps_partkey", "ps_suppkey", "ps_supplycost")
+    s = _t(spark, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, "orders").select("o_orderkey", "o_orderdate")
+    amount = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        - F.col("ps_supplycost") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(_round2(F.sum(amount)).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query("tpch_q11_important_stock")  # generated input → rows-only
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: GERMANY stock lines worth over a fraction of the total.
+
+    Both the per-part values and the global threshold aggregate the same
+    nation-filtered partsupp; the threshold is a 1-row broadcast cross
+    join (never collected). The spec's fraction (0.0001/SF) assumes
+    10k suppliers/SF; the generator runs 10k·SF total with ~1/25 in
+    GERMANY, so 0.004 lands at the same selectivity (top ~5% of parts).
+    """
+    n = _t(spark, "nation").filter(F.col("n_name") == "GERMANY")
+    s = _t(spark, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    ps = _t(spark, "partsupp").join(
+        F.broadcast(s.select("s_suppkey")), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    value = F.sum(F.col("ps_supplycost") * F.col("ps_availqty"))
+    per_part = ps.groupBy("ps_partkey").agg(value.alias("part_value"))
+    thr = ps.agg((value * F.lit(0.004)).alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(thr))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("ps_partkey", _round2(F.col("part_value")).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "ps_partkey")
+    )
+
+
+@query("tpch_q12_shipmode_priority")  # generated input → rows-only
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12: late-shipment counts by ship mode and order priority.
+
+    The three-date ordering predicate (shipped before committed before
+    received) filters lineitem at the scan; orders joins on orderkey and
+    the CASE splits critical vs other priorities inside one aggregation.
+    """
+    li = _t(spark, "lineitem").filter(
+        F.col("l_shipmode").isin("MAIL", "SHIP")
+        & (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("l_shipdate") < F.col("l_commitdate"))
+        & (F.col("l_receiptdate") >= F.lit("1994-01-01").cast("date"))
+        & (F.col("l_receiptdate") < F.lit("1995-01-01").cast("date"))
+    )
+    o = _t(spark, "orders").select("o_orderkey", "o_orderpriority")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(crit).alias("high_line_count"),
+            F.sum(F.lit(1) - crit).alias("low_line_count"),
+        )
+        .orderBy("l_shipmode")
+    )
+
+
+@query("tpch_q16_supplier_part_count")  # generated input → rows-only
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: supplier counts by excluded-brand part groups.
+
+    The NOT IN complaint-supplier subquery becomes a left-anti join
+    against the (tiny, broadcast) excluded set; the final agg is a
+    count-distinct of suppkey per (brand, type, size).
+    """
+    p = _t(spark, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & ~F.col("p_type").startswith("MEDIUM POLISHED")
+        & F.col("p_size").isin(49, 14, 23, 45, 19, 3, 36, 9)
+    )
+    bad = (
+        _t(spark, "supplier")
+        .filter(F.col("s_comment").contains("special"))
+        .select(F.col("s_suppkey").alias("bad_suppkey"))
+    )
+    ps = _t(spark, "partsupp").join(
+        F.broadcast(bad), F.col("ps_suppkey") == F.col("bad_suppkey"), "left_anti"
+    )
+    return (
+        ps.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query("tpch_q19_discounted_revenue")  # generated input → rows-only
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue from three disjunctive brand/container/quantity
+    brackets.
+
+    The classic OR-of-ANDs join: every disjunct pairs part attributes
+    with lineitem attributes, so the predicate can't split across a
+    plain equi-join — it stays as a join condition on p_partkey plus the
+    residual disjunction, with the common shipmode/instruct conjuncts
+    pushed to the lineitem scan.
+    """
+    li = _t(spark, "lineitem").filter(
+        F.col("l_shipmode").isin("AIR", "REG AIR")
+        & (F.col("l_shipinstruct") == "DELIVER IN PERSON")
+    )
+    p = _t(spark, "part")
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_container").isin("SM CASE", "SM BOX", "SM PACK", "SM PKG")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_container").isin("MED BAG", "MED BOX", "MED PKG", "MED PACK")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_container").isin("LG CASE", "LG BOX", "LG PACK", "LG PKG")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), (F.col("l_partkey") == F.col("p_partkey")) & bracket)
+        .agg(_round2(F.sum(revenue)).alias("revenue"))
+    )
+
+
+@query("tpch_q20_potential_promotion")  # generated input → rows-only
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20: CANADA suppliers overstocked on forest parts.
+
+    Nested subqueries become two staged semi-join inputs: shipped
+    quantity per (part, supplier) in 1994 aggregates once, joins to
+    partsupp on the composite key with availqty > 0.5·qty, and that
+    qualifying supplier set semi-joins supplier.
+    """
+    forest_parts = (
+        _t(spark, "part")
+        .filter(F.col("p_name").startswith("forest"))
+        .select("p_partkey")
+    )
+    shipped = (
+        _t(spark, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("date"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    qualifying = (
+        _t(spark, "partsupp")
+        .join(F.broadcast(forest_parts), F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty").cast("decimal(20,2)") > F.lit(0.5) * F.col("qty"))
+        .select("ps_suppkey")
+    )
+    n = _t(spark, "nation").filter(F.col("n_name") == "CANADA")
+    return (
+        _t(spark, "supplier")
+        .join(qualifying, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_name", "s_address")
+        .orderBy("s_name")
+    )
+
+
+@query("tpch_q21_suppliers_kept_waiting")  # generated input → rows-only
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: FRANCE suppliers who alone delivered late on
+    multi-supplier finalized orders.
+
+    The EXISTS/NOT EXISTS pair over lineitem becomes a semi join (some
+    other supplier on the order) followed by an anti join (no other
+    supplier also late), both keyed on orderkey with the supplier
+    inequality as the residual condition — Catalyst's decorrelation
+    target shape, written directly.
+    """
+    li = _t(spark, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_receiptdate", "l_commitdate"
+    )
+    late = li.filter(F.col("l_receiptdate") > F.col("l_commitdate"))
+    other = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    o = _t(spark, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    n = _t(spark, "nation").filter(F.col("n_name") == "FRANCE")
+    s = _t(spark, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        late.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(
+            other,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
