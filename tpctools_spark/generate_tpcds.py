@@ -23,6 +23,11 @@ Documented deviation from dsdgen: value *distributions* are uniform
 hashes, not the spec's skewed streams — this generator replaces the
 external binary's role (deterministic data at scale with correct
 shapes, key ranges, and referential structure), not its exact bytes.
+Predicate-bearing dimension columns do carry spec value domains
+(``SPEC_DOMAINS``/``SPEC_INT_RANGES``: genders, marital/education
+status, categories, states, zips, dependent counts), and fact date
+keys land in the spec's 1998-2003 activity window, so TPC-DS query
+predicates select realistic slices.
 """
 
 from __future__ import annotations
@@ -94,6 +99,13 @@ FK_SUFFIX: dict[str, str] = {
 
 DATE_SK_EPOCH = 2_415_022  # Julian day of 1900-01-02, TPC-DS d_date_sk origin
 
+# dsdgen confines business activity to the 1998-2003 sales window even
+# though date_dim spans two centuries; date FKs land here so year/moy
+# predicates select realistic slices instead of ~0.5% of a 200-year
+# uniform spread. Offsets are days from the d_date_sk origin.
+DATE_FK_START = 35_793  # 1998-01-01
+DATE_FK_DAYS = 2_191  # through 2003-12-31
+
 # Own surrogate key per dimension table. Fact tables (sales/returns/
 # inventory) have composite keys of FKs + ticket/order numbers — every
 # *_sk column there is a foreign key, never the row id.
@@ -118,6 +130,50 @@ DIM_PK: dict[str, str] = {
     "web_site": "web_site_sk",
 }
 ENUM_WORDS = COMMENT_WORDS  # reuse the word pool for varchar attributes
+
+# Spec value domains for the dimension columns TPC-DS predicates hit
+# (dsdgen's distribution files, e.g. cd_gender ∈ {M,F}); columns not
+# listed fall back to the generic word pool. Column names are unique
+# across the 24-table schema, so a flat map suffices.
+SPEC_DOMAINS: dict[str, list[str]] = {
+    "cd_gender": ["M", "F"],
+    "cd_marital_status": ["S", "M", "D", "W", "U"],
+    "cd_education_status": [
+        "Primary", "Secondary", "College", "2 yr Degree",
+        "4 yr Degree", "Advanced Degree", "Unknown",
+    ],
+    "cd_credit_rating": ["Low Risk", "High Risk", "Good", "Unknown"],
+    "hd_buy_potential": [
+        "0-500", "501-1000", "1001-5000", "5001-10000", ">10000", "Unknown",
+    ],
+    "i_category": [
+        "Books", "Children", "Electronics", "Home", "Jewelry",
+        "Men", "Music", "Shoes", "Sports", "Women",
+    ],
+    "ca_state": [
+        "AL", "CA", "FL", "GA", "IL", "IN", "KS", "KY", "MI", "MN",
+        "MO", "NC", "NE", "NY", "OH", "OK", "PA", "TN", "TX", "VA",
+    ],
+    "s_state": ["AL", "GA", "MI", "MN", "NC", "OH", "SD", "TN", "TX", "WA"],
+    "ca_location_type": ["apartment", "condo", "single family"],
+    "ca_country": ["United States"],
+    "c_preferred_cust_flag": ["Y", "N"],
+    "p_channel_dmail": ["Y", "N"],
+    "p_channel_email": ["Y", "N"],
+    "p_channel_tv": ["Y", "N"],
+    "sm_type": ["EXPRESS", "NEXT DAY", "OVERNIGHT", "REGULAR", "TWO DAY", "LIBRARY"],
+}
+
+# Spec ranges for small-domain integer attributes (dsdgen keeps
+# dependent/vehicle counts in single digits); value = exclusive upper
+# bound, values start at 0.
+SPEC_INT_RANGES: dict[str, int] = {
+    "hd_dep_count": 10,
+    "hd_vehicle_count": 5,
+    "cd_dep_count": 7,
+    "cd_dep_employed_count": 7,
+    "cd_dep_college_count": 7,
+}
 
 
 def rows_for(table: str, scale: float) -> int:
@@ -210,12 +266,12 @@ def _synth(table: str, fname: str, dtype, nullable: bool, key: Column,
             None,
         )
         if target is not None:
-            n = rows_for(target, scale)
-            fk = _u(seed, n, key) + 1
             if target == "date_dim":
-                fk = fk + DATE_SK_EPOCH - 1
+                fk = DATE_SK_EPOCH + DATE_FK_START + _u(seed, DATE_FK_DAYS, key)
             elif target == "time_dim":
-                fk = fk - 1  # t_time_sk is 0-based
+                fk = _u(seed, rows_for(target, scale), key)  # 0-based
+            else:
+                fk = _u(seed, rows_for(target, scale), key) + 1
             return _maybe_null(fk.cast("int"), seed, key, nullable)
         return _maybe_null((_u(seed, 10_000, key) + 1).cast("int"), seed, key, nullable)
     if fname.endswith(("_number", "_ticket_number", "_order_number")):
@@ -224,9 +280,15 @@ def _synth(table: str, fname: str, dtype, nullable: bool, key: Column,
     if isinstance(dtype, StringType):
         if fname.endswith("_id") and not nullable:
             return F.concat(F.lit(table[:2].upper()), F.lpad(key.cast("string"), 16, "0"))
+        if fname.endswith("_zip"):
+            return _maybe_null(
+                F.lpad((_u(seed, 99_999, key) + 1).cast("string"), 5, "0"),
+                seed, key, nullable,
+            )
+        pool = SPEC_DOMAINS.get(fname, ENUM_WORDS)
         word = F.element_at(
-            F.array(*[F.lit(w) for w in ENUM_WORDS]),
-            (_u(seed, len(ENUM_WORDS), key) + 1).cast("int"),
+            F.array(*[F.lit(w) for w in pool]),
+            (_u(seed, len(pool), key) + 1).cast("int"),
         )
         return _maybe_null(word, seed, key, nullable)
     if isinstance(dtype, DecimalType):
@@ -237,7 +299,12 @@ def _synth(table: str, fname: str, dtype, nullable: bool, key: Column,
         v = F.date_add(F.to_date(F.lit("1998-01-02")), _u(seed, 1800, key).cast("int"))
         return _maybe_null(v, seed, key, nullable)
     if isinstance(dtype, (IntegerType, LongType)):
-        v = (_u(seed, 1000, key) + 1).cast("int" if isinstance(dtype, IntegerType) else "long")
+        if fname in SPEC_INT_RANGES:
+            v = _u(seed, SPEC_INT_RANGES[fname], key).cast("int")
+        else:
+            v = (_u(seed, 1000, key) + 1).cast(
+                "int" if isinstance(dtype, IntegerType) else "long"
+            )
         return _maybe_null(v, seed, key, nullable)
     raise TypeError(f"no synthesis rule for {table}.{fname}: {dtype}")
 
