@@ -272,3 +272,50 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                 THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE), 2) AS urgent,
+           ROUND(CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+                 THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE), 2) AS high,
+           ROUND(CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+                 THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE), 2) AS medium,
+           ROUND(CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                 THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE), 2) AS not_specified,
+           ROUND(CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                 THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE), 2) AS low
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order priorities rotated into columns, one row per status.
+
+    ``pivot`` with an explicit value list compiles to a single hash
+    aggregation of CASE-filtered partial sums — one pass, no extra
+    shuffle versus a plain groupBy, and the explicit list keeps the
+    plan static (no distinct-values pre-query, which at 100 TB would be
+    an extra full scan).
+    """
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double"), 2))
+        .withColumnsRenamed(
+            {
+                "1-URGENT": "urgent",
+                "2-HIGH": "high",
+                "3-MEDIUM": "medium",
+                "4-NOT SPECIFIED": "not_specified",
+                "5-LOW": "low",
+            }
+        )
+    )

@@ -76,3 +76,43 @@ def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@query(
+    "sample_hash_split",
+    oracle="""
+    WITH bucketed AS (
+      SELECT doc_id, lang, (doc_id * 2654435761) % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM bucketed
+    WHERE bucket >= 80
+    """,
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment by multiplicative hash.
+
+    The split is a pure function of the stable row key (Knuth's 2^32/φ
+    multiplier, exact int64 arithmetic — no engine-specific hash, no
+    rand()), so membership is reproducible across engines, runs, and
+    repartitionings, and a row never migrates between splits when the
+    corpus grows. The predicate evaluates at the scan: selecting the
+    10%+10% eval slices never shuffles or materializes the 80%.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100))
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "valid")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .filter(bucket >= 80)
+    )

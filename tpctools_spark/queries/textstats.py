@@ -187,3 +187,48 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(gram_hashes).alias("max_shingle_fp"),
         F.size(gram_hashes).cast("bigint").alias("n_shingles"),
     )
+
+
+@query(
+    "text_fuzzy_match",
+    oracle="""
+    WITH prep AS (
+      SELECT doc_id, lang, CAST(n_chars / 100 AS BIGINT) AS band,
+             substring(lower(trim(text)), 1, 40) AS head
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.head, b.head) AS edit_dist
+    FROM prep a JOIN prep b
+      ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 12
+    """,
+)
+def text_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy document pairing by edit distance on normalized prefixes.
+
+    Blocking keys (language × length band) bound the candidate space —
+    the quadratic levenshtein only runs inside blocks, never across the
+    corpus; at 100 TB the band width is the knob that trades recall for
+    join fan-out. Both engines implement plain Levenshtein (unit costs),
+    so the integer distances agree exactly.
+    """
+    prep = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 100).cast("long").alias("band"),
+        F.substring(F.lower(F.trim(F.col("text"))), 1, 40).alias("head"),
+    )
+    a = prep.select(
+        F.col("doc_id").alias("doc_a"), "lang", "band", F.col("head").alias("head_a")
+    )
+    b = prep.select(
+        F.col("doc_id").alias("doc_b"), "lang", "band", F.col("head").alias("head_b")
+    )
+    dist = F.levenshtein("head_a", "head_b")
+    return (
+        a.join(b, ["lang", "band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(dist <= 12)
+        .select("doc_a", "doc_b", dist.alias("edit_dist"))
+    )

@@ -136,3 +136,36 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rolling_1h_value"
         ),
     )
+
+
+@query(
+    "window_ntile_pctrank",
+    oracle="""
+    SELECT o_orderkey,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 400000
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + percent_rank quartiles of big finalized orders.
+
+    The order-by includes the unique orderkey so ranks are total —
+    without it ties would make ntile assignment engine-dependent.
+    percent_rank is (rank−1)/(n−1): an IEEE division of two small ints,
+    bit-identical across engines, so no truncation is needed.
+    """
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 400000)
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
