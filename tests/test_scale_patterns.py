@@ -74,3 +74,48 @@ def test_partitioned_read_prunes_directories(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan or (
         "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1].split("]")[0]
     )
+
+
+def test_pivot_is_single_aggregation(spark):
+    """Pivot with an explicit value list must compile to one hash
+    aggregation pair (partial+final) over one scan — no per-value scans,
+    no distinct-values job, no Expand."""
+    from tpctools_spark.registry import spark_queries
+
+    df = spark_queries()["agg_pivot"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    # AQE prints final + initial plans; assert on the final one only
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" not in plan
+    # two stacked aggregations — (status, priority) sums, then
+    # pivotfirst over status — each split partial+final
+    assert plan.count("HashAggregate") == 4
+    assert "pivotfirst" in plan
+
+
+def test_q4_exists_becomes_semi_join(spark):
+    """The correlated EXISTS must execute as a single semi join on
+    orderkey — not a nested-loop or an inner join + distinct."""
+    from tpctools_spark.registry import spark_queries
+
+    df = spark_queries()["tpch_q4_order_priority"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "Distinct" not in plan
+
+
+def test_q1_filter_pushes_to_scan(spark):
+    """The flagship's shipdate predicate must reach the parquet reader
+    (Catalyst rewrites cast(ts as date) <= lit into a strict < on the
+    next day's timestamp — a pushable range)."""
+    from tpctools_spark.registry import spark_queries
+
+    df = spark_queries()["agg_group_sum"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
