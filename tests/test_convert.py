@@ -125,3 +125,20 @@ def test_benchmark_facade_convert(spark, tbl_dir, tmp_path):
     )
     assert set(timings) == {"region"}
     assert spark.read.parquet(f"{out}/region.parquet").count() == 3
+
+
+def test_convert_orc_json_roundtrip(spark, tbl_dir, tmp_path):
+    """Beyond-reference formats: the same typed scan sinks to ORC and
+    JSON and reads back value-identical."""
+    from tpctools_spark.convert import convert_table
+    from tpctools_spark.schemas import TPCH_REFERENCE
+
+    want = {(0, "AFRICA"), (1, "AMERICA"), (2, "ASIA")}
+    for fmt, reader in (("orc", spark.read.orc), ("json", spark.read.json)):
+        out = str(tmp_path / f"region_{fmt}")
+        convert_table(
+            spark, f"{tbl_dir}/region.tbl", TPCH_REFERENCE["region"], out, fmt=fmt
+        )
+        back = reader(out)
+        got = {(int(r.r_regionkey), r.r_name) for r in back.collect()}
+        assert got == want

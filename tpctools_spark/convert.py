@@ -93,6 +93,12 @@ def convert_table(
         writer.parquet(output_path)
     elif fmt == "csv":
         writer.option("delimiter", "|").csv(output_path)
+    elif fmt == "orc":
+        # beyond the reference (parquet/csv only, src/lib.rs:206-212):
+        # Spark's native columnar/row formats come for free
+        writer.orc(output_path)
+    elif fmt == "json":
+        writer.json(output_path)
     else:
         raise ValueError(f"unsupported output format {fmt!r}")  # src/lib.rs:206-212
 

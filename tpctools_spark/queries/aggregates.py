@@ -319,3 +319,55 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
     )
+
+
+@query("agg_approx_topk")  # sketch-based → rows-only (invariant-tested)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: top-10 most frequent part keys in lineitem via the
+    approx_top_k sketch.
+
+    One pass, bounded memory, mergeable across partitions — the
+    frequent-items shape for 100 TB vocabularies/ngram tables where an
+    exact groupBy-count's shuffle would dominate. At test SFs the
+    sketch capacity exceeds the key cardinality, so results equal the
+    exact counts (asserted in tests/test_dedup_invariants-style
+    invariants rather than a DuckDB oracle: sketch internals differ
+    across engines).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select(F.expr("approx_top_k(l_partkey, 10, 100000)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("l_partkey"),
+            F.col("e.count").alias("n"),
+        )
+    )
+
+
+@query("agg_hll_sketch_union")  # sketch-based → rows-only
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable cardinality sketches: per-status distinct-customer HLL
+    sketches, then a union-merge for the global estimate.
+
+    The DataSketches pattern that matters at scale: sketches are STATE,
+    not just numbers — build once per partition/group, persist, merge
+    across days/tables without rescanning raw data. The union row
+    estimates distinct customers across all statuses from the merged
+    sketch alone.
+    """
+    o = table(spark, sf_dir, "orders")
+    per_status = o.groupBy("o_orderstatus").agg(
+        F.expr("hll_sketch_agg(o_custkey, 14)").alias("sketch"),
+        F.countDistinct("o_custkey").alias("exact_distinct"),
+    )
+    merged = per_status.agg(
+        F.lit("ALL").alias("o_orderstatus"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch, false))").alias("estimate"),
+        F.sum(F.lit(None).cast("long")).alias("exact_distinct"),
+    ).select("o_orderstatus", "estimate", "exact_distinct")
+    return per_status.select(
+        "o_orderstatus",
+        F.expr("hll_sketch_estimate(sketch)").alias("estimate"),
+        "exact_distinct",
+    ).unionByName(merged)
