@@ -169,3 +169,51 @@ def stream_custom_state_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _drain_to_memory(tracked, "update")
+
+
+@query("stream_stream_join")  # streaming → rows-only
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases matched to the same user's
+    clicks within the preceding hour.
+
+    Both sides are unbounded, so Spark buffers each in watermarked state
+    and joins as rows arrive; the interval condition plus both
+    watermarks bound the state (rows age out once no future match can
+    satisfy the time range) — the canonical funnel/attribution shape.
+    A time-range equi-join like this never devolves to nested-loop: the
+    user_id equality keys the state store.
+    """
+    ev = _stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            p_user = c_user AND
+            click_ts <= purchase_ts AND
+            click_ts >= purchase_ts - INTERVAL 1 HOUR
+            """
+        ),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_time"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_time"),
+        "purchase_value",
+    )
+    return _drain_to_memory(joined, "append")
