@@ -119,3 +119,16 @@ def test_q1_filter_pushes_to_scan(spark):
     df = spark_queries()["agg_group_sum"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+
+
+def test_range_bucketed_join_is_hash_not_nested_loop(spark):
+    """The whole point of the bucket rewrite: a pure range join executes
+    as an equi hash/sort-merge join on the cell id, never a nested loop
+    over the cross product."""
+    from tpctools_spark.registry import spark_queries
+
+    df = spark_queries()["join_range_bucketed"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -119,3 +119,54 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice")).alias("sum_price"),
         )
     )
+
+
+@query(
+    "join_range_bucketed",
+    oracle="""
+    SELECT e.event_type AS type_a, f.event_type AS type_b,
+           COUNT(*) AS n_pairs
+    FROM events e JOIN events f
+      ON f.ts > e.ts AND f.ts <= e.ts + INTERVAL 5 MINUTES
+    GROUP BY 1, 2
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (NO equi key) made shuffle-joinable by bucketing.
+
+    "All event pairs within 5 minutes" has no equality condition, so
+    Catalyst can only plan a nested loop — O(n²) comparisons, a
+    non-starter at scale. The range-join rewrite: bucket time into
+    window-width cells, explode the probe side into its cell and the
+    next (a candidate match lies in one of the two), equi-join on the
+    cell id, then re-apply the exact range as a post-filter. Cost drops
+    to O(n · pairs-per-bucket) with an ordinary shuffled hash join —
+    the same rewrite engines apply for range-join hints. Each true pair
+    is found exactly once (its two cells are distinct).
+    """
+    window_s = 300
+    ev = table(spark, sf_dir, "events").select("event_type", "ts")
+    bucket = (F.unix_micros(F.col("ts")) / (window_s * 1_000_000)).cast("long")
+    e = ev.select(
+        F.col("event_type").alias("type_a"),
+        F.col("ts").alias("ts_a"),
+        F.explode(F.array(bucket, bucket + 1)).alias("cell"),
+    )
+    f = ev.select(
+        F.col("event_type").alias("type_b"),
+        F.col("ts").alias("ts_b"),
+        bucket.alias("cell"),
+    )
+    us = window_s * 1_000_000
+    return (
+        e.join(f, "cell")
+        .filter(
+            (F.unix_micros(F.col("ts_b")) > F.unix_micros(F.col("ts_a")))
+            & (
+                F.unix_micros(F.col("ts_b"))
+                <= F.unix_micros(F.col("ts_a")) + F.lit(us)
+            )
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
