@@ -38,6 +38,7 @@ HEADLINE = [
     "tpch_q18_large_volume_customer",
     "tpch_q22_global_sales_opportunity",
     "join_theta_range",
+    "join_range_bucketed",
     "join_asof_event",
     "window_rank_topn",
     "window_running_sum",

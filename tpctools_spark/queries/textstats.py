@@ -232,3 +232,50 @@ def text_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 12)
         .select("doc_a", "doc_b", dist.alias("edit_dist"))
     )
+
+
+@query(
+    "text_sentences_udtf",
+    oracle="""
+    WITH sents AS (
+      SELECT doc_id, UNNEST(string_split(text, '. ')) AS sent
+      FROM documents
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_sentences,
+           MAX(length(sent)) AS max_sent_chars
+    FROM sents
+    GROUP BY doc_id
+    """,
+)
+def text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation through a Python UDTF (table function).
+
+    Demonstrates the UDTF surface: a class-based table function applied
+    per input row via LATERAL join, fanning each document out to its
+    sentences, then re-aggregated. The literal '. ' split matches
+    DuckDB's string_split exactly (Python str.split, not regex), so the
+    per-doc counts oracle-check. For hot paths prefer the codegen'd
+    explode(split(...)) — a UDTF is row-at-a-time Python and earns its
+    keep only when the expansion logic outgrows SQL expressions.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_chars: int")
+    class SplitSentences:
+        def eval(self, text: str):
+            for s in (text or "").split(". "):
+                yield (len(s),)
+
+    name = "split_sentences_tpctools"
+    spark.udtf.register(name, SplitSentences)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id,
+               COUNT(*) AS n_sentences,
+               MAX(s.sent_chars) AS max_sent_chars
+        FROM udtf_docs d, LATERAL {name}(d.text) s
+        GROUP BY d.doc_id
+        """
+    )
