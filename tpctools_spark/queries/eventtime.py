@@ -152,3 +152,56 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max("ts"), _TS_FMT_SPARK).alias("session_end"),
         F.round(F.sum(money(F.col("value"))).cast("double"), 2).alias("total_value"),
     )
+
+
+@query("cogroup_asof_pandas")  # cogrouped pandas → rows-only
+def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of merge of two tables via cogrouped ``applyInPandas``.
+
+    The cogroup surface: both sides shuffle once on the key, and each
+    (user's events, user's orders-by-customer-id) pair lands in one
+    Arrow-backed pandas call — here ``merge_asof`` attaches the user's
+    most recent order at-or-before each event. This is the API of
+    choice when per-key logic needs both relations materialized side by
+    side (backfills, interval reconciliation) and outgrows join+window
+    SQL; the batch-SQL twin of the same semantics is
+    ``join_asof_event``. State per task is one key group, so memory is
+    bounded by the largest key, not the table.
+    """
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderkey"),
+        F.col("o_orderdate").cast("timestamp").alias("odate"),
+    )
+
+    out_schema = (
+        "user_id long, ts timestamp, event_type string, "
+        "last_orderkey long, days_since_order double"
+    )
+    cols = ["user_id", "ts", "event_type", "last_orderkey", "days_since_order"]
+
+    def merge(events: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+        if events.empty:
+            return pd.DataFrame(columns=cols)
+        events = events.sort_values("ts")
+        if orders.empty:
+            return events.assign(last_orderkey=None, days_since_order=None)[cols]
+        orders = orders.sort_values("odate")
+        merged = pd.merge_asof(
+            events, orders[["odate", "o_orderkey"]],
+            left_on="ts", right_on="odate", direction="backward",
+        )
+        merged["last_orderkey"] = merged["o_orderkey"]
+        merged["days_since_order"] = (
+            (merged["ts"] - merged["odate"]).dt.total_seconds() / 86400.0
+        ).round(4)
+        return merged[cols]
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(o.groupBy("user_id"))
+        .applyInPandas(merge, out_schema)
+    )
