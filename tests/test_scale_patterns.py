@@ -132,3 +132,33 @@ def test_range_bucketed_join_is_hash_not_nested_loop(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """Incremental-pipeline sink: with partitionOverwriteMode=dynamic,
+    rewriting one ingest day replaces only that day's directory — the
+    other partitions' files survive untouched (the idempotent-backfill
+    pattern; static mode would wipe the whole table root)."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "by_day")
+    df = spark.createDataFrame(
+        [(d, i, i * 10) for d in ("d1", "d2") for i in range(5)],
+        "day string, k int, v int",
+    )
+    df.write.partitionBy("day").parquet(out)
+
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fixed = spark.createDataFrame(
+            [("d2", i, i * 100) for i in range(3)], "day string, k int, v int"
+        )
+        fixed.write.mode("overwrite").partitionBy("day").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+    back = spark.read.parquet(out)
+    assert back.filter(F.col("day") == "d1").count() == 5  # untouched
+    d2 = {(r.k, r.v) for r in back.filter(F.col("day") == "d2").collect()}
+    assert d2 == {(i, i * 100) for i in range(3)}  # fully replaced

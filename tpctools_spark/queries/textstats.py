@@ -279,3 +279,57 @@ def text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.doc_id
         """
     )
+
+
+@query(
+    "text_top_terms",
+    oracle="""
+    WITH tokens AS (
+      SELECT doc_id, lang, UNNEST(string_split(lower(trim(text)), ' ')) AS tok
+      FROM documents
+    ), stats AS (
+      SELECT lang, tok,
+             COUNT(*) AS tf,
+             COUNT(DISTINCT doc_id) AS df
+      FROM tokens WHERE tok <> '' GROUP BY lang, tok
+    ), ranked AS (
+      SELECT lang, tok, tf, df,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY tf DESC, df ASC, tok) AS rk
+      FROM stats
+    )
+    SELECT lang, tok, tf, df, rk FROM ranked WHERE rk <= 5
+    """,
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top terms by frequency with rarity tiebreak.
+
+    The TF-IDF shape kept in exact integer arithmetic: rank by raw term
+    frequency, break ties by ascending document frequency (rarer wins,
+    the IDF direction) then by token — no logarithms, so the ordering is
+    engine-exact and the top-5 cannot flip on FP. One explode feeds one
+    (lang, tok) aggregation computing tf and df together; the window
+    ranks within each language's (small) vocabulary slice.
+    """
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "lang",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    stats = toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("tok")
+    )
+    return (
+        stats.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "tok", "tf", "df", "rk")
+    )
