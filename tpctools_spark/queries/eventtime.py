@@ -205,3 +205,68 @@ def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(o.groupBy("user_id"))
         .applyInPandas(merge, out_schema)
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      CASE
+        WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+          THEN 'purchased'
+        WHEN t_view IS NOT NULL AND t_click > t_view THEN 'clicked'
+        WHEN t_view IS NOT NULL THEN 'viewed'
+        ELSE 'none'
+      END AS stage,
+      COUNT(*) AS n_users
+    FROM firsts
+    GROUP BY 1
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: how far does each user get through
+    view → click → purchase, respecting event order?
+
+    The sequential-pattern shape without a MATCH_RECOGNIZE operator:
+    one conditional-MIN aggregation collapses each user to three
+    first-occurrence timestamps, and the stage is pure timestamp
+    comparison — exact, so the funnel oracle-checks. One shuffle on
+    user_id total; at 100 TB this is the cheapest funnel formulation
+    (no self-joins, no per-user sort). NULL comparisons propagate the
+    same three-valued logic in both engines (a missing stage can never
+    satisfy `>`).
+    """
+    ev = table(spark, sf_dir, "events")
+
+    def first_of(t: str) -> F.Column:
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    stage = (
+        F.when(
+            F.col("t_view").isNotNull()
+            & (F.col("t_click") > F.col("t_view"))
+            & (F.col("t_purchase") > F.col("t_click")),
+            "purchased",
+        )
+        .when(
+            F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")),
+            "clicked",
+        )
+        .when(F.col("t_view").isNotNull(), "viewed")
+        .otherwise("none")
+    )
+    return firsts.groupBy(stage.alias("stage")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
