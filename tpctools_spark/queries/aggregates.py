@@ -371,3 +371,29 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("hll_sketch_estimate(sketch)").alias("estimate"),
         "exact_distinct",
     ).unionByName(merged)
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS types_seen,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-result aggregation: each user's distinct event types as a
+    sorted array.
+
+    collect_set has no deterministic order, so the array is sorted
+    before emission — the only way a nested value can hash-match across
+    engines. The map-side partial collect keeps shuffle bytes at
+    O(users · distinct-types), not O(events).
+    """
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types_seen"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
