@@ -270,3 +270,77 @@ def embedding_group_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return emb.groupBy("label").applyInPandas(medoid, out_schema)
+
+
+@query(
+    "sim_knn_join",
+    oracle=f"""
+    WITH prep AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), probes AS (
+      SELECT vec_id AS probe_id, e AS pe FROM prep WHERE vec_id % 10 = 0
+    ), scored AS (
+      SELECT p.probe_id, c.vec_id AS neighbor_id,
+             {_SQL_DOT.format(a="p.pe", b="c.e")}
+               / (sqrt({_SQL_DOT.format(a="p.pe", b="p.pe")})
+                  * sqrt({_SQL_DOT.format(a="c.e", b="c.e")})) AS cos
+      FROM probes p JOIN prep c ON c.vec_id <> p.probe_id
+    ), ranked AS (
+      SELECT probe_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT probe_id, neighbor_id,
+           CAST(floor(cos * 10000) AS DOUBLE) / 10000 AS cosine, rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-join: top-3 cosine neighbors for EVERY probe vector (1-in-10
+    subsample), not just one.
+
+    The two-sided similarity workload: probes broadcast against the
+    corpus scan, each partition scores its vectors against all probes,
+    and a per-probe window takes the top 3. Scales as one corpus pass ×
+    n_probes — at 100 TB the probe set is the broadcast budget and the
+    IVF cell pruning (sim_cosine_topk_ivf) bounds the scored candidates
+    instead of the full scan. Decimal-exact dots; ties broken by
+    neighbor_id, so the cut is engine-stable.
+    """
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    prep = emb.select("vec_id", _as_double(F.col("embedding")).alias("e"))
+    probes = prep.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    scored = (
+        prep.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                _dot(F.col("pe"), F.col("e"))
+                / (
+                    F.sqrt(_dot(F.col("pe"), F.col("pe")))
+                    * F.sqrt(_dot(F.col("e"), F.col("e")))
+                )
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            trunc_digits(F.col("cos"), 4).alias("cosine"),
+            "rk",
+        )
+    )
