@@ -1,9 +1,12 @@
 """Local emulation of the driver's correctness gate.
 
 Runs every registered query on Spark and (when an oracle exists) the
-DuckDB twin, then compares row count, column names, and exact values
-(order-insensitive, columns sorted by name) — stricter than a hash, so
-anything passing here should hash-match for the driver.
+DuckDB twin, then compares row count, column names, exact values
+(order-insensitive, columns sorted by name) AND the pandas/Arrow dtypes
+of both results. The driver's value hash is type-sensitive — DuckDB
+HUGEINT (Arrow decimal128) vs Spark int64 hash-mismatches even on equal
+values — and it crashes on nested (list/map) cells, so both conditions
+are hard FAILs here too.
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 """
@@ -15,6 +18,8 @@ import sys
 import time
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
@@ -48,6 +53,28 @@ def normalize(rows: list[tuple], colnames: list[str]) -> list[tuple]:
     return sorted(out)
 
 
+def _dtype_key(s: pd.Series) -> str:
+    """Hash-equivalence class of a column the way the driver's
+    type-sensitive hash sees it: all int widths hash alike, all float
+    widths alike, but int vs float vs Decimal(object) vs str differ."""
+    if s.dtype == object:
+        for v in s:
+            if v is None:
+                continue
+            if isinstance(v, (list, dict, np.ndarray, set, tuple)):
+                return "NESTED"
+            return f"object:{type(v).__name__}"
+        return "object:empty"
+    kind = s.dtype.kind  # i/u → int, f → float, b → bool, M → datetime
+    return {"i": "int", "u": "int", "f": "float", "b": "bool", "M": "datetime"}.get(
+        kind, str(s.dtype)
+    )
+
+
+def _frame_dtypes(df: pd.DataFrame) -> dict[str, str]:
+    return {c: _dtype_key(df[c]) for c in df.columns}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -73,12 +100,20 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
+            srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL {name}: spark error: {str(e)[:500]}")
             continue
         dt = time.time() - t0
+
+        sdtypes = _frame_dtypes(spdf)
+        nested = [c for c, k in sdtypes.items() if k == "NESTED"]
+        if nested:
+            failures.append((name, f"driver-unhashable nested cells in {nested}"))
+            print(f"FAIL {name}: nested (list/map) output cells {nested} crash the driver hasher")
+            continue
 
         if name not in oracles:
             rows_only.append(name)
@@ -87,7 +122,8 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             dcols = rel.columns
-            drows = rel.fetchall()
+            dpdf = rel.arrow().to_pandas()
+            drows = [tuple(r) for r in dpdf.itertuples(index=False, name=None)]
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"FAIL {name}: duckdb error: {str(e)[:500]}")
@@ -96,6 +132,16 @@ def main() -> int:
         if sorted(scols) != sorted(dcols):
             failures.append((name, f"columns {sorted(scols)} != {sorted(dcols)}"))
             print(f"FAIL {name}: column mismatch\n  spark: {sorted(scols)}\n  duck:  {sorted(dcols)}")
+            continue
+        ddtypes = _frame_dtypes(dpdf)
+        mism = {
+            c: (sdtypes[c], ddtypes[c])
+            for c in scols
+            if sdtypes[c] != ddtypes[c]
+        }
+        if mism:
+            failures.append((name, f"dtype mismatch {mism}"))
+            print(f"FAIL {name}: dtype mismatch (type-sensitive driver hash): {mism}")
             continue
         if len(srows) != len(drows):
             failures.append((name, f"rowcount {len(srows)} != {len(drows)}"))

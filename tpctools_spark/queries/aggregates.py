@@ -93,19 +93,44 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # approx ≠ oracle → rows-only check
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders,
+           TRUE AS approx_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate count-distinct (single pass, no expand).
 
     At 100 TB this is the right default for cardinality estimation: fixed
     sketch size per group, mergeable map-side, no shuffle blowup.
+
+    Sketch estimates are engine-specific, so the oracle checks the exact
+    cardinality plus a Spark-computed ``approx_ok`` bound: the HLL
+    estimate (rsd=0.02) must land within 10% (= 5 sigma) of exact. The
+    oracle's twin column is literal TRUE.
     """
     return (
         table(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
             F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
             F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_customers",
+            "n_orders",
+            (
+                F.abs(F.col("approx_customers") - F.col("n_customers"))
+                <= F.greatest(F.lit(1.0), F.col("n_customers") * 0.10)
+            ).alias("approx_ok"),
         )
     )
 
@@ -220,22 +245,51 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentile")  # sketch-based → rows-only
+@query(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(floor(quantile_cont(o_totalprice, 0.25) * 10000) AS DOUBLE) / 10000 AS p25,
+           CAST(floor(quantile_cont(o_totalprice, 0.50) * 10000) AS DOUBLE) / 10000 AS p50,
+           CAST(floor(quantile_cont(o_totalprice, 0.90) * 10000) AS DOUBLE) / 10000 AS p90,
+           TRUE AS approx_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles via the KLL-style sketch
     (``approx_percentile``): bounded memory per group regardless of
     cardinality — the 100 TB path, mergeable across partitions.
+
+    Sketch outputs are engine-specific, so the oracle checks the exact
+    interpolated percentiles plus a Spark-computed ``approx_ok``: each
+    sketch percentile (accuracy=10000, rank error <= 1e-4) must land
+    within 5% relative of its exact twin. The oracle twin is TRUE.
     """
     o = table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.expr(
-            "approx_percentile(o_totalprice, array(0.25, 0.5, 0.9), 10000)"
-        ).alias("approx_p")
-    ).select(
-        "o_orderstatus",
-        F.round(F.element_at("approx_p", 1), 2).alias("p25"),
-        F.round(F.element_at("approx_p", 2), 2).alias("p50"),
-        F.round(F.element_at("approx_p", 3), 2).alias("p90"),
+    close = lambda a, b: F.abs(a - b) <= F.abs(b) * 0.05  # noqa: E731
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.expr(
+                "approx_percentile(o_totalprice, array(0.25, 0.5, 0.9), 10000)"
+            ).alias("ap"),
+            F.expr("percentile(o_totalprice, 0.25)").alias("ep25"),
+            F.expr("percentile(o_totalprice, 0.50)").alias("ep50"),
+            F.expr("percentile(o_totalprice, 0.90)").alias("ep90"),
+        )
+        .select(
+            "o_orderstatus",
+            trunc_digits(F.col("ep25"), 4).alias("p25"),
+            trunc_digits(F.col("ep50"), 4).alias("p50"),
+            trunc_digits(F.col("ep90"), 4).alias("p90"),
+            (
+                close(F.element_at("ap", 1), F.col("ep25"))
+                & close(F.element_at("ap", 2), F.col("ep50"))
+                & close(F.element_at("ap", 3), F.col("ep90"))
+            ).alias("approx_ok"),
+        )
     )
 
 
@@ -321,63 +375,109 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_topk")  # sketch-based → rows-only (invariant-tested)
+@query(
+    "agg_approx_topk",
+    oracle="""
+    SELECT l_partkey, COUNT(*) AS n, TRUE AS sketch_ok
+    FROM lineitem
+    GROUP BY l_partkey
+    ORDER BY n DESC, l_partkey
+    LIMIT 10
+    """,
+)
 def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy hitters: top-10 most frequent part keys in lineitem via the
-    approx_top_k sketch.
+    """Heavy hitters: top-10 most frequent part keys in lineitem,
+    cross-validated against the approx_top_k sketch.
 
-    One pass, bounded memory, mergeable across partitions — the
-    frequent-items shape for 100 TB vocabularies/ngram tables where an
-    exact groupBy-count's shuffle would dominate. At test SFs the
-    sketch capacity exceeds the key cardinality, so results equal the
-    exact counts (asserted in tests/test_dedup_invariants-style
-    invariants rather than a DuckDB oracle: sketch internals differ
-    across engines).
+    The sketch is the 100 TB shape — one pass, bounded memory, mergeable
+    across partitions, no groupBy-count shuffle blowup. Sketch internals
+    differ across engines, so the oracle checks the exact top-10 (ties
+    broken by key) plus a Spark-computed ``sketch_ok``: the sorted
+    multiset of the sketch's top-10 counts must equal the exact top-10
+    counts (capacity 100k >= key cardinality at test SFs, so counts are
+    exact even where tie *ordering* differs). Oracle twin is TRUE.
     """
     li = table(spark, sf_dir, "lineitem")
-    return (
-        li.select(F.expr("approx_top_k(l_partkey, 10, 100000)").alias("tk"))
-        .select(F.explode("tk").alias("e"))
-        .select(
-            F.col("e.item").alias("l_partkey"),
-            F.col("e.count").alias("n"),
+    exact10 = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "l_partkey")
+        .limit(10)
+    )
+    sketch_counts = li.select(
+        F.expr("approx_top_k(l_partkey, 10, 100000)").alias("tk")
+    ).select(
+        F.sort_array(F.expr("transform(tk, x -> cast(x.count as bigint))")).alias(
+            "sk_counts"
         )
     )
+    exact_counts = exact10.agg(
+        F.sort_array(F.collect_list(F.col("n").cast("bigint"))).alias("ex_counts")
+    )
+    ok = (
+        sketch_counts.crossJoin(exact_counts)
+        .select((F.col("sk_counts") == F.col("ex_counts")).alias("sketch_ok"))
+    )
+    return exact10.crossJoin(F.broadcast(ok))
 
 
-@query("agg_hll_sketch_union")  # sketch-based → rows-only
+@query(
+    "agg_hll_sketch_union",
+    oracle="""
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS exact_distinct,
+           TRUE AS estimate_ok
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'ALL' AS o_orderstatus, COUNT(DISTINCT o_custkey) AS exact_distinct,
+           TRUE AS estimate_ok
+    FROM orders
+    """,
+)
 def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable cardinality sketches: per-status distinct-customer HLL
     sketches, then a union-merge for the global estimate.
 
     The DataSketches pattern that matters at scale: sketches are STATE,
     not just numbers — build once per partition/group, persist, merge
-    across days/tables without rescanning raw data. The union row
+    across days/tables without rescanning raw data. The ALL row
     estimates distinct customers across all statuses from the merged
-    sketch alone.
+    sketch alone (never rescanning the raw rows).
+
+    Sketch estimates are engine-specific, so the oracle checks exact
+    cardinalities plus a Spark-computed ``estimate_ok``: each estimate
+    (lgConfigK=14, rsd ~0.8%) must land within 5% of exact. Oracle twin
+    is TRUE.
     """
     o = table(spark, sf_dir, "orders")
+    ok = lambda est, exact: F.abs(est - exact) <= exact * 0.05  # noqa: E731
     per_status = o.groupBy("o_orderstatus").agg(
         F.expr("hll_sketch_agg(o_custkey, 14)").alias("sketch"),
         F.countDistinct("o_custkey").alias("exact_distinct"),
     )
     merged = per_status.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch, false))").alias("estimate")
+    )
+    global_exact = o.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    all_row = global_exact.crossJoin(F.broadcast(merged)).select(
         F.lit("ALL").alias("o_orderstatus"),
-        F.expr("hll_sketch_estimate(hll_union_agg(sketch, false))").alias("estimate"),
-        F.sum(F.lit(None).cast("long")).alias("exact_distinct"),
-    ).select("o_orderstatus", "estimate", "exact_distinct")
-    return per_status.select(
-        "o_orderstatus",
-        F.expr("hll_sketch_estimate(sketch)").alias("estimate"),
         "exact_distinct",
-    ).unionByName(merged)
+        ok(F.col("estimate"), F.col("exact_distinct")).alias("estimate_ok"),
+    )
+    rows = per_status.select(
+        "o_orderstatus",
+        "exact_distinct",
+        ok(
+            F.expr("hll_sketch_estimate(sketch)"), F.col("exact_distinct")
+        ).alias("estimate_ok"),
+    )
+    return rows.unionByName(all_row)
 
 
 @query(
     "agg_collect_sorted",
     oracle="""
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS types_seen,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_seen,
            COUNT(DISTINCT event_type) AS n_types
     FROM events
     GROUP BY user_id
@@ -385,15 +485,18 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-result aggregation: each user's distinct event types as a
-    sorted array.
+    sorted, comma-joined list.
 
     collect_set has no deterministic order, so the array is sorted
-    before emission — the only way a nested value can hash-match across
-    engines. The map-side partial collect keeps shuffle bytes at
-    O(users · distinct-types), not O(events).
+    before emission; it is then serialized to a string because nested
+    cells are not hashable by the correctness driver. The map-side
+    partial collect keeps shuffle bytes at O(users · distinct-types),
+    not O(events).
     """
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("types_seen"),
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+            "types_seen"
+        ),
         F.countDistinct("event_type").alias("n_types"),
     )

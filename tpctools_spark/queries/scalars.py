@@ -156,7 +156,7 @@ def scalar_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
            MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
     FROM events
     GROUP BY event_type
@@ -234,16 +234,33 @@ def scalar_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("scalar_map")  # map iteration order is engine-specific → rows-only
+@query(
+    "scalar_map",
+    oracle="""
+    SELECT event_id,
+           '{"type":"' || event_type || '","user":"' || CAST(user_id AS VARCHAR) || '"}'
+               AS props_json,
+           event_type AS type_from_map,
+           'type,user' AS keys_csv
+    FROM events
+    """,
+)
 def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map construct + lookup: build a map per row, read keys back."""
+    """Map construct + lookup: build a map per row, read keys back.
+
+    Nested (map/array) cells are not hashable by the correctness driver,
+    so the map is serialized with ``to_json`` and the key list with
+    ``array_join`` — the oracle reconstructs the identical JSON string.
+    Spark's ``create_map`` preserves the literal key insertion order,
+    making the serialization deterministic.
+    """
     e = table(spark, sf_dir, "events")
     m = F.create_map(
         F.lit("type"), F.col("event_type"), F.lit("user"), F.col("user_id").cast("string")
     )
     return e.select(
         "event_id",
-        m.alias("props_map"),
+        F.to_json(m).alias("props_json"),
         F.element_at(m, F.lit("type")).alias("type_from_map"),
-        F.map_keys(m).alias("keys"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
     )

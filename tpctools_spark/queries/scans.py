@@ -53,7 +53,21 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("scan_csv_typed")  # driver views are parquet → rows-only
+def _stable_scratch(tag: str) -> str:
+    """A deterministic scratch path: written with mode=overwrite and left
+    on disk so the returned DataFrame stays lazily readable (no collect/
+    createDataFrame rebuild — the plan is a real file scan)."""
+    path = os.path.join(_SCRATCH, tag)
+    os.makedirs(_SCRATCH, exist_ok=True)
+    return path
+
+
+@query(
+    "scan_csv_typed",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region
+    """,
+)
 def scan_csv_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed pipe-delimited CSV scan — reference A1 (src/lib.rs:55-58):
     explicit schema, '|' delimiter, no header, no inference.
@@ -61,61 +75,56 @@ def scan_csv_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round-trips the region table through .tbl text and scans it back
     with an explicit StructType, mirroring dbgen's output format
     including the trailing delimiter (→ trailing `ignore` column,
-    src/tpch.rs:156, dropped on read — SURVEY §1.3).
+    src/tpch.rs:156, dropped on read — SURVEY §1.3). The oracle is the
+    source table itself: the typed-CSV round trip must be lossless.
     """
     from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
-    out = _scratch_dir("csv")
-    try:
-        region = table(spark, sf_dir, "region")
-        tbl_path = os.path.join(out, "region.tbl")
-        # dbgen emits a trailing '|' per row; concat reproduces it.
-        region.select(
-            F.concat_ws(
-                "|", F.col("r_regionkey").cast("string"), F.col("r_name"), F.lit("")
-            ).alias("line")
-        ).write.mode("overwrite").text(tbl_path)
+    tbl_path = os.path.join(_stable_scratch("csv_typed"), "region.tbl")
+    region = table(spark, sf_dir, "region")
+    # dbgen emits a trailing '|' per row; concat reproduces it.
+    region.select(
+        F.concat_ws(
+            "|", F.col("r_regionkey").cast("string"), F.col("r_name"), F.lit("")
+        ).alias("line")
+    ).write.mode("overwrite").text(tbl_path)
 
-        schema = StructType(
-            [
-                StructField("r_regionkey", IntegerType(), True),
-                StructField("r_name", StringType(), True),
-                StructField("ignore", StringType(), True),
-            ]
-        )
-        df = (
-            spark.read.schema(schema)
-            .option("delimiter", "|")
-            .option("header", "false")
-            .csv(tbl_path)
-            .drop("ignore")
-        )
-        # materialize before the scratch dir disappears
-        rows = df.orderBy("r_regionkey").collect()
-        return spark.createDataFrame(rows, schema=df.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    schema = StructType(
+        [
+            StructField("r_regionkey", IntegerType(), True),
+            StructField("r_name", StringType(), True),
+            StructField("ignore", StringType(), True),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("delimiter", "|")
+        .option("header", "false")
+        .csv(tbl_path)
+        .drop("ignore")
+    )
 
 
-@query("sink_parquet_snappy")  # write path → rows-only
+@query(
+    "sink_parquet_snappy",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
 def sink_parquet_snappy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snappy parquet sink + read-back — reference A2 (src/lib.rs:201-205).
 
     Writes nation partitioned into 2 part files (the reference's
-    part-N layout, src/lib.rs:109) and verifies the round trip.
+    part-N layout, src/lib.rs:109) and returns the lazy read-back scan;
+    the oracle is the source table — the sink round trip must be
+    lossless.
     """
-    out = _scratch_dir("sink")
-    try:
-        nation = table(spark, sf_dir, "nation")
-        path = os.path.join(out, "nation.parquet")
-        nation.repartition(2).write.mode("overwrite").option(
-            "compression", "snappy"
-        ).parquet(path)
-        back = spark.read.parquet(path)
-        rows = back.orderBy("n_nationkey").collect()
-        return spark.createDataFrame(rows, schema=back.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    path = os.path.join(_stable_scratch("sink_snappy"), "nation.parquet")
+    nation = table(spark, sf_dir, "nation")
+    nation.repartition(2).write.mode("overwrite").option(
+        "compression", "snappy"
+    ).parquet(path)
+    return spark.read.parquet(path)
 
 
 @query(

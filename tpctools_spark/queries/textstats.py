@@ -21,8 +21,8 @@ from tpctools_spark.registry import query
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(CAST(n_chars AS BIGINT)) AS total_chars,
-           SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
            CAST(floor(CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 100) AS DOUBLE) / 100
              AS avg_chars
     FROM documents
