@@ -154,7 +154,23 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("cogroup_asof_pandas")  # cogrouped pandas → rows-only
+@query(
+    "cogroup_asof_pandas",
+    oracle="""
+    SELECT e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           e.event_type,
+           o.o_orderkey AS last_orderkey,
+           CAST((epoch_us(e.ts) - epoch_us(o.odate)) // 8640000 AS DOUBLE)
+             / 10000 AS days_since_order
+    FROM events e
+    LEFT JOIN LATERAL (
+      SELECT o_orderkey, o_orderdate AS odate FROM orders
+      WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+      ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+    ) o ON TRUE
+    """,
+)
 def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of merge of two tables via cogrouped ``applyInPandas``.
 
@@ -167,6 +183,12 @@ def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL; the batch-SQL twin of the same semantics is
     ``join_asof_event``. State per task is one key group, so memory is
     bounded by the largest key, not the table.
+
+    Determinism: order ties on odate break by highest o_orderkey (the
+    sort feeds merge_asof's last-match-wins), timestamps are emitted as
+    formatted strings, and day deltas are exact integer-microsecond
+    floor division — every output has a bitwise SQL twin (the LATERAL
+    top-1 oracle).
     """
     import pandas as pd
 
@@ -178,26 +200,33 @@ def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     out_schema = (
-        "user_id long, ts timestamp, event_type string, "
+        "user_id long, ts string, event_type string, "
         "last_orderkey long, days_since_order double"
     )
     cols = ["user_id", "ts", "event_type", "last_orderkey", "days_since_order"]
+    _FMT = "%Y-%m-%d %H:%M:%S.%f"
 
     def merge(events: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
         if events.empty:
             return pd.DataFrame(columns=cols)
         events = events.sort_values("ts")
         if orders.empty:
-            return events.assign(last_orderkey=None, days_since_order=None)[cols]
-        orders = orders.sort_values("odate")
+            out = events.assign(last_orderkey=None, days_since_order=None)
+            out["ts"] = out["ts"].dt.strftime(_FMT)
+            return out[cols]
+        orders = orders.sort_values(["odate", "o_orderkey"])
         merged = pd.merge_asof(
             events, orders[["odate", "o_orderkey"]],
             left_on="ts", right_on="odate", direction="backward",
         )
         merged["last_orderkey"] = merged["o_orderkey"]
+        has = merged["odate"].notna()
+        ts_us = merged["ts"].astype("int64") // 1000
+        od_us = merged["odate"].astype("int64") // 1000
         merged["days_since_order"] = (
-            (merged["ts"] - merged["odate"]).dt.total_seconds() / 86400.0
-        ).round(4)
+            ((ts_us - od_us) // 8_640_000) / 10000.0
+        ).where(has)
+        merged["ts"] = merged["ts"].dt.strftime(_FMT)
         return merged[cols]
 
     return (

@@ -46,11 +46,32 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode")  # stubbed decode → rows-only
+@query(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           substring(sha256(text), 1, 16) AS content_digest,
+           CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
+                ELSE CAST(list_sum([unicode(c)
+                                    for c in string_split_regex(text, '')])
+                          AS DOUBLE) / octet_length(encode(text))
+           END AS feat_mean_byte,
+           'stub-v1' AS decoder
+    FROM documents
+    """,
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline: text → binary payload → mapInPandas
     feature extraction (stub decoder), the shape of an image/audio
-    feature pass at 100 TB."""
+    feature pass at 100 TB.
+
+    Oracle: payloads are UTF-8 of ASCII-only fixture text, so byte
+    stats and sha256 digests are reproducible from SQL (code point ==
+    byte); the mean is an exact int-sum / int-count double division on
+    both sides.
+    """
     from tpctools_spark.multimodal import extract_features
 
     docs = table(spark, sf_dir, "documents").select(
@@ -61,11 +82,28 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(docs)
 
 
-@query("multimodal_frame_sample")  # stubbed decode → rows-only
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS frame_index,
+           CAST((n * i) // 3 AS BIGINT) AS byte_offset,
+           substring(sha256(substring(text, CAST((n * i) // 3 AS INTEGER) + 1, 64)),
+                     1, 16) AS frame_digest
+    FROM (SELECT doc_id, text, octet_length(encode(text)) AS n
+          FROM documents
+          WHERE octet_length(encode(text)) > 0),
+         (SELECT unnest(range(3)) AS i)
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fan-out binary pipeline: each payload yields FRAMES_PER_DOC frame
     rows (video keyframe-sampling shape) via a single mapInPandas stage
-    whose output cardinality is decoder-controlled."""
+    whose output cardinality is decoder-controlled.
+
+    Oracle: ASCII fixture text makes the byte windows reproducible as
+    substrings, so each sampled frame digest has an exact SQL twin.
+    """
     from tpctools_spark.multimodal import sample_frames
 
     docs = table(spark, sf_dir, "documents").select(

@@ -101,7 +101,44 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_cosine_topk_ivf")  # pruned search ≠ exact oracle → rows-only
+@query(
+    "sim_cosine_topk_ivf",
+    oracle=f"""
+    WITH prep AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), comps AS (
+      SELECT label, unnest(e) AS val, unnest(range(1, len(e) + 1)) AS pos
+      FROM prep
+    ), cent AS (
+      SELECT label AS cell, list(c ORDER BY pos) AS centroid
+      FROM (SELECT label, pos,
+                   CAST(SUM(CAST(val AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS c
+            FROM comps GROUP BY label, pos)
+      GROUP BY label
+    ), probe AS (
+      SELECT e AS pe FROM prep WHERE vec_id = {PROBE_VEC_ID}
+    ), cellscore AS (
+      SELECT cell,
+             {_SQL_DOT.format(a='centroid', b='pe')}
+               / (sqrt({_SQL_DOT.format(a='centroid', b='centroid')})
+                  * sqrt({_SQL_DOT.format(a='pe', b='pe')})) AS cell_cos
+      FROM cent, probe
+    ), top_cells AS (
+      SELECT cell FROM cellscore ORDER BY cell_cos DESC, cell LIMIT 3
+    ), scored AS (
+      SELECT p.vec_id, p.label,
+             {_SQL_DOT.format(a='p.e', b='pe')}
+               / (sqrt({_SQL_DOT.format(a='p.e', b='p.e')})
+                  * sqrt({_SQL_DOT.format(a='pe', b='pe')})) AS cos_raw
+      FROM prep p JOIN top_cells t ON p.label = t.cell, probe
+      WHERE p.vec_id <> {PROBE_VEC_ID}
+    )
+    SELECT vec_id, label,
+           CAST(floor(cos_raw * 10000) AS DOUBLE) / 10000 AS cosine
+    FROM scored ORDER BY cos_raw DESC, vec_id LIMIT {TOP_K}
+    """,
+)
 def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-k: visit only the 3 nearest cells.
 
@@ -111,15 +148,24 @@ def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores the probe against centroids and keeps the best 3 cells;
     stage 3 runs the exact cosine only inside those cells. At 100 TB
     this turns a full scan into reading ~nprobe/ncells of the data.
+
+    The centroid mean is an exact decimal sum / count (order- and
+    partition-invariant), so cell selection — and therefore the whole
+    pruned result — has a bitwise SQL twin despite being "approximate".
     """
     emb = table(spark, sf_dir, "embeddings")
     prep = emb.select("vec_id", "label", _as_double(F.col("embedding")).alias("e"))
 
-    # stage 1: centroids per cell
+    # stage 1: centroids per cell (exact decimal mean → deterministic)
     comps = prep.select("label", F.posexplode("e").alias("pos", "val"))
     centroids = (
         comps.groupBy("label", "pos")
-        .agg(F.avg("val").alias("c"))
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(30,15)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
         .select(

@@ -65,11 +65,21 @@ def _drain_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     return stream_df.sparkSession.table(name)
 
 
-@query("stream_dedup_watermark")  # streaming → rows-only
+@query(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_unique_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup: drop duplicate event_ids within a 10-minute
     watermark — the bounded-state streaming dedup pattern. State per key
     expires once the watermark passes, so memory is bounded at any rate.
+
+    Oracle: ``availableNow`` drains the whole backlog, so the streaming
+    result equals the batch distinct count per type.
     """
     ev = _stream_events(spark, sf_dir)
     deduped = ev.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"])
@@ -79,10 +89,23 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(counted, "complete")
 
 
-@query("stream_stateful_count")  # streaming → rows-only
+@query(
+    "stream_stateful_count",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
 def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful running aggregation: tumbling 1-hour event-time windows
     with a watermark, per event type — the canonical streaming agg.
+
+    Oracle: with ``availableNow`` + complete mode the drained stream
+    equals the batch tumbling-window aggregate.
     """
     ev = _stream_events(spark, sf_dir)
     agg = (
@@ -100,11 +123,40 @@ def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(agg, "complete")
 
 
-@query("stream_session_window")  # streaming → rows-only
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             -- session_window range is [start, last + gap): an event at
+             -- exactly last+gap starts a NEW session, hence >=
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS BIGINT) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+)
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session windows: 30-minute gap sessions per user via
     ``session_window`` — the native streaming twin of the batch
-    gaps-and-islands query (eventtime.window_session)."""
+    gaps-and-islands query (eventtime.window_session).
+
+    Oracle: the drained stream equals the batch gaps-and-islands
+    sessionization (session start = first event of each island).
+    """
     ev = _stream_events(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "30 minutes")
@@ -121,7 +173,20 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(agg, "complete")
 
 
-@query("stream_custom_state_gap")  # streaming + custom state → rows-only
+@query(
+    "stream_custom_state_gap",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(COALESCE(MAX(gap_us), 0) AS DOUBLE) / 1000000 AS max_gap_seconds
+    FROM (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+      FROM events
+    )
+    GROUP BY user_id
+    """,
+)
 def stream_custom_state_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     per user, track event count and the maximum inter-event gap.
@@ -131,6 +196,11 @@ def stream_custom_state_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch with Arrow-vectorized Python, bounded by group-state
     semantics. With a live source the same code maintains state across
     batches; ``availableNow`` drains the backlog in one pass.
+
+    State is held in integer MICROSECONDS so gap arithmetic is exact —
+    the emitted seconds value is a single division of the same integer
+    the SQL oracle computes (bitwise-identical doubles, no rounding
+    mode in play).
     """
     import pandas as pd
 
@@ -139,25 +209,23 @@ def stream_custom_state_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _stream_events(spark, sf_dir).select("user_id", "ts")
 
     out_schema = "user_id long, n_events long, max_gap_seconds double"
-    state_schema = "last_ts double, n long, max_gap double"
+    state_schema = "last_ts_us long, n long, max_gap_us long"
 
     def track_gaps(key, pdfs, state: GroupState):
-        last_ts, n, max_gap = (
-            state.get if state.exists else (None, 0, 0.0)
-        )
+        last_us, n, max_gap_us = state.get if state.exists else (None, 0, 0)
         for pdf in pdfs:
-            ts = pd.to_datetime(pdf["ts"]).astype("int64") / 1e9
-            for t in sorted(ts):
-                if last_ts is not None:
-                    max_gap = max(max_gap, t - last_ts)
-                last_ts = t
+            ts_us = (pd.to_datetime(pdf["ts"]).astype("int64") // 1000).tolist()
+            for t in sorted(ts_us):
+                if last_us is not None:
+                    max_gap_us = max(max_gap_us, t - last_us)
+                last_us = t
                 n += 1
-        state.update((last_ts, n, max_gap))
+        state.update((last_us, n, max_gap_us))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "max_gap_seconds": [round(max_gap, 3)],
+                "max_gap_seconds": [max_gap_us / 1_000_000],
             }
         )
 
@@ -171,7 +239,20 @@ def stream_custom_state_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(tracked, "update")
 
 
-@query("stream_stream_join")  # streaming → rows-only
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+           p.value AS purchase_value
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join: purchases matched to the same user's
     clicks within the preceding hour.

@@ -159,10 +159,36 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_fingerprint")  # engine-specific hash → rows-only
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH prep AS (
+      SELECT doc_id, lower(trim(text)) AS t,
+             string_split(lower(trim(text)), ' ') AS words
+      FROM documents
+    ), g AS (
+      SELECT doc_id, md5(t) AS content_fp,
+             CASE WHEN len(words) >= 4 THEN
+               [md5(concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3]))
+                for i in range(1, len(words) - 2)]
+             ELSE CAST([] AS VARCHAR[]) END AS gh
+      FROM prep
+    )
+    SELECT doc_id, content_fp,
+           list_aggregate(gh, 'min') AS min_shingle_fp,
+           list_aggregate(gh, 'max') AS max_shingle_fp,
+           CAST(len(gh) AS BIGINT) AS n_shingles
+    FROM g
+    """,
+)
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: 64-bit content hash + winnowed shingle
-    fingerprint (min/max of rolling 4-gram hashes) for copy detection."""
+    """Document fingerprinting: content digest + winnowed shingle
+    fingerprint (min/max of rolling 4-gram digests) for copy detection.
+
+    Uses md5 (hex strings) so both engines produce identical digests;
+    at 100 TB swap ``F.md5`` for ``F.xxhash64`` — 8-byte ints instead
+    of 32-char strings, same plan shape, engine-specific values.
+    """
     docs = table(spark, sf_dir, "documents")
     words = F.split(F.lower(F.trim(F.col("text"))), " ")
     grams = F.when(
@@ -170,19 +196,22 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<int>"))
     gram_hashes = F.transform(
         grams,
-        lambda i: F.xxhash64(
-            F.concat_ws(
-                " ",
-                F.element_at(words, i),
-                F.element_at(words, i + 1),
-                F.element_at(words, i + 2),
-                F.element_at(words, i + 3),
+        lambda i: F.md5(
+            F.encode(
+                F.concat_ws(
+                    " ",
+                    F.element_at(words, i),
+                    F.element_at(words, i + 1),
+                    F.element_at(words, i + 2),
+                    F.element_at(words, i + 3),
+                ),
+                "utf-8",
             )
         ),
     )
     return docs.select(
         "doc_id",
-        F.xxhash64(F.lower(F.trim(F.col("text")))).alias("content_fp"),
+        F.md5(F.encode(F.lower(F.trim(F.col("text"))), "utf-8")).alias("content_fp"),
         F.array_min(gram_hashes).alias("min_shingle_fp"),
         F.array_max(gram_hashes).alias("max_shingle_fp"),
         F.size(gram_hashes).cast("bigint").alias("n_shingles"),

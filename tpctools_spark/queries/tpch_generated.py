@@ -11,31 +11,74 @@ input — completing the 22-query TPC-H surface together with the
 fixture-oracle suite (Q1≡agg_group_sum, Q6≡filter_pred, Q3-Q5, Q7, Q8,
 Q10, Q13-Q15, Q17, Q18, Q22 in ``tpch.py``).
 
-Rows-only checks: generation is seeded and partition-invariant, so
-results are stable across runs and parallelism; pytest asserts
-non-emptiness and spot invariants. Substitution parameters (brand,
-nation, region, dates) are legal TPC-H parameter choices drawn from the
-generated domains.
+Oracle strategy: generation is seeded and partition-invariant, so the
+generated tables are MATERIALIZED once to a stable scratch directory
+(parquet), every query reads that materialization, and each oracle is
+the public TPC-H spec SQL run by DuckDB over the very same parquet
+files (``read_parquet`` CTEs) — a full value-level cross-engine check,
+not just rows-only. Substitution parameters (brand, nation, region,
+dates) are legal TPC-H parameter choices drawn from the generated
+domains.
 
-Scale note: ``_SCALE`` keeps the in-query generation fast at test time;
-on a cluster the same query bodies read the generated tables from
-parquet (``generate`` → ``sink``) instead of regenerating — the plan
-below the scan is identical.
+Scale note: ``_SCALE`` keeps the materialization fast at test time; on
+a cluster the same query bodies read the generated tables from parquet
+(``generate`` → ``sink``) at any SF — the plan below the scan is
+identical.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tpctools_spark.generate import build_table
+from tpctools_spark.queries._util import trunc_digits
 from tpctools_spark.registry import query
 
 _SCALE = 0.01
+_GEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch",
+    "tpch_gen_sf001",
+)
+_GEN_TABLES = [
+    "region", "nation", "supplier", "customer",
+    "part", "partsupp", "orders", "lineitem",
+]
+
+
+def _materialize(spark: SparkSession) -> None:
+    """Write the generated tables to the stable scratch dir once.
+
+    Generation is a pure function of (table, scale) — partition- and
+    run-invariant — so an existing materialization is always identical
+    to a fresh one and can be reused across sessions and by the DuckDB
+    oracle side."""
+    marker = os.path.join(_GEN_DIR, "_ALL_TABLES_OK")
+    if os.path.exists(marker):
+        return
+    for name in _GEN_TABLES:
+        build_table(
+            spark, name, _SCALE, spark.sparkContext.defaultParallelism
+        ).write.mode("overwrite").parquet(os.path.join(_GEN_DIR, name))
+    with open(marker, "w") as f:
+        f.write("ok\n")
 
 
 def _t(spark: SparkSession, name: str) -> DataFrame:
-    return build_table(spark, name, _SCALE, spark.sparkContext.defaultParallelism)
+    _materialize(spark)
+    return spark.read.parquet(os.path.join(_GEN_DIR, name))
+
+
+def _with(*tables: str) -> str:
+    """WITH prefix registering generated-table parquet as DuckDB CTEs."""
+    ctes = ", ".join(
+        f"{t} AS (SELECT * FROM read_parquet('{_GEN_DIR}/{t}/*.parquet'))"
+        for t in tables
+    )
+    return f"WITH {ctes}"
 
 
 def _round2(c: F.Column) -> F.Column:
@@ -43,7 +86,34 @@ def _round2(c: F.Column) -> F.Column:
     return F.round(c.cast("double"), 2)
 
 
-@query("tpch_q2_min_cost_supplier")  # generated input → rows-only
+def _trunc2(c: F.Column) -> F.Column:
+    """Decimal aggregate → 2-decimal TRUNCATED double: for sums whose
+    decimal scale exceeds 2, truncation is the cross-engine-stable
+    rendering (ROUND diverges near halfway points)."""
+    return trunc_digits(c.cast("double"), 2)
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle=_with("part", "supplier", "partsupp", "nation", "region")
+    + """
+    SELECT s_acctbal, s_name, n_name, p_partkey,
+           p_mfgr, s_address, s_phone, s_comment
+    FROM part, supplier, partsupp, nation, region
+    WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+      AND p_size = 15 AND p_type LIKE '%BRASS'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND ps_supplycost = (
+        SELECT MIN(ps2.ps_supplycost)
+        FROM partsupp ps2, supplier s2, nation n2, region r2
+        WHERE part.p_partkey = ps2.ps_partkey AND s2.s_suppkey = ps2.ps_suppkey
+          AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+          AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
 def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2: lowest-cost EUROPE supplier per brass part of size 15.
 
@@ -82,7 +152,25 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("tpch_q9_product_profit")  # generated input → rows-only
+@query(
+    "tpch_q9_product_profit",
+    oracle=_with("part", "supplier", "lineitem", "partsupp", "orders", "nation")
+    + """
+    SELECT nation, o_year,
+           CAST(floor(CAST(SUM(amount) AS DOUBLE) * 100) AS DOUBLE) / 100 AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity AS amount
+      FROM part, supplier, lineitem, partsupp, orders, nation
+      WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+        AND ps_partkey = l_partkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%green%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
 def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9: profit by nation and order year for green parts.
 
@@ -113,14 +201,32 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
-            F.year("o_orderdate").alias("o_year"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
         )
-        .agg(_round2(F.sum(amount)).alias("sum_profit"))
+        .agg(_trunc2(F.sum(amount)).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
 
-@query("tpch_q11_important_stock")  # generated input → rows-only
+@query(
+    "tpch_q11_important_stock",
+    oracle=_with("partsupp", "supplier", "nation")
+    + """
+    SELECT ps_partkey, ROUND(CAST(part_value AS DOUBLE), 2) AS part_value
+    FROM (
+      SELECT ps_partkey, SUM(ps_supplycost * ps_availqty) AS part_value
+      FROM partsupp, supplier, nation
+      WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = 'GERMANY'
+      GROUP BY ps_partkey
+    ) pv
+    WHERE part_value > (
+      SELECT CAST(SUM(ps_supplycost * ps_availqty) AS DOUBLE) * 0.004
+      FROM partsupp, supplier, nation
+      WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = 'GERMANY')
+    """,
+)
 def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11: GERMANY stock lines worth over a fraction of the total.
 
@@ -148,7 +254,24 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("tpch_q12_shipmode_priority")  # generated input → rows-only
+@query(
+    "tpch_q12_shipmode_priority",
+    oracle=_with("orders", "lineitem")
+    + """
+    SELECT l_shipmode,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipmode IN ('MAIL', 'SHIP')
+      AND l_commitdate < l_receiptdate AND l_shipdate < l_commitdate
+      AND l_receiptdate >= DATE '1994-01-01'
+      AND l_receiptdate < DATE '1995-01-01'
+    GROUP BY l_shipmode
+    """,
+)
 def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12: late-shipment counts by ship mode and order priority.
 
@@ -176,7 +299,22 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("tpch_q16_supplier_part_count")  # generated input → rows-only
+@query(
+    "tpch_q16_supplier_part_count",
+    oracle=_with("partsupp", "part", "supplier")
+    + """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp, part
+    WHERE p_partkey = ps_partkey
+      AND p_brand <> 'Brand#45'
+      AND p_type NOT LIKE 'MEDIUM POLISHED%'
+      AND p_size IN (49, 14, 23, 45, 19, 3, 36, 9)
+      AND ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_comment LIKE '%special%')
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
 def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16: supplier counts by excluded-brand part groups.
 
@@ -205,7 +343,31 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("tpch_q19_discounted_revenue")  # generated input → rows-only
+@query(
+    "tpch_q19_discounted_revenue",
+    oracle=_with("lineitem", "part")
+    + """
+    SELECT CAST(floor(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE)
+                      * 100) AS DOUBLE) / 100 AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND l_shipmode IN ('AIR', 'REG AIR')
+      AND l_shipinstruct = 'DELIVER IN PERSON'
+      AND (
+        (p_brand = 'Brand#12'
+         AND p_container IN ('SM CASE', 'SM BOX', 'SM PACK', 'SM PKG')
+         AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+        OR
+        (p_brand = 'Brand#23'
+         AND p_container IN ('MED BAG', 'MED BOX', 'MED PKG', 'MED PACK')
+         AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+        OR
+        (p_brand = 'Brand#34'
+         AND p_container IN ('LG CASE', 'LG BOX', 'LG PACK', 'LG PKG')
+         AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+      )
+    """,
+)
 def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19: revenue from three disjunctive brand/container/quantity
     brackets.
@@ -244,11 +406,28 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (
         li.join(F.broadcast(p), (F.col("l_partkey") == F.col("p_partkey")) & bracket)
-        .agg(_round2(F.sum(revenue)).alias("revenue"))
+        .agg(_trunc2(F.sum(revenue)).alias("revenue"))
     )
 
 
-@query("tpch_q20_potential_promotion")  # generated input → rows-only
+@query(
+    "tpch_q20_potential_promotion",
+    oracle=_with("supplier", "nation", "partsupp", "part", "lineitem")
+    + """
+    SELECT s_name, s_address
+    FROM supplier, nation
+    WHERE s_suppkey IN (
+        SELECT ps_suppkey FROM partsupp
+        WHERE ps_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'forest%')
+          AND ps_availqty > (
+            SELECT 0.5 * SUM(l_quantity) FROM lineitem
+            WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+              AND l_shipdate >= DATE '1994-01-01'
+              AND l_shipdate < DATE '1995-01-01'))
+      AND s_nationkey = n_nationkey AND n_name = 'CANADA'
+    """,
+)
 def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20: CANADA suppliers overstocked on forest parts.
 
@@ -292,7 +471,30 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("tpch_q21_suppliers_kept_waiting")  # generated input → rows-only
+@query(
+    "tpch_q21_suppliers_kept_waiting",
+    oracle=_with("supplier", "lineitem", "orders", "nation")
+    + """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_receiptdate > l1.l_commitdate
+      AND EXISTS (
+        SELECT * FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT * FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_receiptdate > l3.l_commitdate)
+      AND s_nationkey = n_nationkey AND n_name = 'FRANCE'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
 def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21: FRANCE suppliers who alone delivered late on
     multi-supplier finalized orders.
