@@ -162,3 +162,26 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
     assert back.filter(F.col("day") == "d1").count() == 5  # untouched
     d2 = {(r.k, r.v) for r in back.filter(F.col("day") == "d2").collect()}
     assert d2 == {(i, i * 100) for i in range(3)}  # fully replaced
+
+
+def test_knn_join_is_cell_bucketed_not_all_pairs(spark):
+    """The kNN-join must never score all probe×corpus pairs: the only
+    nested-loop/cross join allowed is the constant-size centroid set
+    (ncells × dim); the candidate join must be an equi-join on the cell
+    id so both sides co-partition at scale."""
+    import re
+
+    from tpctools_spark.registry import spark_queries
+
+    df = spark_queries()["sim_knn_join"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE prints the initial plan after the final one — keep the final
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    # exactly one nested-loop join: probe × centroids (constant size)
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    # the corpus candidate join is keyed on the cell id
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[cell", plan
+    )

@@ -32,6 +32,26 @@ _SQL_DOT = (
     " p -> CAST(p[1] * p[2] AS DECIMAL(25,16)))) AS DOUBLE)"
 )
 
+# Shared oracle CTEs: double-cast vectors and decimal-exact per-label
+# (= IVF cell) centroids. The decimal mean is order-invariant, so cell
+# assignment is bitwise-reproducible across engines.
+_SQL_PREP = """
+    prep AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    )"""
+_SQL_CENT = """
+    comps AS (
+      SELECT label, unnest(e) AS val, unnest(range(1, len(e) + 1)) AS pos
+      FROM prep
+    ), cent AS (
+      SELECT label AS cell, list(c ORDER BY pos) AS centroid
+      FROM (SELECT label, pos,
+                   CAST(SUM(CAST(val AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS c
+            FROM comps GROUP BY label, pos)
+      GROUP BY label
+    )"""
+
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -49,6 +69,31 @@ def _dot(a: Column, b: Column) -> Column:
 def _sq_norm(col: Column) -> Column:
     e = _as_double(col)
     return _dot(e, e)
+
+
+def _cell_centroids(prep: DataFrame) -> DataFrame:
+    """Per-cell (label) centroids via an exact decimal component mean.
+
+    posexplode → groupBy(cell, pos) → decimal-sum/count → re-assemble;
+    shuffle-light (cells × dims rows) and order/partition-invariant, so
+    centroid-based cell selection is deterministic across engines.
+    """
+    comps = prep.select("label", F.posexplode("e").alias("pos", "val"))
+    return (
+        comps.groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(30,15)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pc", lambda s: s.getField("c")).alias("centroid"),
+        )
+    )
 
 
 @query(
@@ -104,19 +149,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_cosine_topk_ivf",
     oracle=f"""
-    WITH prep AS (
-      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings
-    ), comps AS (
-      SELECT label, unnest(e) AS val, unnest(range(1, len(e) + 1)) AS pos
-      FROM prep
-    ), cent AS (
-      SELECT label AS cell, list(c ORDER BY pos) AS centroid
-      FROM (SELECT label, pos,
-                   CAST(SUM(CAST(val AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS c
-            FROM comps GROUP BY label, pos)
-      GROUP BY label
-    ), probe AS (
+    WITH {_SQL_PREP}, {_SQL_CENT}, probe AS (
       SELECT e AS pe FROM prep WHERE vec_id = {PROBE_VEC_ID}
     ), cellscore AS (
       SELECT cell,
@@ -157,22 +190,7 @@ def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep = emb.select("vec_id", "label", _as_double(F.col("embedding")).alias("e"))
 
     # stage 1: centroids per cell (exact decimal mean → deterministic)
-    comps = prep.select("label", F.posexplode("e").alias("pos", "val"))
-    centroids = (
-        comps.groupBy("label", "pos")
-        .agg(
-            (
-                F.sum(F.col("val").cast("decimal(30,15)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("c")
-        )
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-        .select(
-            F.col("label").alias("cell"),
-            F.transform("pc", lambda s: s.getField("c")).alias("centroid"),
-        )
-    )
+    centroids = _cell_centroids(prep)
 
     probe = prep.filter(F.col("vec_id") == PROBE_VEC_ID).select(
         F.col("e").alias("pe")
@@ -318,20 +336,34 @@ def embedding_group_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.groupBy("label").applyInPandas(medoid, out_schema)
 
 
+KNN_NPROBE = 3
+
+
 @query(
     "sim_knn_join",
     oracle=f"""
-    WITH prep AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings
-    ), probes AS (
+    WITH {_SQL_PREP}, {_SQL_CENT}, probes AS (
       SELECT vec_id AS probe_id, e AS pe FROM prep WHERE vec_id % 10 = 0
+    ), cellscore AS (
+      SELECT p.probe_id, p.pe, c.cell,
+             {_SQL_DOT.format(a="c.centroid", b="p.pe")}
+               / (sqrt({_SQL_DOT.format(a="c.centroid", b="c.centroid")})
+                  * sqrt({_SQL_DOT.format(a="p.pe", b="p.pe")})) AS cc
+      FROM probes p, cent c
+    ), top_cells AS (
+      SELECT probe_id, pe, cell
+      FROM (SELECT probe_id, pe, cell,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY cc DESC, cell) AS r
+            FROM cellscore)
+      WHERE r <= {KNN_NPROBE}
     ), scored AS (
-      SELECT p.probe_id, c.vec_id AS neighbor_id,
-             {_SQL_DOT.format(a="p.pe", b="c.e")}
-               / (sqrt({_SQL_DOT.format(a="p.pe", b="p.pe")})
-                  * sqrt({_SQL_DOT.format(a="c.e", b="c.e")})) AS cos
-      FROM probes p JOIN prep c ON c.vec_id <> p.probe_id
+      SELECT t.probe_id, x.vec_id AS neighbor_id,
+             {_SQL_DOT.format(a="t.pe", b="x.e")}
+               / (sqrt({_SQL_DOT.format(a="t.pe", b="t.pe")})
+                  * sqrt({_SQL_DOT.format(a="x.e", b="x.e")})) AS cos
+      FROM top_cells t JOIN prep x ON x.label = t.cell
+      WHERE x.vec_id <> t.probe_id
     ), ranked AS (
       SELECT probe_id, neighbor_id, cos,
              ROW_NUMBER() OVER (PARTITION BY probe_id
@@ -345,25 +377,53 @@ def embedding_group_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN-join: top-3 cosine neighbors for EVERY probe vector (1-in-10
-    subsample), not just one.
+    subsample) via IVF-cell candidate generation — never all-pairs.
 
-    The two-sided similarity workload: probes broadcast against the
-    corpus scan, each partition scores its vectors against all probes,
-    and a per-probe window takes the top 3. Scales as one corpus pass ×
-    n_probes — at 100 TB the probe set is the broadcast budget and the
-    IVF cell pruning (sim_cosine_topk_ivf) bounds the scored candidates
-    instead of the full scan. Decimal-exact dots; ties broken by
-    neighbor_id, so the cut is engine-stable.
+    The scale shape: (1) per-cell centroids (decimal-exact means,
+    cells × dims rows — tiny); (2) every probe scores the centroid set
+    (a constant-size broadcast — the ONLY cross join in the plan) and
+    keeps its nprobe best cells; (3) probes equi-join the corpus on the
+    cell id, so candidate scoring shuffles by cell instead of
+    broadcasting the probe set or scoring O(N·P) pairs; (4) an exact
+    per-probe window takes the top 3. At 100 TB the scored pairs are
+    ~nprobe/ncells of all-pairs, both join sides co-partition on the
+    cell key (skewed cells split by AQE), and no relation-sized
+    broadcast exists anywhere. Decimal-exact dots; ties broken by
+    neighbor_id; the oracle replicates the same candidate generation,
+    so the pruned result is value-checked end to end.
     """
     from pyspark.sql import Window
 
     emb = table(spark, sf_dir, "embeddings")
-    prep = emb.select("vec_id", _as_double(F.col("embedding")).alias("e"))
+    prep = emb.select("vec_id", "label", _as_double(F.col("embedding")).alias("e"))
+    centroids = _cell_centroids(prep)
     probes = prep.filter(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
     )
+    # stage 2: each probe picks its nprobe nearest cells (centroid set is
+    # constant-size: ncells × dim — the one legitimate broadcast here)
+    cellscore = probes.crossJoin(F.broadcast(centroids)).select(
+        "probe_id",
+        "pe",
+        "cell",
+        (
+            _dot(F.col("centroid"), F.col("pe"))
+            / (
+                F.sqrt(_dot(F.col("centroid"), F.col("centroid")))
+                * F.sqrt(_dot(F.col("pe"), F.col("pe")))
+            )
+        ).alias("cc"),
+    )
+    wc = Window.partitionBy("probe_id").orderBy(F.col("cc").desc(), F.col("cell"))
+    top_cells = (
+        cellscore.withColumn("r", F.row_number().over(wc))
+        .filter(F.col("r") <= KNN_NPROBE)
+        .select("probe_id", "pe", "cell")
+    )
+    # stage 3: candidates via equi-join on the cell id (shuffle, not
+    # broadcast — both sides co-partition on cell at any scale)
     scored = (
-        prep.crossJoin(F.broadcast(probes))
+        top_cells.join(prep, prep.label == top_cells.cell)
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id",
