@@ -113,6 +113,35 @@ def main() -> None:
     timings["gen_tpcds"] = round(time.perf_counter() - t0, 3)
     total += timings["gen_tpcds"]
 
+    # Amortized-scale generation throughput (rows/s at sf1, all tables):
+    # the comparable figure to the reference's dsdgen 6247 s at
+    # sf1000/48-way ≈ 0.8 M rows/s (BASELINE.md). Small-SF gen timings
+    # above are ~90% fixed job-scheduling overhead, so the rows/s figure
+    # is measured at sf1 where compute dominates.
+    from tpctools_spark.generate_tpcds import CARDINALITY, rows_for
+
+    gen_stats: dict[str, int] = {}
+    # exact sf1 row counts (lineitem counted by its actual explode size)
+    tpch_rows_sf1 = {
+        "region": 5, "nation": 25, "supplier": 10_000, "customer": 150_000,
+        "part": 200_000, "partsupp": 800_000, "orders": 1_500_000,
+        "lineitem": 5_999_999,
+    }
+    t0 = time.perf_counter()
+    for t in tpch_rows_sf1:
+        build_table(spark, t, 1.0, 32).write.format("noop").mode("overwrite").save()
+    gen_stats["tpch_sf1_rows_per_s"] = round(
+        sum(tpch_rows_sf1.values()) / (time.perf_counter() - t0)
+    )
+    t0 = time.perf_counter()
+    n_rows = 0
+    for t in CARDINALITY:
+        build_tpcds_table(spark, t, 1.0, 32).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        n_rows += rows_for(t, 1.0)
+    gen_stats["tpcds_sf1_rows_per_s"] = round(n_rows / (time.perf_counter() - t0))
+
     sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
     try:
         sf_val: float | str = float(sf)
@@ -126,6 +155,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cold_queries": cold,
+                "gen_throughput": gen_stats,
                 "sf": sf_val,
             }
         )
