@@ -35,6 +35,7 @@ SUBSET = [
     "tpch_q13_customer_distribution",
     "tpch_q17_small_quantity_revenue",
     "tpch_q22_global_sales_opportunity",
+    "tpcds_q5_channel_rollup",
 ]
 
 

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tpctools_spark.generate_tpcds import build_tpcds_table
-from tpctools_spark.queries._util import trunc_digits
+from tpctools_spark.queries._util import sql_trunc_digits, trunc_digits
 from tpctools_spark.registry import query
 
 _SCALE = 0.001
@@ -37,16 +37,19 @@ _GEN_DIR = os.path.join(
 )
 _GEN_TABLES = [
     "store_sales", "catalog_sales", "web_sales", "inventory",
+    "store_returns", "catalog_returns", "web_returns",
     "date_dim", "time_dim", "item", "store", "warehouse",
     "customer", "customer_address", "customer_demographics",
-    "household_demographics", "promotion",
+    "household_demographics", "promotion", "catalog_page", "web_page",
 ]
 
 
 def _materialize(spark: SparkSession) -> None:
     """Write the generated TPC-DS tables to scratch once (pure function
-    of (table, scale) — reusable across sessions and by DuckDB)."""
-    marker = os.path.join(_GEN_DIR, "_ALL_TABLES_OK")
+    of (table, scale) — reusable across sessions and by DuckDB). The
+    marker name carries the table count so extending _GEN_TABLES
+    invalidates stale materializations."""
+    marker = os.path.join(_GEN_DIR, f"_ALL_TABLES_OK_{len(_GEN_TABLES)}")
     if os.path.exists(marker):
         return
     p = spark.sparkContext.defaultParallelism
@@ -447,4 +450,396 @@ def tpcds_q88(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i in range(8)
             ]
         )
+    )
+
+
+@query(
+    "tpcds_q1_returning_customers",
+    oracle=_with("store_returns", "date_dim", "store", "customer")
+    + """
+    , ctr AS (
+      SELECT sr_customer_sk, sr_store_sk,
+             CAST(SUM(CAST(sr_return_amt * 100 AS BIGINT)) AS BIGINT) AS ctr_cents
+      FROM store_returns
+      JOIN date_dim ON sr_returned_date_sk = d_date_sk
+      WHERE d_year = 2000
+      GROUP BY sr_customer_sk, sr_store_sk
+    ), w AS (
+      SELECT *,
+             SUM(ctr_cents) OVER (PARTITION BY sr_store_sk) AS store_cents,
+             COUNT(*) OVER (PARTITION BY sr_store_sk) AS store_cnt
+      FROM ctr
+    )
+    SELECT c_customer_id,
+           ROUND(CAST(ctr_cents AS DOUBLE) / 100, 2) AS total_return
+    FROM w
+    JOIN store ON sr_store_sk = s_store_sk
+    JOIN customer ON sr_customer_sk = c_customer_sk
+    WHERE ctr_cents * store_cnt * 10 > store_cents * 12
+    ORDER BY c_customer_id, total_return
+    LIMIT 100
+    """,
+)
+def tpcds_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q1 shape: customers returning >1.2x their store's average.
+
+    The spec's correlated scalar subquery (per-store AVG over the same
+    CTE) decorrelates into a window over the grouped returns — one
+    aggregation, one window pass, no re-scan of the fact. The threshold
+    compares in integer cents with the division cleared
+    (ctr·n·10 > total·12), so the 1.2x cut is exact on both engines at
+    any scale; only the displayed total converts to dollars.
+    """
+    from pyspark.sql.window import Window
+
+    sr = _t(spark, "store_returns")
+    dd = F.broadcast(
+        _t(spark, "date_dim").filter(F.col("d_year") == 2000).select("d_date_sk")
+    )
+    ctr = (
+        sr.join(dd, sr.sr_returned_date_sk == dd.d_date_sk)
+        .groupBy("sr_customer_sk", "sr_store_sk")
+        .agg(
+            F.sum((F.col("sr_return_amt") * 100).cast("long")).alias("ctr_cents")
+        )
+    )
+    w = Window.partitionBy("sr_store_sk")
+    st = F.broadcast(_t(spark, "store").select("s_store_sk"))
+    c = F.broadcast(
+        _t(spark, "customer").select("c_customer_sk", "c_customer_id")
+    )
+    return (
+        ctr.withColumn("store_cents", F.sum("ctr_cents").over(w))
+        .withColumn("store_cnt", F.count(F.lit(1)).over(w))
+        .filter(
+            F.col("ctr_cents") * F.col("store_cnt") * 10
+            > F.col("store_cents") * 12
+        )
+        .join(st, F.col("sr_store_sk") == st.s_store_sk)
+        .join(c, F.col("sr_customer_sk") == c.c_customer_sk)
+        .select(
+            "c_customer_id",
+            F.round(F.col("ctr_cents").cast("double") / 100, 2).alias(
+                "total_return"
+            ),
+        )
+        .orderBy("c_customer_id", "total_return")
+        .limit(100)
+    )
+
+
+_Q2_DAYS = [
+    ("Sunday", "sun"), ("Monday", "mon"), ("Tuesday", "tue"),
+    ("Wednesday", "wed"), ("Thursday", "thu"), ("Friday", "fri"),
+    ("Saturday", "sat"),
+]
+
+
+@query(
+    "tpcds_q2_weekly_yoy",
+    oracle=_with("web_sales", "catalog_sales", "date_dim")
+    + """
+    , wscs AS (
+      SELECT ws_sold_date_sk AS sold_date_sk,
+             CAST(ws_ext_sales_price * 100 AS BIGINT) AS cents
+      FROM web_sales
+      UNION ALL
+      SELECT cs_sold_date_sk,
+             CAST(cs_ext_sales_price * 100 AS BIGINT)
+      FROM catalog_sales
+    ), wswscs AS (
+      SELECT d_week_seq,
+"""
+    + ",\n".join(
+        f"             CAST(SUM(CASE WHEN d_day_name = '{day}' THEN cents END)"
+        f" AS BIGINT) AS {ab}_cents"
+        for day, ab in _Q2_DAYS
+    )
+    + """
+      FROM wscs JOIN date_dim ON sold_date_sk = d_date_sk
+      GROUP BY d_week_seq
+    )
+    SELECT y.d_week_seq AS d_week_seq1,
+"""
+    + ",\n".join(
+        "           "
+        + sql_trunc_digits(
+            f"CAST(y.{ab}_cents AS DOUBLE) / NULLIF(z.{ab}_cents, 0)", 4
+        )
+        + f" AS r_{ab}"
+        for _, ab in _Q2_DAYS
+    )
+    + """
+    FROM wswscs y
+    JOIN wswscs z ON y.d_week_seq = z.d_week_seq - 53
+    WHERE y.d_week_seq IN (SELECT d_week_seq FROM date_dim WHERE d_year = 2001)
+      AND z.d_week_seq IN (SELECT d_week_seq FROM date_dim WHERE d_year = 2002)
+    ORDER BY d_week_seq1
+    """,
+)
+def tpcds_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q2 shape: web+catalog weekly sales by day-of-week, each
+    2001 week ratioed against the same week one year (53 week-seqs) on.
+
+    The two channel facts concatenate before a single per-week pivot
+    aggregation (7 conditional sums in exact integer cents), then the
+    tiny per-week table self-joins on the shifted week key — fact data
+    is touched exactly once. Year membership is a semi-join against
+    date_dim so boundary-straddling weeks can't duplicate rows. Ratios
+    divide once in double and truncate to 4 digits (cross-engine-stable;
+    see _util.trunc_digits).
+    """
+    ws = _t(spark, "web_sales").select(
+        F.col("ws_sold_date_sk").alias("sold_date_sk"),
+        (F.col("ws_ext_sales_price") * 100).cast("long").alias("cents"),
+    )
+    cs = _t(spark, "catalog_sales").select(
+        F.col("cs_sold_date_sk").alias("sold_date_sk"),
+        (F.col("cs_ext_sales_price") * 100).cast("long").alias("cents"),
+    )
+    dd = F.broadcast(
+        _t(spark, "date_dim").select("d_date_sk", "d_week_seq", "d_day_name")
+    )
+    wk = (
+        ws.unionByName(cs)
+        .join(dd, F.col("sold_date_sk") == dd.d_date_sk)
+        .groupBy("d_week_seq")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("d_day_name") == day, F.col("cents"))
+                ).alias(f"{ab}_cents")
+                for day, ab in _Q2_DAYS
+            ]
+        )
+    )
+    dates = _t(spark, "date_dim")
+
+    def weeks_of(year: int) -> DataFrame:
+        return F.broadcast(
+            dates.filter(F.col("d_year") == year).select("d_week_seq").distinct()
+        )
+
+    y = wk.join(weeks_of(2001), "d_week_seq", "semi").alias("y")
+    z = wk.join(weeks_of(2002), "d_week_seq", "semi").alias("z")
+    ratio = [
+        trunc_digits(
+            F.col(f"y.{ab}_cents").cast("double")
+            / F.when(F.col(f"z.{ab}_cents") != 0, F.col(f"z.{ab}_cents")),
+            4,
+        ).alias(f"r_{ab}")
+        for _, ab in _Q2_DAYS
+    ]
+    return (
+        y.join(z, F.col("y.d_week_seq") == F.col("z.d_week_seq") - 53)
+        .select(F.col("y.d_week_seq").alias("d_week_seq1"), *ratio)
+        .orderBy("d_week_seq1")
+    )
+
+
+@query(
+    "tpcds_q5_channel_rollup",
+    oracle=_with(
+        "store_sales", "store_returns", "catalog_sales", "catalog_returns",
+        "web_sales", "web_returns", "date_dim",
+    )
+    + """
+    , legs AS (
+      SELECT 'store channel' AS channel,
+             COALESCE(ss_store_sk, -1) AS id, ss_sold_date_sk AS date_sk,
+             CAST(ss_ext_sales_price * 100 AS BIGINT) AS sales_cents,
+             CAST(0 AS BIGINT) AS returns_cents,
+             CAST(ss_net_profit * 100 AS BIGINT) AS profit_cents
+      FROM store_sales
+      UNION ALL
+      SELECT 'store channel', COALESCE(sr_store_sk, -1), sr_returned_date_sk,
+             0, CAST(sr_return_amt * 100 AS BIGINT),
+             -CAST(sr_net_loss * 100 AS BIGINT)
+      FROM store_returns
+      UNION ALL
+      SELECT 'catalog channel', COALESCE(cs_catalog_page_sk, -1), cs_sold_date_sk,
+             CAST(cs_ext_sales_price * 100 AS BIGINT), 0,
+             CAST(cs_net_profit * 100 AS BIGINT)
+      FROM catalog_sales
+      UNION ALL
+      SELECT 'catalog channel', COALESCE(cr_catalog_page_sk, -1), cr_returned_date_sk,
+             0, CAST(cr_return_amount * 100 AS BIGINT),
+             -CAST(cr_net_loss * 100 AS BIGINT)
+      FROM catalog_returns
+      UNION ALL
+      SELECT 'web channel', COALESCE(ws_web_page_sk, -1), ws_sold_date_sk,
+             CAST(ws_ext_sales_price * 100 AS BIGINT), 0,
+             CAST(ws_net_profit * 100 AS BIGINT)
+      FROM web_sales
+      UNION ALL
+      SELECT 'web channel', COALESCE(wr_web_page_sk, -1), wr_returned_date_sk,
+             0, CAST(wr_return_amt * 100 AS BIGINT),
+             -CAST(wr_net_loss * 100 AS BIGINT)
+      FROM web_returns
+    )
+    SELECT channel, id,
+           ROUND(CAST(SUM(sales_cents) AS DOUBLE) / 100, 2) AS sales,
+           ROUND(CAST(SUM(returns_cents) AS DOUBLE) / 100, 2) AS returns_amt,
+           ROUND(CAST(SUM(profit_cents) AS DOUBLE) / 100, 2) AS profit
+    FROM legs
+    JOIN date_dim ON date_sk = d_date_sk
+    WHERE d_year = 2002
+    GROUP BY ROLLUP(channel, id)
+    """,
+)
+def tpcds_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q5 shape: sales/returns/profit per channel entity with a
+    channel → entity → grand-total rollup across all six facts.
+
+    Each fact normalizes to one (channel, id, sales, returns, profit)
+    leg — returns carry negated net_loss so profit is SUM-only, no
+    join between sales and returns is ever needed. All money moves as
+    integer cents (exact under any partitioning/union order); null
+    entity FKs coalesce to -1 so data nulls stay distinct from the
+    rollup's subtotal NULLs on both engines.
+    """
+    def leg(df: DataFrame, channel: str, id_col: str, date_col: str,
+            sales: str | None, returns_: str | None,
+            profit: str, negate: bool) -> DataFrame:
+        cents = lambda c: (F.col(c) * 100).cast("long")  # noqa: E731
+        zero = F.lit(0).cast("long")
+        p = cents(profit)
+        return df.select(
+            F.lit(channel).alias("channel"),
+            F.coalesce(F.col(id_col), F.lit(-1)).alias("id"),
+            F.col(date_col).alias("date_sk"),
+            (cents(sales) if sales else zero).alias("sales_cents"),
+            (cents(returns_) if returns_ else zero).alias("returns_cents"),
+            (-p if negate else p).alias("profit_cents"),
+        )
+
+    legs = (
+        leg(_t(spark, "store_sales"), "store channel", "ss_store_sk",
+            "ss_sold_date_sk", "ss_ext_sales_price", None, "ss_net_profit", False)
+        .unionByName(
+            leg(_t(spark, "store_returns"), "store channel", "sr_store_sk",
+                "sr_returned_date_sk", None, "sr_return_amt", "sr_net_loss", True))
+        .unionByName(
+            leg(_t(spark, "catalog_sales"), "catalog channel", "cs_catalog_page_sk",
+                "cs_sold_date_sk", "cs_ext_sales_price", None, "cs_net_profit", False))
+        .unionByName(
+            leg(_t(spark, "catalog_returns"), "catalog channel", "cr_catalog_page_sk",
+                "cr_returned_date_sk", None, "cr_return_amount", "cr_net_loss", True))
+        .unionByName(
+            leg(_t(spark, "web_sales"), "web channel", "ws_web_page_sk",
+                "ws_sold_date_sk", "ws_ext_sales_price", None, "ws_net_profit", False))
+        .unionByName(
+            leg(_t(spark, "web_returns"), "web channel", "wr_web_page_sk",
+                "wr_returned_date_sk", None, "wr_return_amt", "wr_net_loss", True))
+    )
+    dd = F.broadcast(
+        _t(spark, "date_dim").filter(F.col("d_year") == 2002).select("d_date_sk")
+    )
+    dollars = lambda c: F.round(F.sum(c).cast("double") / 100, 2)  # noqa: E731
+    return (
+        legs.join(dd, F.col("date_sk") == dd.d_date_sk)
+        .rollup("channel", "id")
+        .agg(
+            dollars("sales_cents").alias("sales"),
+            dollars("returns_cents").alias("returns_amt"),
+            dollars("profit_cents").alias("profit"),
+        )
+        .select("channel", "id", "sales", "returns_amt", "profit")
+    )
+
+
+@query(
+    "tpcds_q42_category_revenue",
+    oracle=_with("store_sales", "date_dim", "item")
+    + """
+    SELECT d_year, i_category_id, i_category,
+           ROUND(CAST(SUM(ss_ext_sales_price) AS DOUBLE), 2) AS sum_sales
+    FROM store_sales
+    JOIN date_dim ON ss_sold_date_sk = d_date_sk
+    JOIN item ON ss_item_sk = i_item_sk
+    WHERE d_moy = 11 AND d_year = 2000 AND i_manager_id <= 500
+    GROUP BY d_year, i_category_id, i_category
+    ORDER BY sum_sales DESC, d_year, i_category_id, i_category
+    LIMIT 100
+    """,
+)
+def tpcds_q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q42 shape: November revenue by item category for one
+    manager tier.
+
+    Cheapest star variant: both dimension filters (month on date_dim,
+    manager tier on item) prune inside their broadcast builds, so the
+    fact scan is the only distributed input and the category grouping
+    the only exchange.
+    """
+    ss = _t(spark, "store_sales")
+    dd = F.broadcast(
+        _t(spark, "date_dim")
+        .filter((F.col("d_moy") == 11) & (F.col("d_year") == 2000))
+        .select("d_date_sk", "d_year")
+    )
+    it = F.broadcast(
+        _t(spark, "item")
+        .filter(F.col("i_manager_id") <= 500)
+        .select("i_item_sk", "i_category_id", "i_category")
+    )
+    return (
+        ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .join(it, ss.ss_item_sk == it.i_item_sk)
+        .groupBy("d_year", "i_category_id", "i_category")
+        .agg(
+            F.round(F.sum("ss_ext_sales_price").cast("double"), 2).alias(
+                "sum_sales"
+            )
+        )
+        .orderBy(
+            F.col("sum_sales").desc(), "d_year", "i_category_id", "i_category"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "tpcds_q52_brand_revenue",
+    oracle=_with("store_sales", "date_dim", "item")
+    + """
+    SELECT d_year, i_brand_id, i_brand,
+           ROUND(CAST(SUM(ss_ext_sales_price) AS DOUBLE), 2) AS ext_price
+    FROM store_sales
+    JOIN date_dim ON ss_sold_date_sk = d_date_sk
+    JOIN item ON ss_item_sk = i_item_sk
+    WHERE d_moy = 11 AND d_year = 2000 AND i_manager_id <= 500
+    GROUP BY d_year, i_brand_id, i_brand
+    ORDER BY d_year, ext_price DESC, i_brand_id
+    LIMIT 100
+    """,
+)
+def tpcds_q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q52 shape: Q42's slice regrouped by brand — the spec pairs
+    these as the minimal star-join family (same joins, different
+    grouping column), so both share one physical shape: pruned broadcast
+    dims, single fact exchange.
+    """
+    ss = _t(spark, "store_sales")
+    dd = F.broadcast(
+        _t(spark, "date_dim")
+        .filter((F.col("d_moy") == 11) & (F.col("d_year") == 2000))
+        .select("d_date_sk", "d_year")
+    )
+    it = F.broadcast(
+        _t(spark, "item")
+        .filter(F.col("i_manager_id") <= 500)
+        .select("i_item_sk", "i_brand_id", "i_brand")
+    )
+    return (
+        ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .join(it, ss.ss_item_sk == it.i_item_sk)
+        .groupBy("d_year", "i_brand_id", "i_brand")
+        .agg(
+            F.round(F.sum("ss_ext_sales_price").cast("double"), 2).alias(
+                "ext_price"
+            )
+        )
+        .orderBy("d_year", F.col("ext_price").desc(), "i_brand_id")
+        .limit(100)
     )
