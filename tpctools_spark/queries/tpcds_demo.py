@@ -41,6 +41,7 @@ _GEN_TABLES = [
     "date_dim", "time_dim", "item", "store", "warehouse",
     "customer", "customer_address", "customer_demographics",
     "household_demographics", "promotion", "catalog_page", "web_page",
+    "reason",
 ]
 
 
@@ -842,4 +843,345 @@ def tpcds_q52(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d_year", F.col("ext_price").desc(), "i_brand_id")
         .limit(100)
+    )
+
+
+@query(
+    "tpcds_q26_catalog_demographics",
+    oracle=_with(
+        "catalog_sales", "customer_demographics", "date_dim", "item", "promotion"
+    )
+    + """
+    SELECT i_item_id,
+           CAST(floor(CAST(SUM(cs_quantity) AS DOUBLE) / COUNT(cs_quantity)
+                      * 10000) AS DOUBLE) / 10000 AS agg1,
+           CAST(floor(CAST(SUM(cs_list_price) AS DOUBLE) / COUNT(cs_list_price)
+                      * 10000) AS DOUBLE) / 10000 AS agg2,
+           CAST(floor(CAST(SUM(cs_coupon_amt) AS DOUBLE) / COUNT(cs_coupon_amt)
+                      * 10000) AS DOUBLE) / 10000 AS agg3,
+           CAST(floor(CAST(SUM(cs_sales_price) AS DOUBLE) / COUNT(cs_sales_price)
+                      * 10000) AS DOUBLE) / 10000 AS agg4
+    FROM catalog_sales
+    JOIN customer_demographics ON cs_bill_cdemo_sk = cd_demo_sk
+    JOIN date_dim ON cs_sold_date_sk = d_date_sk
+    JOIN promotion ON cs_promo_sk = p_promo_sk
+    JOIN item ON cs_item_sk = i_item_sk
+    WHERE cd_gender = 'M' AND cd_marital_status = 'S'
+      AND cd_education_status = 'College'
+      AND d_year = 2000
+      AND (p_channel_email = 'N' OR p_channel_event = 'N')
+    GROUP BY i_item_id
+    ORDER BY i_item_id
+    LIMIT 100
+    """,
+)
+def tpcds_q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q26 shape: the catalog-channel twin of Q7 — per-item
+    averages for a demographic slice under no-response promotions.
+
+    Same physical plan family as Q7 (four pruned broadcast dims, one
+    fact exchange); exercising it against catalog_sales proves the
+    star scaffolding is channel-agnostic. Averages are exact-sum /
+    count truncated to 4 digits (module docstring).
+    """
+    cs = _t(spark, "catalog_sales")
+    cd = F.broadcast(
+        _t(spark, "customer_demographics")
+        .filter(
+            (F.col("cd_gender") == "M")
+            & (F.col("cd_marital_status") == "S")
+            & (F.col("cd_education_status") == "College")
+        )
+        .select("cd_demo_sk")
+    )
+    dd = F.broadcast(
+        _t(spark, "date_dim").filter(F.col("d_year") == 2000).select("d_date_sk")
+    )
+    it = F.broadcast(_t(spark, "item").select("i_item_sk", "i_item_id"))
+    pr = F.broadcast(
+        _t(spark, "promotion")
+        .filter((F.col("p_channel_email") == "N") | (F.col("p_channel_event") == "N"))
+        .select("p_promo_sk")
+    )
+    return (
+        cs.join(cd, cs.cs_bill_cdemo_sk == cd.cd_demo_sk)
+        .join(dd, cs.cs_sold_date_sk == dd.d_date_sk)
+        .join(pr, cs.cs_promo_sk == pr.p_promo_sk)
+        .join(it, cs.cs_item_sk == it.i_item_sk)
+        .groupBy("i_item_id")
+        .agg(
+            _avg4(F.sum("cs_quantity"), F.count("cs_quantity")).alias("agg1"),
+            _avg4(F.sum("cs_list_price"), F.count("cs_list_price")).alias("agg2"),
+            _avg4(F.sum("cs_coupon_amt"), F.count("cs_coupon_amt")).alias("agg3"),
+            _avg4(F.sum("cs_sales_price"), F.count("cs_sales_price")).alias("agg4"),
+        )
+        .orderBy("i_item_id")
+        .limit(100)
+    )
+
+
+@query(
+    "tpcds_q36_margin_rank",
+    oracle=_with("store_sales", "date_dim", "item", "store")
+    + """
+    , grp AS (
+      SELECT i_category, i_class,
+             GROUPING(i_category) * 2 + GROUPING(i_class) AS lochierarchy,
+             CAST(SUM(CAST(ss_net_profit * 100 AS BIGINT)) AS BIGINT) AS profit_cents,
+             CAST(SUM(CAST(ss_ext_sales_price * 100 AS BIGINT)) AS BIGINT) AS sales_cents
+      FROM store_sales
+      JOIN date_dim ON ss_sold_date_sk = d_date_sk
+      JOIN item ON ss_item_sk = i_item_sk
+      JOIN store ON ss_store_sk = s_store_sk
+      WHERE d_year = 2001
+      GROUP BY ROLLUP(i_category, i_class)
+    )
+    SELECT i_category, i_class, lochierarchy,
+    """
+    + sql_trunc_digits("CAST(profit_cents AS DOUBLE) / NULLIF(sales_cents, 0)", 6)
+    + """ AS gross_margin,
+           RANK() OVER (
+             PARTITION BY lochierarchy, CASE WHEN lochierarchy = 1
+                                             THEN i_category END
+             ORDER BY CAST(profit_cents AS DOUBLE) / NULLIF(sales_cents, 0) ASC,
+                      i_category NULLS FIRST, i_class NULLS FIRST
+           ) AS rank_within_parent
+    FROM grp
+    """,
+)
+def tpcds_q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q36 shape: gross margin by category/class rollup, each
+    level ranked within its parent.
+
+    The grouping level comes from GROUPING flags (identical bitmask
+    semantics in Spark's grouping() and DuckDB's GROUPING()), so
+    subtotal rows are first-class join/window keys — the window
+    partitions on (level, parent category) exactly as the spec's
+    lochierarchy does. Margins divide once in double from exact cent
+    sums and truncate to 6 digits; the rank orders by the same double
+    with a deterministic NULLS FIRST tie-break.
+    """
+    from pyspark.sql.window import Window
+
+    ss = _t(spark, "store_sales")
+    dd = F.broadcast(
+        _t(spark, "date_dim").filter(F.col("d_year") == 2001).select("d_date_sk")
+    )
+    it = F.broadcast(_t(spark, "item").select("i_item_sk", "i_category", "i_class"))
+    st = F.broadcast(_t(spark, "store").select("s_store_sk"))
+    cents = lambda c: F.sum((F.col(c) * 100).cast("long"))  # noqa: E731
+    grp = (
+        ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .join(it, ss.ss_item_sk == it.i_item_sk)
+        .join(st, ss.ss_store_sk == st.s_store_sk)
+        .rollup("i_category", "i_class")
+        .agg(
+            (F.grouping("i_category") * 2 + F.grouping("i_class")).alias(
+                "lochierarchy"
+            ),
+            cents("ss_net_profit").alias("profit_cents"),
+            cents("ss_ext_sales_price").alias("sales_cents"),
+        )
+    )
+    margin = F.col("profit_cents").cast("double") / F.when(
+        F.col("sales_cents") != 0, F.col("sales_cents")
+    )
+    w = Window.partitionBy(
+        "lochierarchy",
+        F.when(F.col("lochierarchy") == 1, F.col("i_category")),
+    ).orderBy(
+        margin.asc(),
+        F.col("i_category").asc_nulls_first(),
+        F.col("i_class").asc_nulls_first(),
+    )
+    return grp.select(
+        "i_category",
+        "i_class",
+        "lochierarchy",
+        trunc_digits(margin, 6).alias("gross_margin"),
+        F.rank().over(w).alias("rank_within_parent"),
+    )
+
+
+@query(
+    "tpcds_q90_am_pm_ratio",
+    oracle=_with("web_sales", "household_demographics", "time_dim", "web_page")
+    + """
+    , am AS (
+      SELECT COUNT(*) AS amc FROM web_sales
+      JOIN household_demographics ON ws_ship_hdemo_sk = hd_demo_sk
+      JOIN time_dim ON ws_sold_time_sk = t_time_sk
+      JOIN web_page ON ws_web_page_sk = wp_web_page_sk
+      WHERE t_hour BETWEEN 8 AND 9 AND hd_dep_count = 6
+        AND wp_char_count BETWEEN 500 AND 1000
+    ), pm AS (
+      SELECT COUNT(*) AS pmc FROM web_sales
+      JOIN household_demographics ON ws_ship_hdemo_sk = hd_demo_sk
+      JOIN time_dim ON ws_sold_time_sk = t_time_sk
+      JOIN web_page ON ws_web_page_sk = wp_web_page_sk
+      WHERE t_hour BETWEEN 19 AND 20 AND hd_dep_count = 6
+        AND wp_char_count BETWEEN 500 AND 1000
+    )
+    SELECT CAST(amc AS BIGINT) AS amc, CAST(pmc AS BIGINT) AS pmc,
+    """
+    + sql_trunc_digits("CAST(amc AS DOUBLE) / NULLIF(pmc, 0)", 6)
+    + """ AS am_pm_ratio
+    FROM am, pm
+    """,
+)
+def tpcds_q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q90 shape: morning vs evening web order counts as one
+    ratio row.
+
+    Rather than the spec's two scalar subqueries (two fact scans), one
+    scan feeds two conditional counts over the union of both hour
+    bands — halving fact IO; the cross join of two singleton CTEs
+    collapses into a single global aggregate. Counts are exact ints;
+    the single ratio divides once and truncates.
+    """
+    ws = _t(spark, "web_sales")
+    hd = F.broadcast(
+        _t(spark, "household_demographics")
+        .filter(F.col("hd_dep_count") == 6)
+        .select("hd_demo_sk")
+    )
+    td = F.broadcast(
+        _t(spark, "time_dim")
+        .filter(F.col("t_hour").between(8, 9) | F.col("t_hour").between(19, 20))
+        .select("t_time_sk", "t_hour")
+    )
+    wp = F.broadcast(
+        _t(spark, "web_page")
+        .filter(F.col("wp_char_count").between(500, 1000))
+        .select("wp_web_page_sk")
+    )
+    zero = F.lit(0).cast("long")
+    agg = (
+        ws.join(hd, ws.ws_ship_hdemo_sk == hd.hd_demo_sk)
+        .join(td, ws.ws_sold_time_sk == td.t_time_sk)
+        .join(wp, ws.ws_web_page_sk == wp.wp_web_page_sk)
+        .groupBy()
+        .agg(
+            # COUNT semantics: empty input is 0, never NULL
+            F.coalesce(
+                F.sum(F.col("t_hour").between(8, 9).cast("long")), zero
+            ).alias("amc"),
+            F.coalesce(
+                F.sum(F.col("t_hour").between(19, 20).cast("long")), zero
+            ).alias("pmc"),
+        )
+    )
+    ratio = trunc_digits(
+        F.col("amc").cast("double") / F.when(F.col("pmc") != 0, F.col("pmc")), 6
+    )
+    return agg.select("amc", "pmc", ratio.alias("am_pm_ratio"))
+
+
+@query(
+    "tpcds_q93_actual_sales",
+    oracle=_with("store_sales", "store_returns", "reason")
+    + """
+    , t AS (
+      SELECT ss_customer_sk,
+             CASE WHEN sr_return_quantity IS NOT NULL
+                  THEN CAST((ss_quantity - sr_return_quantity)
+                            * CAST(ss_sales_price * 100 AS BIGINT) AS BIGINT)
+                  ELSE CAST(ss_quantity
+                            * CAST(ss_sales_price * 100 AS BIGINT) AS BIGINT)
+             END AS act_cents
+      FROM store_sales
+      LEFT JOIN store_returns ON ss_item_sk = sr_item_sk
+                             AND ss_ticket_number = sr_ticket_number
+      LEFT JOIN reason ON sr_reason_sk = r_reason_sk
+      WHERE sr_item_sk IS NULL OR r_reason_sk <= 17
+    )
+    SELECT ss_customer_sk,
+           ROUND(CAST(SUM(act_cents) AS DOUBLE) / 100, 2) AS sumsales
+    FROM t
+    GROUP BY ss_customer_sk
+    ORDER BY sumsales, ss_customer_sk
+    LIMIT 100
+    """,
+)
+def tpcds_q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q93 shape: per-customer sales net of returns for one
+    reason family — a fact-to-fact join.
+
+    store_sales LEFT-joins store_returns on the composite natural key
+    (item, ticket); at scale both facts shuffle-hash on that pair —
+    the one legitimately wide join in the TPC-DS set here, kept to a
+    single exchange per side with the tiny reason dim applied to the
+    returns side. Unreturned lines keep full quantity; returned lines
+    subtract the returned quantity. Money in exact cents.
+    """
+    ss = _t(spark, "store_sales").select(
+        "ss_customer_sk", "ss_item_sk", "ss_ticket_number",
+        "ss_quantity", "ss_sales_price",
+    )
+    sr = _t(spark, "store_returns").select(
+        "sr_item_sk", "sr_ticket_number", "sr_reason_sk", "sr_return_quantity"
+    )
+    r = F.broadcast(_t(spark, "reason").select("r_reason_sk"))
+    joined = (
+        ss.join(
+            sr,
+            (ss.ss_item_sk == sr.sr_item_sk)
+            & (ss.ss_ticket_number == sr.sr_ticket_number),
+            "left",
+        )
+        .join(r, sr.sr_reason_sk == r.r_reason_sk, "left")
+        .filter(F.col("sr_item_sk").isNull() | (F.col("r_reason_sk") <= 17))
+    )
+    price_cents = (F.col("ss_sales_price") * 100).cast("long")
+    act = F.when(
+        F.col("sr_return_quantity").isNotNull(),
+        (F.col("ss_quantity") - F.col("sr_return_quantity")) * price_cents,
+    ).otherwise(F.col("ss_quantity") * price_cents)
+    return (
+        joined.select("ss_customer_sk", act.alias("act_cents"))
+        .groupBy("ss_customer_sk")
+        .agg(F.round(F.sum("act_cents").cast("double") / 100, 2).alias("sumsales"))
+        .orderBy("sumsales", "ss_customer_sk")
+        .limit(100)
+    )
+
+
+@query(
+    "tpcds_q96_evening_traffic",
+    oracle=_with("store_sales", "household_demographics", "time_dim", "store")
+    + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM store_sales
+    JOIN household_demographics ON ss_hdemo_sk = hd_demo_sk
+    JOIN time_dim ON ss_sold_time_sk = t_time_sk
+    JOIN store ON ss_store_sk = s_store_sk
+    WHERE t_hour = 20 AND t_minute >= 30 AND hd_dep_count = 7
+    """,
+)
+def tpcds_q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q96 shape: one COUNT(*) through three pruned broadcast
+    dims — the minimal star probe the spec uses to measure pure join
+    throughput. All selectivity lives in the dimension builds
+    (half-hour slot, dependent count), so the fact scan is the only
+    distributed work and no exchange survives except the final
+    single-row reduce.
+    """
+    ss = _t(spark, "store_sales")
+    hd = F.broadcast(
+        _t(spark, "household_demographics")
+        .filter(F.col("hd_dep_count") == 7)
+        .select("hd_demo_sk")
+    )
+    td = F.broadcast(
+        _t(spark, "time_dim")
+        .filter((F.col("t_hour") == 20) & (F.col("t_minute") >= 30))
+        .select("t_time_sk")
+    )
+    st = F.broadcast(_t(spark, "store").select("s_store_sk"))
+    return (
+        ss.join(hd, ss.ss_hdemo_sk == hd.hd_demo_sk)
+        .join(td, ss.ss_sold_time_sk == td.t_time_sk)
+        .join(st, ss.ss_store_sk == st.s_store_sk)
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
