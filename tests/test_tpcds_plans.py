@@ -1,0 +1,93 @@
+"""Physical-plan assertions for the TPC-DS query shapes.
+
+The correctness gate (check_oracle / driver) proves values; these prove
+the plans carry the 100 TB posture the docstrings claim: dimensions
+broadcast, facts shuffle only where the shape requires it.
+"""
+
+from __future__ import annotations
+
+
+def _plan(df) -> str:
+    df.collect()
+    s = df._jdf.queryExecution().executedPlan().toString()
+    # AQE prints "== Final Plan ==" followed by "== Initial Plan ==";
+    # assert only against the plan that actually ran
+    return s.split("== Initial Plan ==")[0]
+
+
+def test_q96_star_probe_all_dims_broadcast(spark):
+    """Every dim joins as BroadcastHashJoin; the fact side never
+    exchanges before the final single-row reduce."""
+    from tpctools_spark.registry import spark_queries
+
+    plan = _plan(
+        spark_queries()["tpcds_q96_evening_traffic"](spark, "/root/testdata/sf0.001")
+    )
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    # only exchanges: broadcast distribution + the global agg's SinglePartition
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            raise AssertionError(f"unexpected wide exchange: {line}")
+
+
+def test_q93_fact_fact_join_is_shuffle_not_broadcast_at_scale(spark):
+    """With broadcast disabled (at 100 TB neither fact fits), the
+    composite-key join degrades to exactly one exchange per side on
+    (item, ticket) — no nested loop, no replication."""
+    from tpctools_spark.registry import spark_queries
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(
+            spark_queries()["tpcds_q93_actual_sales"](spark, "/root/testdata/sf0.001")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q5_single_wide_exchange_for_rollup(spark):
+    """Six fact legs union map-side; the only wide shuffle is the
+    rollup's aggregation exchange (expand → partial agg → exchange)."""
+    from tpctools_spark.registry import spark_queries
+
+    plan = _plan(
+        spark_queries()["tpcds_q5_channel_rollup"](spark, "/root/testdata/sf0.001")
+    )
+    assert "Expand" in plan  # rollup lattice
+    wide = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    # AQE may reuse the exchange; every wide exchange must be the
+    # rollup grouping, never a join-key redistribution of a fact leg
+    assert wide, "expected the rollup aggregation exchange"
+    for ln in wide:
+        assert "channel" in ln, f"unexpected wide exchange: {ln}"
+
+
+def test_q36_grouping_levels_match_spec_lattice(spark):
+    """ROLLUP emits exactly the 3 hierarchy levels with the spec's
+    lochierarchy encoding (0=leaf, 1=category subtotal, 3=grand)."""
+    from tpctools_spark.registry import spark_queries
+
+    rows = (
+        spark_queries()["tpcds_q36_margin_rank"](spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    levels = {r.lochierarchy for r in rows}
+    assert levels == {0, 1, 3}
+    grand = [r for r in rows if r.lochierarchy == 3]
+    assert len(grand) == 1
+    assert grand[0].i_category is None and grand[0].i_class is None
+    # ranks restart inside each (level, parent) partition
+    leaf_ranks = sorted(
+        r.rank_within_parent
+        for r in rows
+        if r.lochierarchy == 0 and r.i_category == rows[0].i_category
+    )
+    assert leaf_ranks[0] == 1
