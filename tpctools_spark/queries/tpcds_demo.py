@@ -1185,3 +1185,385 @@ def tpcds_q96(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy()
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@query(
+    "tpcds_q19_brand_geo_mismatch",
+    oracle=_with(
+        "store_sales", "date_dim", "item", "customer", "customer_address", "store"
+    )
+    + """
+    SELECT i_brand_id, i_brand, i_manufact_id, i_manufact,
+           ROUND(CAST(SUM(ss_ext_sales_price) AS DOUBLE), 2) AS ext_price
+    FROM store_sales
+    JOIN date_dim ON ss_sold_date_sk = d_date_sk
+    JOIN item ON ss_item_sk = i_item_sk
+    JOIN customer ON ss_customer_sk = c_customer_sk
+    JOIN customer_address ON c_current_addr_sk = ca_address_sk
+    JOIN store ON ss_store_sk = s_store_sk
+    WHERE d_moy = 11 AND d_year = 1999 AND i_manager_id <= 500
+      AND substring(ca_zip, 1, 5) <> substring(s_zip, 1, 5)
+    GROUP BY i_brand_id, i_brand, i_manufact_id, i_manufact
+    ORDER BY ext_price DESC, i_brand_id, i_manufact_id
+    LIMIT 100
+    """,
+)
+def tpcds_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q19 shape: brand revenue from customers shopping outside
+    their home zip.
+
+    The geography residual compares columns of two *different*
+    dimensions (customer_address.ca_zip vs store.s_zip), so it can
+    only evaluate after both broadcast joins — Catalyst keeps each
+    dim's own filters pushed while the cross-dim predicate floats to
+    the first point both sides exist. Fact scan remains the only
+    distributed input.
+    """
+    ss = _t(spark, "store_sales")
+    dd = F.broadcast(
+        _t(spark, "date_dim")
+        .filter((F.col("d_moy") == 11) & (F.col("d_year") == 1999))
+        .select("d_date_sk")
+    )
+    it = F.broadcast(
+        _t(spark, "item")
+        .filter(F.col("i_manager_id") <= 500)
+        .select("i_item_sk", "i_brand_id", "i_brand", "i_manufact_id", "i_manufact")
+    )
+    c = F.broadcast(_t(spark, "customer").select("c_customer_sk", "c_current_addr_sk"))
+    ca = F.broadcast(_t(spark, "customer_address").select("ca_address_sk", "ca_zip"))
+    st = F.broadcast(_t(spark, "store").select("s_store_sk", "s_zip"))
+    return (
+        ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .join(it, ss.ss_item_sk == it.i_item_sk)
+        .join(c, ss.ss_customer_sk == c.c_customer_sk)
+        .join(ca, c.c_current_addr_sk == ca.ca_address_sk)
+        .join(st, ss.ss_store_sk == st.s_store_sk)
+        .filter(F.substring("ca_zip", 1, 5) != F.substring("s_zip", 1, 5))
+        .groupBy("i_brand_id", "i_brand", "i_manufact_id", "i_manufact")
+        .agg(
+            F.round(F.sum("ss_ext_sales_price").cast("double"), 2).alias(
+                "ext_price"
+            )
+        )
+        .orderBy(F.col("ext_price").desc(), "i_brand_id", "i_manufact_id")
+        .limit(100)
+    )
+
+
+@query(
+    "tpcds_q25_resale_chain",
+    oracle=_with(
+        "store_sales", "store_returns", "catalog_sales", "date_dim", "item"
+    )
+    + """
+    SELECT i_item_id,
+           ROUND(CAST(SUM(ss_net_profit)  AS DOUBLE), 2) AS store_profit,
+           ROUND(CAST(SUM(sr_net_loss)    AS DOUBLE), 2) AS return_loss,
+           ROUND(CAST(SUM(cs_net_profit)  AS DOUBLE), 2) AS catalog_profit
+    FROM store_sales
+    JOIN store_returns ON ss_item_sk = sr_item_sk
+                      AND ss_ticket_number = sr_ticket_number
+    JOIN catalog_sales ON sr_item_sk = cs_item_sk
+                      AND sr_customer_sk = cs_bill_customer_sk
+    JOIN date_dim ON ss_sold_date_sk = d_date_sk
+    JOIN item ON ss_item_sk = i_item_sk
+    WHERE d_year = 2000
+    GROUP BY i_item_id
+    ORDER BY i_item_id
+    LIMIT 100
+    """,
+)
+def tpcds_q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q25 shape: sold → returned → re-bought-by-catalog chain
+    across three facts.
+
+    The only multi-fact join chain in the family: store_sales ⋈
+    store_returns on the (item, ticket) natural key, then the
+    returner's re-purchase via (item, customer) against catalog_sales.
+    At scale each hop shuffles both sides on its own composite key —
+    two wide exchanges, no broadcast possible, which is exactly the
+    shape AQE's skew handling exists for. Dims stay broadcast.
+    """
+    ss = _t(spark, "store_sales").select(
+        "ss_item_sk", "ss_ticket_number", "ss_sold_date_sk", "ss_net_profit"
+    )
+    sr = _t(spark, "store_returns").select(
+        "sr_item_sk", "sr_ticket_number", "sr_customer_sk", "sr_net_loss"
+    )
+    cs = _t(spark, "catalog_sales").select(
+        "cs_item_sk", "cs_bill_customer_sk", "cs_net_profit"
+    )
+    dd = F.broadcast(
+        _t(spark, "date_dim").filter(F.col("d_year") == 2000).select("d_date_sk")
+    )
+    it = F.broadcast(_t(spark, "item").select("i_item_sk", "i_item_id"))
+    return (
+        ss.join(
+            sr,
+            (ss.ss_item_sk == sr.sr_item_sk)
+            & (ss.ss_ticket_number == sr.sr_ticket_number),
+        )
+        .join(
+            cs,
+            (sr.sr_item_sk == cs.cs_item_sk)
+            & (sr.sr_customer_sk == cs.cs_bill_customer_sk),
+        )
+        .join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .join(it, ss.ss_item_sk == it.i_item_sk)
+        .groupBy("i_item_id")
+        .agg(
+            F.round(F.sum("ss_net_profit").cast("double"), 2).alias("store_profit"),
+            F.round(F.sum("sr_net_loss").cast("double"), 2).alias("return_loss"),
+            F.round(F.sum("cs_net_profit").cast("double"), 2).alias("catalog_profit"),
+        )
+        .orderBy("i_item_id")
+        .limit(100)
+    )
+
+
+@query(
+    "tpcds_q65_below_average_items",
+    oracle=_with("store_sales", "item", "store")
+    + """
+    , per_item AS (
+      SELECT ss_store_sk, ss_item_sk,
+             CAST(SUM(CAST(ss_sales_price * 100 AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM store_sales
+      GROUP BY ss_store_sk, ss_item_sk
+    ), w AS (
+      SELECT *,
+             SUM(rev_cents) OVER (PARTITION BY ss_store_sk) AS store_cents,
+             COUNT(*) OVER (PARTITION BY ss_store_sk) AS n_items
+      FROM per_item
+    )
+    SELECT s_store_sk AS store_sk, i_item_id,
+           ROUND(CAST(rev_cents AS DOUBLE) / 100, 2) AS revenue
+    FROM w
+    JOIN store ON ss_store_sk = s_store_sk
+    JOIN item ON ss_item_sk = i_item_sk
+    WHERE rev_cents * n_items * 10 <= store_cents * 9
+    ORDER BY store_sk, i_item_id
+    LIMIT 100
+    """,
+)
+def tpcds_q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q65 shape: items revenuing below 90% of their store's
+    per-item average.
+
+    Same decorrelation as Q1 — the spec's grouped subquery (per-store
+    average over a re-aggregation of the same fact) becomes a window
+    over the single grouped result, so the fact is scanned and
+    aggregated exactly once. Threshold compares in integer cents with
+    the division multiplied out (rev·n·10 ≤ total·9): exact at any
+    scale, no FP boundary to disagree on.
+    """
+    from pyspark.sql.window import Window
+
+    ss = _t(spark, "store_sales")
+    per_item = ss.groupBy("ss_store_sk", "ss_item_sk").agg(
+        F.sum((F.col("ss_sales_price") * 100).cast("long")).alias("rev_cents")
+    )
+    w = Window.partitionBy("ss_store_sk")
+    st = F.broadcast(_t(spark, "store").select("s_store_sk"))
+    it = F.broadcast(_t(spark, "item").select("i_item_sk", "i_item_id"))
+    return (
+        per_item.withColumn("store_cents", F.sum("rev_cents").over(w))
+        .withColumn("n_items", F.count(F.lit(1)).over(w))
+        .filter(
+            F.col("rev_cents") * F.col("n_items") * 10
+            <= F.col("store_cents") * 9
+        )
+        .join(st, F.col("ss_store_sk") == st.s_store_sk)
+        .join(it, F.col("ss_item_sk") == it.i_item_sk)
+        .select(
+            F.col("s_store_sk").alias("store_sk"),
+            "i_item_id",
+            F.round(F.col("rev_cents").cast("double") / 100, 2).alias("revenue"),
+        )
+        .orderBy("store_sk", "i_item_id")
+        .limit(100)
+    )
+
+
+@query(
+    "tpcds_q68_ticket_city_mismatch",
+    oracle=_with(
+        "store_sales", "date_dim", "store", "household_demographics",
+        "customer_address", "customer",
+    )
+    + """
+    , tickets AS (
+      SELECT ss_ticket_number, ss_customer_sk, ss_addr_sk AS bought_addr_sk,
+             CAST(SUM(CAST(ss_ext_sales_price * 100 AS BIGINT)) AS BIGINT)
+               AS extsales_cents,
+             CAST(SUM(CAST(ss_ext_list_price * 100 AS BIGINT)) AS BIGINT)
+               AS extlist_cents,
+             CAST(SUM(CAST(ss_ext_tax * 100 AS BIGINT)) AS BIGINT) AS exttax_cents
+      FROM store_sales
+      JOIN date_dim ON ss_sold_date_sk = d_date_sk
+      JOIN store ON ss_store_sk = s_store_sk
+      JOIN household_demographics ON ss_hdemo_sk = hd_demo_sk
+      WHERE d_year = 1999 AND d_dom BETWEEN 1 AND 2
+        AND (hd_dep_count = 5 OR hd_vehicle_count = 3)
+      GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk
+    )
+    SELECT c_last_name, c_first_name,
+           bought.ca_city AS bought_city, ss_ticket_number,
+           ROUND(CAST(extsales_cents AS DOUBLE) / 100, 2) AS extended_price,
+           ROUND(CAST(extlist_cents AS DOUBLE) / 100, 2) AS list_price,
+           ROUND(CAST(exttax_cents AS DOUBLE) / 100, 2) AS extended_tax
+    FROM tickets
+    JOIN customer ON ss_customer_sk = c_customer_sk
+    JOIN customer_address bought ON bought_addr_sk = bought.ca_address_sk
+    JOIN customer_address current ON c_current_addr_sk = current.ca_address_sk
+    WHERE bought.ca_city IS DISTINCT FROM current.ca_city
+    ORDER BY ss_ticket_number, c_last_name NULLS FIRST, c_first_name NULLS FIRST,
+             bought_city NULLS FIRST, extended_price
+    LIMIT 100
+    """,
+)
+def tpcds_q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q68 shape: per-ticket totals for households shopping in a
+    city other than where they live.
+
+    The fact pre-aggregates to ticket grain *before* touching the
+    customer side (the spec's inner GROUP BY) — at scale this collapses
+    ~4 lines/ticket ahead of the wide work. customer_address joins
+    twice under different roles (point-of-sale vs current residence);
+    the mismatch uses null-safe inequality so the ~4% null FK rows
+    resolve identically on both engines.
+    """
+    ss = _t(spark, "store_sales")
+    dd = F.broadcast(
+        _t(spark, "date_dim")
+        .filter((F.col("d_year") == 1999) & (F.col("d_dom").between(1, 2)))
+        .select("d_date_sk")
+    )
+    st = F.broadcast(_t(spark, "store").select("s_store_sk"))
+    hd = F.broadcast(
+        _t(spark, "household_demographics")
+        .filter((F.col("hd_dep_count") == 5) | (F.col("hd_vehicle_count") == 3))
+        .select("hd_demo_sk")
+    )
+    cents = lambda c: F.sum((F.col(c) * 100).cast("long"))  # noqa: E731
+    tickets = (
+        ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .join(st, ss.ss_store_sk == st.s_store_sk)
+        .join(hd, ss.ss_hdemo_sk == hd.hd_demo_sk)
+        .groupBy(
+            "ss_ticket_number",
+            "ss_customer_sk",
+            F.col("ss_addr_sk").alias("bought_addr_sk"),
+        )
+        .agg(
+            cents("ss_ext_sales_price").alias("extsales_cents"),
+            cents("ss_ext_list_price").alias("extlist_cents"),
+            cents("ss_ext_tax").alias("exttax_cents"),
+        )
+    )
+    c = F.broadcast(
+        _t(spark, "customer").select(
+            "c_customer_sk", "c_current_addr_sk", "c_first_name", "c_last_name"
+        )
+    )
+    ca = _t(spark, "customer_address").select("ca_address_sk", "ca_city")
+    bought = F.broadcast(ca).alias("bought")
+    current = F.broadcast(ca).alias("current")
+    dollars = lambda c_: F.round(F.col(c_).cast("double") / 100, 2)  # noqa: E731
+    return (
+        tickets.join(c, F.col("ss_customer_sk") == c.c_customer_sk)
+        .join(bought, F.col("bought_addr_sk") == F.col("bought.ca_address_sk"))
+        .join(current, F.col("c_current_addr_sk") == F.col("current.ca_address_sk"))
+        .filter(
+            ~F.col("bought.ca_city").eqNullSafe(F.col("current.ca_city"))
+        )
+        .select(
+            "c_last_name",
+            "c_first_name",
+            F.col("bought.ca_city").alias("bought_city"),
+            "ss_ticket_number",
+            dollars("extsales_cents").alias("extended_price"),
+            dollars("extlist_cents").alias("list_price"),
+            dollars("exttax_cents").alias("extended_tax"),
+        )
+        .orderBy(
+            "ss_ticket_number",
+            F.col("c_last_name").asc_nulls_first(),
+            F.col("c_first_name").asc_nulls_first(),
+            F.col("bought_city").asc_nulls_first(),
+            "extended_price",
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "tpcds_q98_class_revenue_ratio",
+    oracle=_with("store_sales", "date_dim", "item")
+    + """
+    , per_item AS (
+      SELECT i_item_id, i_item_desc, i_category, i_class,
+             CAST(SUM(CAST(ss_ext_sales_price * 100 AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM store_sales
+      JOIN date_dim ON ss_sold_date_sk = d_date_sk
+      JOIN item ON ss_item_sk = i_item_sk
+      WHERE d_year = 2000
+        AND i_category IN ('Books', 'Home', 'Sports')
+      GROUP BY i_item_id, i_item_desc, i_category, i_class
+    )
+    SELECT i_item_id, i_item_desc, i_category, i_class,
+           ROUND(CAST(rev_cents AS DOUBLE) / 100, 2) AS itemrevenue,
+    """
+    + sql_trunc_digits(
+        "CAST(rev_cents AS DOUBLE) * 100 / SUM(rev_cents) OVER (PARTITION BY i_class)",
+        4,
+    )
+    + """ AS revenueratio
+    FROM per_item
+    ORDER BY i_category, i_class, i_item_id
+    """,
+)
+def tpcds_q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q98 shape: item revenue as a share of its class total.
+
+    The share denominator is a window SUM over the already-aggregated
+    per-item rows — the aggregate feeds the window directly, no second
+    scan or self-join. Cent sums keep the window total exact under any
+    partitioning; the percentage divides once in double and truncates
+    (both engines evaluate the identical IEEE expression).
+    """
+    from pyspark.sql.window import Window
+
+    ss = _t(spark, "store_sales")
+    dd = F.broadcast(
+        _t(spark, "date_dim").filter(F.col("d_year") == 2000).select("d_date_sk")
+    )
+    it = F.broadcast(
+        _t(spark, "item")
+        .filter(F.col("i_category").isin("Books", "Home", "Sports"))
+        .select("i_item_sk", "i_item_id", "i_item_desc", "i_category", "i_class")
+    )
+    per_item = (
+        ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .join(it, ss.ss_item_sk == it.i_item_sk)
+        .groupBy("i_item_id", "i_item_desc", "i_category", "i_class")
+        .agg(
+            F.sum((F.col("ss_ext_sales_price") * 100).cast("long")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    w = Window.partitionBy("i_class")
+    ratio = trunc_digits(
+        F.col("rev_cents").cast("double") * 100 / F.sum("rev_cents").over(w), 4
+    )
+    return per_item.select(
+        "i_item_id",
+        "i_item_desc",
+        "i_category",
+        "i_class",
+        F.round(F.col("rev_cents").cast("double") / 100, 2).alias("itemrevenue"),
+        ratio.alias("revenueratio"),
+    ).orderBy("i_category", "i_class", "i_item_id")
