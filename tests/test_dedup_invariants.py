@@ -85,3 +85,22 @@ def test_ngram_jaccard_exact_ratio(spark, planted_dir):
     assert pairs[(1, 2)] == 1.0
     assert pairs[(1, 3)] > 0.5  # 4 changed grams out of ~31
     assert not any({a, b} <= {10, 11, 12} for a, b in pairs)
+
+
+def test_cluster_components_transitivity(spark, planted_dir):
+    """1≈2 (exact) and 2≈3 (near) must land in ONE cluster with 1 as
+    canonical even if the 1-3 edge is weak; unrelated docs stay
+    singletons with keep=True."""
+    from tpctools_spark.registry import spark_queries
+
+    rows = spark_queries()["dedup_cluster_components"](
+        spark, planted_dir
+    ).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    assert len(rows) == 6  # every doc appears exactly once
+    assert by_doc[1].cluster_id == by_doc[2].cluster_id == by_doc[3].cluster_id == 1
+    assert by_doc[1].cluster_size == 3
+    assert by_doc[1].keep and not by_doc[2].keep and not by_doc[3].keep
+    for d in (10, 11, 12):
+        assert by_doc[d].cluster_id == d and by_doc[d].cluster_size == 1
+        assert by_doc[d].keep

@@ -232,6 +232,44 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs (doc_a < doc_b, jacc ≥ 0.2) with the
+    raw `jacc` double column — shared by the pair query and the
+    connected-components clustering."""
+    # The corpus arrives as one small parquet file → one input partition;
+    # spread it so shingling uses every core (at 100 TB the input is
+    # already many splits and this repartition is a no-op to remove).
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # Per-doc distinct gram set and its size, entirely row-local —
+    # array_distinct replaces a 260k-row DISTINCT shuffle, and carrying
+    # n (the set size) through the join replaces a sizes aggregation +
+    # two rejoin shuffles. The whole pipeline has exactly two exchanges:
+    # the postings self-join on gram and the pair-count aggregation.
+    gs = F.array_distinct(F.filter(_shingles(_words()), lambda s: s.isNotNull()))
+    # Cache at the gram-array level: without the barrier CollapseProject
+    # inlines the (interpreted) shingle+array_distinct pipeline into all
+    # three consumers (the size filter, the n column, the explode) and
+    # into both join legs — 6 evaluations per row instead of 1.
+    base = docs.select("doc_id", gs.alias("gs")).filter(F.size("gs") > 0).cache()
+    prep = base.select(
+        "doc_id", F.size("gs").alias("n"), F.explode("gs").alias("gram")
+    )
+    a = prep.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "gram")
+    b = prep.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jacc = F.col("n_shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_shared")
+    )
+    return shared.filter(jacc >= 0.2).select("doc_a", "doc_b", jacc.alias("jacc"))
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle="""
@@ -266,39 +304,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     never the full n² pair space. Jaccard is an exact integer ratio, so
     the threshold decision is FP-safe against the oracle.
     """
-    # The corpus arrives as one small parquet file → one input partition;
-    # spread it so shingling uses every core (at 100 TB the input is
-    # already many splits and this repartition is a no-op to remove).
-    docs = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    # Per-doc distinct gram set and its size, entirely row-local —
-    # array_distinct replaces a 260k-row DISTINCT shuffle, and carrying
-    # n (the set size) through the join replaces a sizes aggregation +
-    # two rejoin shuffles. The whole pipeline has exactly two exchanges:
-    # the postings self-join on gram and the pair-count aggregation.
-    gs = F.array_distinct(F.filter(_shingles(_words()), lambda s: s.isNotNull()))
-    # Cache at the gram-array level: without the barrier CollapseProject
-    # inlines the (interpreted) shingle+array_distinct pipeline into all
-    # three consumers (the size filter, the n column, the explode) and
-    # into both join legs — 6 evaluations per row instead of 1.
-    base = docs.select("doc_id", gs.alias("gs")).filter(F.size("gs") > 0).cache()
-    prep = base.select(
-        "doc_id", F.size("gs").alias("n"), F.explode("gs").alias("gram")
-    )
-    a = prep.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "gram")
-    b = prep.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "gram")
-    shared = (
-        a.join(b, "gram")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    jacc = F.col("n_shared").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_shared")
-    )
-    return shared.filter(jacc >= 0.2).select(
-        "doc_a", "doc_b", trunc_digits(jacc, 4).alias("jaccard")
+    return _jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", trunc_digits(F.col("jacc"), 4).alias("jaccard")
     )
 
 
@@ -367,4 +374,111 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cosine_raw", cosine)
         .filter(F.col("cosine_raw") >= 0.5)
         .select("vec_a", "vec_b", trunc_digits(F.col("cosine_raw"), 4).alias("cosine"))
+    )
+
+
+@query(
+    "dedup_cluster_components",
+    oracle="""
+    WITH RECURSIVE grams AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                 range(1, greatest(len(w) - 1, 1)),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents)
+      ) WHERE gram IS NOT NULL
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM shared
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.2
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ), comp AS (
+      SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+           doc_id = cluster_id AS keep
+    FROM comp
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the Jaccard pair
+    graph, canonical (lowest-id) doc elected per cluster.
+
+    The missing last step of a dedup pipeline — pairs alone don't say
+    which docs to drop when A~B~C but A≁C. Components come from
+    min-label propagation: each round every node adopts the smallest
+    label among itself and its neighbors (one shuffle per round:
+    edges ⋈ labels → min-agg on dst). Labels are monotone decreasing,
+    so the global SUM(label) is a convergence witness — the loop stops
+    when it stops falling, after O(component diameter) rounds. Near-dup
+    components have tiny diameters (dup chains, not paths), so this
+    runs 2-4 rounds at any corpus size; for adversarially long chains
+    the same loop would swap in large-star/small-star rounds.
+    Driver-side state is one scalar per round — never the labels.
+
+    Oracle: DuckDB computes the same components by recursive-CTE
+    transitive closure (min reachable label); both engines agree
+    because the component minimum is partitioning-invariant.
+    Output: every doc with its cluster id, cluster size, and a `keep`
+    flag electing the canonical representative.
+    """
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .toDF("src", "dst")
+        .cache()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).cache()
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    while True:
+        prop = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .cache()
+        )
+        cur_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
     )
