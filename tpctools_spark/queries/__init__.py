@@ -23,4 +23,5 @@ from tpctools_spark.queries import (  # noqa: F401
     tpcds_demo,
     scale_patterns,
     subqueries,
+    pipeline,
 )

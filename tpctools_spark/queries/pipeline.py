@@ -1,0 +1,378 @@
+"""§2.B.9 extension — end-to-end training-data-pipeline operators.
+
+The ops a pretraining data pipeline runs between "raw corpus" and
+"token stream": sequence packing, benchmark-contamination detection,
+PII redaction, stratified downsampling, and corpus-mixture weighting.
+Everything stays in built-in expressions (codegen'd, scan-speed); the
+only shuffles are the ones the semantics force, and each docstring
+says why that shuffle survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tpctools_spark.catalog import table
+from tpctools_spark.queries._util import trunc_digits
+from tpctools_spark.registry import query
+
+# Packing capacity (tokens per training sequence). Small relative to
+# the fixtures' 30-100-token docs so multi-doc packs AND boundary
+# spanning both occur; a real pipeline uses 2048/4096/8192.
+_SEQ_LEN = 128
+
+# Fan-out of independent packing streams. At 100 TB this is the number
+# of parallel writers (thousands); each shard packs independently so
+# the window sort is per-shard, never global.
+_N_SHARDS = 8
+
+
+@query(
+    "pipeline_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             doc_id % {_N_SHARDS} AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+      FROM toks
+    )
+    SELECT doc_id, shard, n_tokens,
+           shard * 1000000 + cum_before // {_SEQ_LEN} AS seq_id,
+           cum_before % {_SEQ_LEN} AS seq_offset,
+           (cum_before % {_SEQ_LEN} + n_tokens + {_SEQ_LEN} - 1) // {_SEQ_LEN}
+             AS n_seqs_spanned
+    FROM packed
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack tokenized documents into fixed-length training sequences.
+
+    GPT-style contiguous packing: concatenate each shard's documents in
+    stable doc_id order and cut every ``_SEQ_LEN`` tokens, letting
+    documents span sequence boundaries. Each doc's placement is a pure
+    function of the running token count before it, so the op is one
+    per-shard window cumsum — no packing loop, no driver state.
+
+    Scale story: the window partitions by ``shard``, so the sort is
+    per-shard and the shuffle distributes across executors; there is
+    never a global order-by. Growing the corpus only adds shards —
+    placement within a shard is reproducible (pure function of the
+    docs in that shard), which is what makes training resumable.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _N_SHARDS).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    packed = toks.withColumn("cum_before", cum_before)
+    return packed.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (F.col("shard") * 1000000 + F.floor(F.col("cum_before") / _SEQ_LEN)).alias(
+            "seq_id"
+        ),
+        (F.col("cum_before") % _SEQ_LEN).alias("seq_offset"),
+        F.floor(
+            (F.col("cum_before") % _SEQ_LEN + F.col("n_tokens") + _SEQ_LEN - 1)
+            / _SEQ_LEN
+        ).alias("n_seqs_spanned"),
+    )
+
+
+@query(
+    "pipeline_contamination",
+    oracle="""
+    WITH grams AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                 range(1, greatest(len(w) - 3, 1)),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                      || ' ' || w[i+4])) AS gram
+        FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+              FROM documents)
+      ) WHERE gram IS NOT NULL
+    ), eval_grams AS (
+      SELECT doc_id AS eval_doc, gram FROM grams WHERE doc_id % 97 = 0
+    ), train_grams AS (
+      SELECT doc_id AS train_doc, gram FROM grams WHERE doc_id % 97 <> 0
+    )
+    SELECT train_doc, eval_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_grams,
+           COUNT(*) >= 3 AS contaminated
+    FROM train_grams JOIN eval_grams USING (gram)
+    GROUP BY train_doc, eval_doc
+    """,
+)
+def pipeline_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: training docs sharing 5-grams
+    with any eval-set document (eval set = ``doc_id % 97 == 0``,
+    standing in for a held-out benchmark).
+
+    The eval set is tiny relative to the corpus — exactly the
+    real-world asymmetry — so its distinct-gram inverted index is
+    BROADCAST and the check is a map-side hash join at corpus scan
+    speed: no shuffle of the 100 TB side at all. The only exchange is
+    the final (train_doc, eval_doc) count aggregation over matched
+    pairs, whose size is bounded by true overlap, not corpus size.
+    """
+    docs = table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), " ")
+    grams5 = F.when(
+        F.size(words) >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - 4),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(words, i),
+                    F.element_at(words, i + 1),
+                    F.element_at(words, i + 2),
+                    F.element_at(words, i + 3),
+                    F.element_at(words, i + 4),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select("doc_id", F.explode(grams5).alias("gram"))
+    eval_g = grams.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_doc"), "gram"
+    )
+    train_g = grams.filter(F.col("doc_id") % 97 != 0).select(
+        F.col("doc_id").alias("train_doc"), "gram"
+    )
+    return (
+        train_g.join(F.broadcast(eval_g), "gram")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .select(
+            "train_doc",
+            "eval_doc",
+            "n_shared_grams",
+            (F.col("n_shared_grams") >= 3).alias("contaminated"),
+        )
+    )
+
+
+@query(
+    "pipeline_pii_scrub",
+    oracle=r"""
+    WITH scrubbed AS (
+      SELECT doc_id,
+             regexp_replace(text, '\b(customer|spark)\b', '<PII>', 'g') AS clean,
+             CAST(len(regexp_extract_all(text, '\b(customer|spark)\b'))
+                  AS BIGINT) AS n_redactions
+      FROM documents
+    )
+    SELECT doc_id, n_redactions,
+           md5(clean) AS clean_fp,
+           CAST(length(clean) AS BIGINT) AS clean_chars
+    FROM scrubbed
+    WHERE n_redactions > 0
+    """,
+)
+def pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: replace every match of a sensitive-term pattern
+    with a placeholder and report redaction counts per document.
+
+    The fixtures' synthetic text has no emails/phones, so the pattern
+    is a term list; a real pipeline swaps in the email/phone/SSN
+    alternation — the plan is identical. Pure per-row regexp work in
+    whole-stage codegen: no shuffle, no Python. Both engines run the
+    same regex dialect subset (alternation + ``\b``), and the output
+    is fingerprinted (md5) so the oracle compares redacted CONTENT,
+    not just counts.
+    """
+    pat = r"\b(customer|spark)\b"
+    docs = table(spark, sf_dir, "documents")
+    scrubbed = docs.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), pat, "<PII>").alias("clean"),
+        F.regexp_count(F.col("text"), F.lit(pat)).cast("bigint").alias(
+            "n_redactions"
+        ),
+    )
+    return scrubbed.filter(F.col("n_redactions") > 0).select(
+        "doc_id",
+        "n_redactions",
+        F.md5(F.encode(F.col("clean"), "utf-8")).alias("clean_fp"),
+        F.length("clean").cast("bigint").alias("clean_chars"),
+    )
+
+
+@query(
+    "pipeline_sample_stratified",
+    oracle="""
+    WITH rated AS (
+      SELECT doc_id, lang, source,
+             (doc_id * 2654435761) % 100 AS bucket,
+             CASE WHEN lang = 'en' THEN 20 ELSE 80 END AS keep_pct
+      FROM documents
+    )
+    SELECT doc_id, lang, source, CAST(keep_pct AS BIGINT) AS keep_pct
+    FROM rated
+    WHERE bucket < keep_pct
+    """,
+)
+def pipeline_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling: per-stratum keep rates applied via a
+    deterministic multiplicative hash of the stable row key.
+
+    The language-rebalancing step of corpus construction (keep 20% of
+    dominant-language docs, 80% of the rest). Membership is a pure
+    function of (doc_id, stratum rate): reproducible across engines,
+    runs, and repartitionings, and monotone under corpus growth — a
+    kept doc stays kept when more data arrives, so incremental builds
+    never resample history. The predicate evaluates at the scan; the
+    dropped 80%/20% is never shuffled or materialized.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100))
+    keep_pct = F.when(F.col("lang") == "en", 20).otherwise(80)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            keep_pct.cast("bigint").alias("keep_pct"),
+        )
+        .filter(bucket < keep_pct)
+    )
+
+
+@query(
+    "pipeline_mix_weights",
+    oracle="""
+    WITH per_source AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ), totals AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_sources
+      FROM per_source
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(floor(CAST(n_tokens AS DOUBLE) / total_tokens * 1000000)
+                AS DOUBLE) / 1000000 AS actual_share,
+           CAST(floor((CAST(total_tokens AS DOUBLE) / n_sources)
+                      / n_tokens * 10000) AS DOUBLE) / 10000 AS mix_weight
+    FROM per_source CROSS JOIN totals
+    """,
+)
+def pipeline_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture weighting: per-source token shares and the
+    sampling weight that flattens the mix to a uniform target.
+
+    ``mix_weight`` is the epochs-per-source multiplier a data loader
+    applies to hit the target mixture (uniform here; a real run joins
+    a target-share table instead of the ``1/n_sources`` constant —
+    same plan). One partial+final aggregation over the corpus produces
+    a per-source table small enough that the totals join is a
+    broadcast of ONE row; nothing else shuffles. Shares are exact
+    integer token counts until the final truncated division, so the
+    oracle matches bit-for-bit.
+    """
+    docs = table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("bigint")).alias("n_tokens"),
+    )
+    totals = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return per_source.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        trunc_digits(
+            F.col("n_tokens").cast("double") / F.col("total_tokens"), 6
+        ).alias("actual_share"),
+        trunc_digits(
+            (F.col("total_tokens").cast("double") / F.col("n_sources"))
+            / F.col("n_tokens"),
+            4,
+        ).alias("mix_weight"),
+    )
+
+
+@query(
+    "pipeline_unigram_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(lower(trim(text)), ' ')) AS tok
+      FROM documents
+    ), model AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE tok <> '' GROUP BY tok
+    ), scored AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(m.tf) AS BIGINT) AS sum_tf
+      FROM toks t JOIN model m USING (tok)
+      WHERE t.tok <> ''
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, sum_tf,
+           CAST(floor(CAST(sum_tf AS DOUBLE) / n_tokens * 100) AS DOUBLE) / 100
+             AS mean_token_freq
+    FROM scored
+    """,
+)
+def pipeline_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document scoring: mean corpus frequency of each
+    document's tokens — the two-pass "score docs against a corpus
+    model" shape of LM-based quality filtering.
+
+    Pass 1 aggregates the token→frequency model; pass 2 re-scans the
+    corpus and joins each token against the model. The model is
+    vocabulary-sized (millions of rows, not corpus-sized), so at
+    100 TB it broadcasts and pass 2 is a map-side join + per-doc
+    aggregation — two corpus scans, one corpus-sized shuffle (the
+    per-doc re-agg keyed on doc_id). Scores stay in exact integer
+    arithmetic until the final truncated division; a real pipeline
+    swaps mean-frequency for mean log-probability (FP) with the
+    identical plan.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    model = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    scored = (
+        toks.join(F.broadcast(model), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("tf").cast("bigint").alias("sum_tf"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "sum_tf",
+        trunc_digits(F.col("sum_tf").cast("double") / F.col("n_tokens"), 2).alias(
+            "mean_token_freq"
+        ),
+    )
