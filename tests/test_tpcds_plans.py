@@ -91,3 +91,40 @@ def test_q36_grouping_levels_match_spec_lattice(spark):
         if r.lochierarchy == 0 and r.i_category == rows[0].i_category
     )
     assert leaf_ranks[0] == 1
+
+
+def test_q94_semi_anti_pair(spark):
+    """The EXISTS/NOT-EXISTS pair compiles to a semi and an anti join
+    on the order key — never a nested loop or cartesian expansion."""
+    from tpctools_spark.registry import spark_queries
+
+    plan = _plan(
+        spark_queries()["tpcds_q94_multi_mode_orders"](spark, "/root/testdata/sf0.001")
+    )
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_single_fact_scan(spark):
+    """The spec's 15 scalar subqueries fuse into ONE store_sales scan
+    (conditional aggregation), not 15."""
+    from tpctools_spark.registry import spark_queries
+
+    plan = _plan(
+        spark_queries()["tpcds_q9_quantity_brackets"](spark, "/root/testdata/sf0.001")
+    )
+    assert plan.count("store_sales") <= 2  # scan + reuse mention, never 15
+
+
+def test_q62_all_dims_broadcast(spark):
+    """Shipping-lag histogram: four broadcast dims, single fact-side
+    aggregation exchange, lag arithmetic stays in the scan stage."""
+    from tpctools_spark.registry import spark_queries
+
+    plan = _plan(
+        spark_queries()["tpcds_q62_web_ship_lag"](spark, "/root/testdata/sf0.001")
+    )
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan

@@ -21,6 +21,7 @@ from tpctools_spark.queries import (  # noqa: F401
     streaming_demo,
     multimodal,
     tpcds_demo,
+    tpcds_demo2,
     scale_patterns,
     subqueries,
     pipeline,
