@@ -133,7 +133,12 @@ def pipeline_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final (train_doc, eval_doc) count aggregation over matched
     pairs, whose size is bounded by true overlap, not corpus size.
     """
-    docs = table(spark, sf_dir, "documents")
+    # Fixture parquet is one split → one task; spread the (interpreted-
+    # HOF) shingling across cores. At 100 TB the input is already many
+    # splits and this repartition is a no-op to remove.
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     words = F.split(F.lower(F.trim(F.col("text"))), " ")
     grams5 = F.when(
         F.size(words) >= 5,
