@@ -25,4 +25,5 @@ from tpctools_spark.queries import (  # noqa: F401
     scale_patterns,
     subqueries,
     pipeline,
+    reshape,
 )

@@ -1,0 +1,250 @@
+"""Reshaping & incremental-maintenance operators.
+
+Time-series gap-fill with carry-forward, MERGE-style corpus upsert,
+deterministic per-group reservoir sampling, the CUBE grouping lattice,
+and wide→long UNPIVOT — the maintenance/reshaping verbs around the
+core analytics. All exact-arithmetic, all oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tpctools_spark.catalog import table
+from tpctools_spark.queries._util import money
+from tpctools_spark.registry import query
+
+
+@query(
+    "events_gapfill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             CAST(COUNT(*) AS BIGINT) AS day_events,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2)
+               AS day_value
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, UNNEST(range(d0, d1 + 1)) AS day FROM bounds
+    )
+    SELECT g.user_id, g.day,
+           CAST(COALESCE(day_events, 0) AS BIGINT) AS n_events,
+           day_value,
+           LAST_VALUE(day_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    """,
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap-fill: every user gets a dense daily
+    grid between their first and last event; missing days carry the
+    last observed daily total forward (``LAST_VALUE IGNORE NULLS``).
+
+    The dense grid comes from ``explode(sequence(d0, d1))`` on the
+    per-user bounds — generated distributed, sized by each user's own
+    span, never a driver-side calendar. Days are exact integer
+    epoch-day arithmetic (no date parsing in the hot path). The
+    carry-forward window re-uses the (user, day) partitioning the
+    left join just produced, so the whole op is two shuffles: the
+    daily rollup and the grid join. On a cluster the same plan
+    gap-fills billions of series — per-series state is one running
+    value inside the window operator.
+    """
+    ev = table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp(F.col("ts")) / 86400).cast("bigint")
+    daily = ev.groupBy("user_id", day.alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("day_events"),
+        F.round(F.sum(money(F.col("value"))).cast("double"), 2).alias("day_value"),
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("day_events", F.lit(0)).cast("bigint").alias("n_events"),
+            "day_value",
+            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
+
+
+@query(
+    "corpus_upsert",
+    oracle="""
+    WITH incoming AS (
+      SELECT doc_id, text || ' [rev2]' AS text
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, 'new doc ' || CAST(doc_id AS VARCHAR)
+      FROM documents WHERE doc_id % 50 = 0
+    )
+    SELECT COALESCE(i.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN i.doc_id IS NULL THEN 'keep'
+                WHEN b.doc_id IS NULL THEN 'insert'
+                ELSE 'update' END AS action,
+           CAST(CASE WHEN i.doc_id IS NULL THEN 1 ELSE 2 END AS BIGINT) AS version,
+           md5(COALESCE(i.text, b.text)) AS fp
+    FROM documents b FULL OUTER JOIN incoming i ON b.doc_id = i.doc_id
+    """,
+)
+def corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style corpus upsert: an incoming batch updates matched
+    docs, inserts unmatched ones, and untouched rows pass through —
+    the relational core of ``MERGE INTO`` (Delta/Iceberg run exactly
+    this full-outer-join plan under ACID commit protocols; the commit
+    is storage-layer, the dataflow is this).
+
+    The incoming batch is derived deterministically from the corpus
+    (every 10th doc revised, every 50th doc spawning a brand-new id)
+    so the oracle can rebuild it. One key-partitioned shuffle joins
+    base and batch; at scale the batch side is typically small enough
+    to broadcast, flipping the plan to map-side merge automatically.
+    Output carries the post-merge fingerprint so content (not just
+    membership) is verified.
+    """
+    base = table(spark, sf_dir, "documents").select("doc_id", "text")
+    updates = (
+        base.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"))
+    )
+    inserts = base.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("new doc "), F.col("doc_id").cast("string")).alias("text"),
+    )
+    incoming = updates.unionByName(inserts).select(
+        F.col("doc_id").alias("i_id"), F.col("text").alias("i_text")
+    )
+    merged = base.join(incoming, base.doc_id == incoming.i_id, "full_outer")
+    return merged.select(
+        F.coalesce("i_id", "doc_id").alias("doc_id"),
+        F.when(F.col("i_id").isNull(), "keep")
+        .when(F.col("doc_id").isNull(), "insert")
+        .otherwise("update")
+        .alias("action"),
+        F.when(F.col("i_id").isNull(), 1).otherwise(2).cast("bigint").alias("version"),
+        F.md5(F.encode(F.coalesce("i_text", "text"), "utf-8")).alias("fp"),
+    )
+
+
+@query(
+    "sample_reservoir_group",
+    oracle="""
+    SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 5
+    """,
+)
+def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sampling ("give me 5 examples per
+    language"): rank by a cryptographic hash of the stable key and
+    keep the top k — reservoir-sampling semantics without randomness,
+    so the sample is reproducible and engine-independent.
+
+    One shuffle (the per-group window); Spark turns the rank≤k filter
+    into a per-partition top-k (WindowGroupLimit), so each executor
+    retains only k rows per group before the exchange — the reservoir
+    property, derived by the optimizer. The md5 order stands in for a
+    seeded uniform draw; doc_id breaks (never-observed) hash ties.
+    """
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")), "doc_id"
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "doc_id", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT lang, source,
+           CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+           CAST(GROUPING(source) AS BIGINT) AS g_source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY CUBE(lang, source)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE lattice over (lang, source) — all four grouping
+    combinations in one pass, completing the grouping family next to
+    the registered ROLLUP and GROUPING SETS queries. GROUPING flags
+    are projected so NULL-valued dimension members stay
+    distinguishable from subtotal rows."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.grouping("lang").cast("bigint").alias("g_lang"),
+            F.grouping("source").cast("bigint").alias("g_source"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+        )
+        .select("lang", "source", "g_lang", "g_source", "n_docs", "total_chars")
+    )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    WITH long AS (
+      SELECT 'l_extendedprice' AS charge_type, l_extendedprice AS amount
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT charge_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(amount AS DECIMAL(12,2))) AS DOUBLE), 2) AS total
+    FROM long GROUP BY charge_type
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long UNPIVOT (melt): lineitem's three charge columns
+    rotated into (charge_type, amount) rows, then re-aggregated —
+    the inverse of the registered pivot query.
+
+    Uses Spark's native ``DataFrame.unpivot`` (Expand under the hood:
+    one scan emits all three rows per input, no union of three scans
+    — the oracle's UNION ALL form is the portable equivalent, which
+    DuckDB's optimizer likewise collapses). Decimal-cast sums keep
+    the three different value scales exact under one common type.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        [],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "charge_type",
+        "amount",
+    )
+    return long.groupBy("charge_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(money(F.col("amount"))).cast("double"), 2).alias("total"),
+    )
