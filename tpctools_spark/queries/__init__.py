@@ -22,6 +22,7 @@ from tpctools_spark.queries import (  # noqa: F401
     multimodal,
     tpcds_demo,
     tpcds_demo2,
+    tpcds_demo3,
     scale_patterns,
     subqueries,
     pipeline,
