@@ -23,6 +23,7 @@ from tpctools_spark.queries import (  # noqa: F401
     tpcds_demo,
     tpcds_demo2,
     tpcds_demo3,
+    tpcds_demo4,
     scale_patterns,
     subqueries,
     pipeline,
