@@ -142,3 +142,26 @@ def test_convert_orc_json_roundtrip(spark, tbl_dir, tmp_path):
         back = reader(out)
         got = {(int(r.r_regionkey), r.r_name) for r in back.collect()}
         assert got == want
+
+
+def test_cli_query_list_and_run(spark, tmp_path, capsys):
+    """`query --list` enumerates the registry; `query --name` writes the
+    result relation to the requested sink."""
+    from tpctools_spark.cli import main
+    from tpctools_spark.registry import spark_queries
+
+    assert main(["query", "--list"]) == 0
+    out = capsys.readouterr().out
+    assert "agg_group_sum\toracle" in out
+    assert len(out.strip().splitlines()) == len(spark_queries())
+
+    dest = str(tmp_path / "q_out")
+    assert (
+        main(
+            ["query", "--name", "filter_pred",
+             "--sf-dir", "/root/testdata/sf0.001",
+             "--output", dest, "--format", "parquet"]
+        )
+        == 0
+    )
+    assert spark.read.parquet(dest).count() > 0

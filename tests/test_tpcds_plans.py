@@ -128,3 +128,20 @@ def test_q62_all_dims_broadcast(spark):
     )
     assert plan.count("BroadcastHashJoin") == 4
     assert "SortMergeJoin" not in plan
+
+
+def test_q47_windows_share_one_exchange(spark):
+    """Both window operators (yearly stats + lag/lead) run off a single
+    wide exchange past the monthly rollup — the (cat,brand,store)
+    partitioning satisfies the year-partitioned window's clustering."""
+    from tpctools_spark.registry import spark_queries
+
+    df = spark_queries()["tpcds_q47_monthly_deviation"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = _plan(df)
+    assert plan.count("Window") == 2
+    wide = [
+        line for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    ]
+    assert len(wide) == 2  # rollup exchange + ONE shared window exchange

@@ -52,7 +52,49 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--format", default="parquet", choices=["parquet", "csv"])
     c.add_argument("--compression", default="snappy")
 
+    q = sub.add_parser(
+        "query",
+        help="Run a registered query from the SURVEY §2.B inventory "
+        "(engine extension beyond the reference CLI)",
+    )
+    q.add_argument("--name", help="query name (see --list)")
+    q.add_argument("--list", action="store_true", help="list registered queries")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--output", help="write result here (else print to stdout)")
+    q.add_argument("--format", default="parquet", choices=["parquet", "csv", "json"])
+    q.add_argument("--limit", type=int, default=20, help="stdout row cap")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "query":
+        from tpctools_spark.registry import oracle_queries, spark_queries
+
+        queries = spark_queries()
+        if args.list or not args.name:
+            oracles = oracle_queries()
+            for name in sorted(queries):
+                kind = "oracle" if name in oracles else "rows-only"
+                print(f"{name}\t{kind}")
+            return 0
+        if args.name not in queries:
+            raise SystemExit(f"unknown query: {args.name} (try --list)")
+        from tpctools_spark.session import get_spark
+
+        spark = get_spark(f"tpctools-query-{args.name}")
+        spark.sparkContext.setLogLevel("ERROR")
+        import time
+
+        t0 = time.perf_counter()
+        df = queries[args.name](spark, args.sf_dir)
+        if args.output:
+            df.write.mode("overwrite").format(args.format).save(args.output)
+            print(f"query {args.name}: wrote {args.output} "
+                  f"({time.perf_counter() - t0:.3f}s)")
+        else:
+            df.show(args.limit, truncate=False)
+            print(f"query {args.name}: {time.perf_counter() - t0:.3f}s")
+        return 0
+
     tables = _benchmark_tables(args.benchmark)
 
     from tpctools_spark.session import get_spark

@@ -157,9 +157,12 @@ def tpcds_q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deviation test in exact cents: |m·n − Y|·10 > Y ⟺
     |m − Y/n| > 0.1·Y/n (Y = year total, n = months present) — the
     spec's avg_monthly_sales ratio without ever dividing. The yearly
-    mean and the lag/lead neighbors ride the SAME window partitioning
-    (category, brand, store), so Catalyst plans one sort+shuffle for
-    all four window functions.
+    aggregates and the lag/lead neighbors share one exchange: the
+    (category, brand, store) partitioning satisfies the
+    year-partitioned window's clustering too, so the executed plan
+    has exactly one wide shuffle past the rollup — two Window
+    operators separated only by an in-partition re-sort
+    (plan-asserted).
     """
     dd = F.broadcast(
         _t(spark, "date_dim")
@@ -464,4 +467,170 @@ def tpcds_q97(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("s_cust").isNotNull() & F.col("c_cust").isNotNull(), 1)
             .otherwise(0)
         ).cast("bigint").alias("store_and_catalog"),
+    )
+
+
+@query(
+    "tpcds_q14_cross_channel_intersect",
+    oracle=_with("store_sales", "catalog_sales", "web_sales", "item", "date_dim")
+    + """
+    , triples AS (
+      SELECT i_brand_id, i_class_id, i_category_id
+      FROM store_sales JOIN item ON ss_item_sk = i_item_sk
+      INTERSECT
+      SELECT i_brand_id, i_class_id, i_category_id
+      FROM catalog_sales JOIN item ON cs_item_sk = i_item_sk
+      INTERSECT
+      SELECT i_brand_id, i_class_id, i_category_id
+      FROM web_sales JOIN item ON ws_item_sk = i_item_sk
+    ), cross_items AS (
+      SELECT i_item_sk FROM item
+      JOIN triples USING (i_brand_id, i_class_id, i_category_id)
+    ), totals AS (
+      SELECT CAST(SUM(cents) AS BIGINT) AS total_cents,
+             CAST(COUNT(*) AS BIGINT) AS total_n
+      FROM (
+        SELECT CAST(ss_quantity * ss_list_price * 100 AS BIGINT) AS cents
+        FROM store_sales
+        UNION ALL
+        SELECT CAST(cs_quantity * cs_list_price * 100 AS BIGINT)
+        FROM catalog_sales
+        UNION ALL
+        SELECT CAST(ws_quantity * ws_list_price * 100 AS BIGINT)
+        FROM web_sales
+      )
+    ), legs AS (
+      SELECT 'store' AS channel, i_brand_id, i_class_id, i_category_id,
+             CAST(SUM(CAST(ss_quantity * ss_list_price * 100 AS BIGINT))
+                  AS BIGINT) AS sales_cents,
+             CAST(COUNT(*) AS BIGINT) AS number_sales
+      FROM store_sales
+      JOIN item ON ss_item_sk = i_item_sk
+      JOIN date_dim ON ss_sold_date_sk = d_date_sk
+      WHERE ss_item_sk IN (SELECT i_item_sk FROM cross_items) AND d_year = 2001
+      GROUP BY 2, 3, 4
+      UNION ALL
+      SELECT 'catalog', i_brand_id, i_class_id, i_category_id,
+             CAST(SUM(CAST(cs_quantity * cs_list_price * 100 AS BIGINT))
+                  AS BIGINT),
+             CAST(COUNT(*) AS BIGINT)
+      FROM catalog_sales
+      JOIN item ON cs_item_sk = i_item_sk
+      JOIN date_dim ON cs_sold_date_sk = d_date_sk
+      WHERE cs_item_sk IN (SELECT i_item_sk FROM cross_items) AND d_year = 2001
+      GROUP BY 2, 3, 4
+      UNION ALL
+      SELECT 'web', i_brand_id, i_class_id, i_category_id,
+             CAST(SUM(CAST(ws_quantity * ws_list_price * 100 AS BIGINT))
+                  AS BIGINT),
+             CAST(COUNT(*) AS BIGINT)
+      FROM web_sales
+      JOIN item ON ws_item_sk = i_item_sk
+      JOIN date_dim ON ws_sold_date_sk = d_date_sk
+      WHERE ws_item_sk IN (SELECT i_item_sk FROM cross_items) AND d_year = 2001
+      GROUP BY 2, 3, 4
+    )
+    SELECT channel, i_brand_id,
+           CAST(GROUPING(channel) AS BIGINT) AS g_channel,
+           CAST(GROUPING(i_brand_id) AS BIGINT) AS g_brand,
+           CAST(SUM(sales_cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(number_sales) AS BIGINT) AS n_sales
+    FROM legs CROSS JOIN totals
+    WHERE sales_cents * total_n > total_cents
+    GROUP BY ROLLUP(channel, i_brand_id)
+    """,
+)
+def tpcds_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q14 shape (lite): items sold through ALL THREE channels
+    (set INTERSECT of brand/class/category triples), each channel's
+    above-average sales on those items rolled up.
+
+    Exercises native ``DataFrame.intersect`` (INTERSECT DISTINCT —
+    Spark plans it as an aggregate-wrapped left-semi chain), a scalar
+    threshold joined as a one-row broadcast, and the spec's
+    "avg_sales" HAVING reduced to exact cents:
+    group_sum·N_total > total_cents ⟺ group_sum > avg. The triple
+    intersect deduplicates BEFORE joining back to items, so the
+    cross-channel membership test never touches fact-table
+    cardinalities twice.
+    """
+    it = F.broadcast(
+        _t(spark, "item").select(
+            "i_item_sk", "i_brand_id", "i_class_id", "i_category_id"
+        )
+    )
+    dd = F.broadcast(
+        _t(spark, "date_dim").filter(F.col("d_year") == 2001).select("d_date_sk")
+    )
+    ss = _t(spark, "store_sales")
+    cs = _t(spark, "catalog_sales")
+    ws = _t(spark, "web_sales")
+    trip = ["i_brand_id", "i_class_id", "i_category_id"]
+
+    def sold_triples(fact: DataFrame, item_col: str) -> DataFrame:
+        return fact.join(it, F.col(item_col) == it.i_item_sk).select(*trip)
+
+    triples = (
+        sold_triples(ss, "ss_item_sk")
+        .intersect(sold_triples(cs, "cs_item_sk"))
+        .intersect(sold_triples(ws, "ws_item_sk"))
+    )
+    cross_items = it.join(triples, trip).select("i_item_sk")
+
+    def cents(q: str, p: str) -> F.Column:
+        return (F.col(q) * F.col(p) * 100).cast("bigint")
+
+    totals = (
+        ss.select(cents("ss_quantity", "ss_list_price").alias("c"))
+        .unionByName(cs.select(cents("cs_quantity", "cs_list_price").alias("c")))
+        .unionByName(ws.select(cents("ws_quantity", "ws_list_price").alias("c")))
+        .agg(
+            F.sum("c").alias("total_cents"),
+            F.count(F.lit(1)).alias("total_n"),
+        )
+    )
+
+    def leg(fact: DataFrame, channel: str, item_col: str, date_col: str,
+            q: str, p: str) -> DataFrame:
+        return (
+            fact.join(
+                F.broadcast(cross_items),
+                F.col(item_col) == cross_items.i_item_sk,
+                "left_semi",
+            )
+            .join(it, F.col(item_col) == it.i_item_sk)
+            .join(dd, F.col(date_col) == dd.d_date_sk)
+            .groupBy(*trip)
+            .agg(
+                F.sum(cents(q, p)).alias("sales_cents"),
+                F.count(F.lit(1)).alias("number_sales"),
+            )
+            .select(F.lit(channel).alias("channel"), *trip,
+                    "sales_cents", "number_sales")
+        )
+
+    legs = (
+        leg(ss, "store", "ss_item_sk", "ss_sold_date_sk",
+            "ss_quantity", "ss_list_price")
+        .unionByName(
+            leg(cs, "catalog", "cs_item_sk", "cs_sold_date_sk",
+                "cs_quantity", "cs_list_price")
+        )
+        .unionByName(
+            leg(ws, "web", "ws_item_sk", "ws_sold_date_sk",
+                "ws_quantity", "ws_list_price")
+        )
+    )
+    return (
+        legs.crossJoin(F.broadcast(totals))
+        .filter(F.col("sales_cents") * F.col("total_n") > F.col("total_cents"))
+        .rollup("channel", "i_brand_id")
+        .agg(
+            F.grouping("channel").cast("bigint").alias("g_channel"),
+            F.grouping("i_brand_id").cast("bigint").alias("g_brand"),
+            F.sum("sales_cents").alias("sum_cents"),
+            F.sum("number_sales").alias("n_sales"),
+        )
+        .select("channel", "i_brand_id", "g_channel", "g_brand",
+                "sum_cents", "n_sales")
     )
