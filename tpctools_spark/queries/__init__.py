@@ -28,4 +28,5 @@ from tpctools_spark.queries import (  # noqa: F401
     subqueries,
     pipeline,
     reshape,
+    quality,
 )

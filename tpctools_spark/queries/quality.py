@@ -1,0 +1,178 @@
+"""Data-quality expectations and schema-evolution scans.
+
+The production-pipeline bookends: declarative constraint audits over
+incoming tables (the Deequ/Great-Expectations shape, computed as ONE
+conditional-aggregation scan per table) and reading a dataset whose
+schema grew new columns across batches (``mergeSchema``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tpctools_spark.catalog import table
+from tpctools_spark.queries.scans import _scratch_dir
+from tpctools_spark.registry import query
+
+_LANGS = ("en", "de", "es", "fr", "zh")
+_EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+@query(
+    "quality_expectations",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS doc_id_unique,
+             CAST(COUNT(*) - COUNT(text) AS BIGINT) AS text_not_null,
+             CAST(SUM(CASE WHEN n_chars IS NULL OR n_chars <= 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_positive,
+             CAST(SUM(CASE WHEN lang IS NULL
+                           OR lang NOT IN {_LANGS!r}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS lang_in_domain,
+             CAST(SUM(CASE WHEN n_chars <> length(text)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_consistent
+      FROM documents
+    ), e AS (
+      SELECT CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+               AS event_id_unique,
+             CAST(SUM(CASE WHEN value IS NULL OR value < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS value_non_negative,
+             CAST(SUM(CASE WHEN event_type IS NULL
+                           OR event_type NOT IN {_EVENT_TYPES!r}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS type_in_domain
+      FROM events
+    )
+    SELECT * FROM (
+      SELECT 'documents' AS tbl, 'doc_id_unique' AS check_name,
+             doc_id_unique AS violations FROM d
+      UNION ALL SELECT 'documents', 'text_not_null', text_not_null FROM d
+      UNION ALL SELECT 'documents', 'n_chars_positive', n_chars_positive FROM d
+      UNION ALL SELECT 'documents', 'lang_in_domain', lang_in_domain FROM d
+      UNION ALL SELECT 'documents', 'n_chars_consistent', n_chars_consistent FROM d
+      UNION ALL SELECT 'events', 'event_id_unique', event_id_unique FROM e
+      UNION ALL SELECT 'events', 'value_non_negative', value_non_negative FROM e
+      UNION ALL SELECT 'events', 'type_in_domain', type_in_domain FROM e
+    ) checks
+    """,
+)
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit: uniqueness, completeness,
+    range, domain, and cross-column consistency checks as one report
+    relation (table, check, violation count).
+
+    The Deequ shape done Spark-natively: ALL of a table's checks
+    compute in ONE conditional-aggregation scan (never one job per
+    check), then the single wide row explodes into per-check rows.
+    Two tables → two scans → eight checks; adding a check adds a
+    column to the aggregate, not a pass over the data. At 100 TB the
+    audit costs exactly one read of each audited table.
+    """
+    docs = table(spark, sf_dir, "documents")
+    d = docs.agg(
+        (F.count(F.lit(1)) - F.countDistinct("doc_id")).alias("doc_id_unique"),
+        (F.count(F.lit(1)) - F.count("text")).alias("text_not_null"),
+        F.sum(
+            F.when(F.col("n_chars").isNull() | (F.col("n_chars") <= 0), 1)
+            .otherwise(0)
+        ).alias("n_chars_positive"),
+        F.sum(
+            F.when(
+                F.col("lang").isNull() | ~F.col("lang").isin(*_LANGS), 1
+            ).otherwise(0)
+        ).alias("lang_in_domain"),
+        F.sum(
+            F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
+        ).alias("n_chars_consistent"),
+    )
+    ev = table(spark, sf_dir, "events")
+    e = ev.agg(
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("event_id_unique"),
+        F.sum(
+            F.when(F.col("value").isNull() | (F.col("value") < 0), 1).otherwise(0)
+        ).alias("value_non_negative"),
+        F.sum(
+            F.when(
+                F.col("event_type").isNull()
+                | ~F.col("event_type").isin(*_EVENT_TYPES),
+                1,
+            ).otherwise(0)
+        ).alias("type_in_domain"),
+    )
+
+    def melt(agg: DataFrame, tbl: str, names: list[str]) -> DataFrame:
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("check_name"),
+                    F.col(n).cast("bigint").alias("violations"),
+                )
+                for n in names
+            ]
+        )
+        return agg.select(F.explode(pairs).alias("c")).select(
+            F.lit(tbl).alias("tbl"),
+            F.col("c.check_name").alias("check_name"),
+            F.col("c.violations").alias("violations"),
+        )
+
+    return melt(
+        d, "documents",
+        ["doc_id_unique", "text_not_null", "n_chars_positive",
+         "lang_in_domain", "n_chars_consistent"],
+    ).unionByName(
+        melt(e, "events",
+             ["event_id_unique", "value_non_negative", "type_in_domain"])
+    )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(quality) AS BIGINT) AS n_scored,
+           CAST(SUM(CAST(COALESCE(quality, 0) AS BIGINT)) AS BIGINT)
+             AS quality_sum
+    FROM (
+      SELECT doc_id, lang, CAST(NULL AS BIGINT) AS quality
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, lang, CAST(n_chars % 100 AS BIGINT)
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    GROUP BY lang
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across batches: batch 1 lands without the
+    ``quality`` column, batch 2 adds it; ``mergeSchema`` reads both
+    under one unified schema with NULLs where the column predates.
+
+    The standard lakehouse grow-only evolution path. The oracle
+    reconstructs the same union semantics from the source table, so
+    the merged read is value-checked, not just schema-checked. At
+    scale, mergeSchema's footer-union planning cost is per-FILE;
+    production tables pin the merged schema in a metastore — the read
+    semantics verified here are identical.
+    """
+    out = _scratch_dir("evolve")
+    docs = table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "docs", "batch=1"))
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") % 100).cast("bigint").alias("quality"),
+    ).write.mode("overwrite").parquet(os.path.join(out, "docs", "batch=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "docs")
+    )
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("quality").alias("n_scored"),
+        F.sum(F.coalesce("quality", F.lit(0))).cast("bigint").alias("quality_sum"),
+    )
