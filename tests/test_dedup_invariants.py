@@ -104,3 +104,35 @@ def test_cluster_components_transitivity(spark, planted_dir):
     for d in (10, 11, 12):
         assert by_doc[d].cluster_id == d and by_doc[d].cluster_size == 1
         assert by_doc[d].keep
+
+
+def test_lsh_cosine_matches_brute_force(spark):
+    """After exact rescoring, LSH output ⊆ brute-force pairs by
+    construction (precision 1); on the deterministic fixture the
+    banded signature also recalls every >=0.5 pair (recall 1)."""
+    import duckdb
+
+    from tpctools_spark.registry import spark_queries
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in spark_queries()["dedup_lsh_cosine"](spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    truth = {
+        tuple(r)
+        for r in con.execute(
+            """
+            WITH prep AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings)
+            SELECT a.vec_id, b.vec_id FROM prep a JOIN prep b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.e, b.e) >= 0.5
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert got <= truth  # rescoring guarantees precision
+    assert got == truth  # fixture recall is total

@@ -482,3 +482,158 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
     )
+
+
+# Cosine-LSH signature geometry: 16 deterministic ±1 hyperplanes over
+# the 64-dim embeddings, banded 4×4. Plane signs come from an
+# arithmetic hash (i·2654435761 mod 97 — a bijection over any 97
+# consecutive i, so ~balanced), NOT an RNG: both engines can rebuild
+# the exact same planes, which is what makes this LSH oracle-able.
+_LSH_PLANES = 16
+_LSH_DIM = 64
+_LSH_BAND_BITS = 4
+
+
+def _lsh_sign_is_pos(i: int | object) -> str:
+    return f"(({i}) * 2654435761) % 97 < 48"
+
+
+@query(
+    "dedup_lsh_cosine",
+    oracle="""
+    WITH prep AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             CAST(list_sum(list_transform(embedding,
+                    x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(25,16))))
+                  AS DOUBLE) AS sq_norm
+      FROM embeddings
+    ), sig AS (
+      SELECT vec_id, """
+    + ", ".join(
+        "CASE WHEN list_sum(list_transform(range(1, 65), d -> "
+        f"CAST(e[d] * (CASE WHEN (({p} * 64 + d) * 2654435761) % 97 < 48 "
+        f"THEN 1 ELSE -1 END) AS DECIMAL(25,16)))) >= 0 THEN 1 ELSE 0 END AS b{p}"
+        for p in range(_LSH_PLANES)
+    )
+    + """
+      FROM prep
+    ), bands AS (
+    """
+    + "\n      UNION ALL\n".join(
+        f"      SELECT vec_id, {g} AS band, "
+        + " + ".join(f"b{4 * g + j} * {1 << j}" for j in range(4))
+        + " AS band_key FROM sig"
+        for g in range(_LSH_PLANES // _LSH_BAND_BITS)
+    )
+    + """
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           CAST(floor(CAST(list_sum(list_transform(list_zip(pa.e, pb.e),
+                   p -> CAST(p[1] * p[2] AS DECIMAL(25,16)))) AS DOUBLE)
+                 / (sqrt(pa.sq_norm) * sqrt(pb.sq_norm)) * 10000) AS DOUBLE) / 10000
+             AS cosine
+    FROM cand
+    JOIN prep pa ON pa.vec_id = vec_a
+    JOIN prep pb ON pb.vec_id = vec_b
+    WHERE CAST(list_sum(list_transform(list_zip(pa.e, pb.e),
+            p -> CAST(p[1] * p[2] AS DECIMAL(25,16)))) AS DOUBLE)
+          / (sqrt(pa.sq_norm) * sqrt(pb.sq_norm)) >= 0.5
+    """,
+)
+def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane (SimHash-for-
+    cosine) LSH: 16 deterministic ±1 planes → 16 sign bits → 4 bands
+    of 4 bits → candidate pairs only within matching (band, key)
+    buckets → exact-decimal cosine rescoring.
+
+    The cosine twin of ``dedup_minhash`` (Jaccard) and the unblocked
+    complement of ``dedup_embedding`` (which trusts a label/IVF cell):
+    LSH needs NO pre-existing blocking column — the signature IS the
+    blocking key, with recall controlled by bands × bits
+    (P[match] = 1-(1-(1-θ/π)^bits)^bands). Plane signs are an
+    arithmetic hash of (plane, dim), so Spark and DuckDB build
+    bit-identical signatures — the whole pipeline, not just the
+    rescoring, is oracle-checked; signature sums accumulate in exact
+    decimal so a boundary sign can't flip on FP order.
+
+    Scale: one scan computes all 16 signature sums as map-side
+    partial aggregates after a posexplode (O(N·D) work, O(N·16)
+    shuffle bytes); the self-join touches only same-bucket pairs.
+    At 100 TB, band bits grow ~log N to hold bucket sizes constant —
+    the knob is a constant here, the plan shape is unchanged.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq_norm = F.aggregate(
+        F.col("embedding"),
+        F.lit(0).cast("decimal(25,16)"),
+        lambda acc, x: (
+            acc + (x.cast("double") * x.cast("double")).cast("decimal(25,16)")
+        ).cast("decimal(25,16)"),
+    ).cast("double")
+    prep = emb.select("vec_id", e.alias("e"), sq_norm.alias("sq_norm")).cache()
+
+    # (vec_id, pos, val) stream; pos is 1-based to match the oracle.
+    comps = prep.select(
+        "vec_id", F.posexplode("e").alias("pos0", "val")
+    ).select("vec_id", (F.col("pos0") + 1).alias("d"), "val")
+    sums = []
+    for p in range(_LSH_PLANES):
+        i = (F.lit(p * _LSH_DIM).cast("bigint") + F.col("d")) * F.lit(2654435761)
+        sign = F.when(F.pmod(i, F.lit(97)) < 48, 1).otherwise(-1)
+        sums.append(
+            F.sum((F.col("val").cast("decimal(25,16)") * sign)).alias(f"s{p}")
+        )
+    sig = comps.groupBy("vec_id").agg(*sums)
+    bit = lambda p: (F.col(f"s{p}") >= 0).cast("int")  # noqa: E731
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(g).alias("band"),
+                sum(bit(4 * g + j) * (1 << j) for j in range(4)).alias("band_key"),
+            )
+            for g in range(_LSH_PLANES // _LSH_BAND_BITS)
+        ]
+    )
+    bands = sig.select("vec_id", F.explode(band_structs).alias("bk")).select(
+        "vec_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    a = bands.select(
+        F.col("vec_id").alias("vec_a"), "band", "band_key"
+    )
+    b = bands.select(
+        F.col("vec_id").alias("vec_b"), "band", "band_key"
+    )
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    pa = prep.select(
+        F.col("vec_id").alias("ia"), F.col("e").alias("ea"),
+        F.col("sq_norm").alias("na"),
+    )
+    pb = prep.select(
+        F.col("vec_id").alias("ib"), F.col("e").alias("eb"),
+        F.col("sq_norm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x * y),
+        F.lit(0).cast("decimal(25,16)"),
+        lambda acc, x: (acc + x.cast("decimal(25,16)")).cast("decimal(25,16)"),
+    ).cast("double")
+    cos = dot / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
+    return (
+        cand.join(pa, cand.vec_a == pa.ia)
+        .join(pb, cand.vec_b == pb.ib)
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= 0.5)
+        .select("vec_a", "vec_b", trunc_digits(F.col("cosine_raw"), 4).alias("cosine"))
+    )
