@@ -634,3 +634,239 @@ def tpcds_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("channel", "i_brand_id", "g_channel", "g_brand",
                 "sum_cents", "n_sales")
     )
+
+
+@query(
+    "tpcds_q49_return_ratios",
+    oracle=_with(
+        "store_sales", "store_returns", "web_sales", "web_returns", "item"
+    )
+    + """
+    , legs AS (
+      SELECT 'store' AS channel, ss_item_sk AS item_sk,
+             CAST(SUM(CAST(ss_quantity AS BIGINT)) AS BIGINT) AS sold_qty,
+             CAST(SUM(CAST(COALESCE(sr_return_quantity, 0) AS BIGINT)) AS BIGINT)
+               AS ret_qty
+      FROM store_sales
+      LEFT JOIN store_returns
+        ON ss_item_sk = sr_item_sk AND ss_ticket_number = sr_ticket_number
+      GROUP BY ss_item_sk
+      UNION ALL
+      SELECT 'web', ws_item_sk,
+             CAST(SUM(CAST(ws_quantity AS BIGINT)) AS BIGINT),
+             CAST(SUM(CAST(COALESCE(wr_return_quantity, 0) AS BIGINT)) AS BIGINT)
+      FROM web_sales
+      LEFT JOIN web_returns
+        ON ws_item_sk = wr_item_sk AND ws_order_number = wr_order_number
+      GROUP BY ws_item_sk
+    ), ranked AS (
+      SELECT channel, item_sk, sold_qty, ret_qty,
+             CAST(ret_qty AS DOUBLE) / sold_qty AS return_ratio,
+             ROW_NUMBER() OVER (PARTITION BY channel
+                                ORDER BY CAST(ret_qty AS DOUBLE) / sold_qty DESC,
+                                         item_sk) AS rk
+      FROM legs WHERE sold_qty > 0
+    )
+    SELECT channel, item_sk, sold_qty, ret_qty,
+           CAST(floor(return_ratio * 10000) AS DOUBLE) / 10000 AS return_ratio,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 10
+    """,
+)
+def tpcds_q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q49 shape: each channel's worst items by return ratio.
+
+    Sales joined to returns on the composite natural key (item +
+    ticket/order), per-item quantity totals, ranked within channel by
+    return ratio. The ORDER BY rides a ratio, which is safe here
+    because numerator and denominator are exact int64 quantity sums:
+    both engines divide identical integers, IEEE division is
+    deterministic, so the rank order (tie-broken by item) cannot
+    diverge — ratios only become truncated DISPLAY values after
+    ranking. The sales↔returns joins are fact-to-fact on the same
+    composite key Q93 uses (shuffle join at scale); ranking input is
+    the per-item rollup, which is item-cardinality, not fact-sized.
+    """
+    from pyspark.sql.window import Window as W
+
+    ss = _t(spark, "store_sales")
+    sr = _t(spark, "store_returns").select(
+        "sr_item_sk", "sr_ticket_number", "sr_return_quantity"
+    )
+    ws = _t(spark, "web_sales")
+    wr = _t(spark, "web_returns").select(
+        "wr_item_sk", "wr_order_number", "wr_return_quantity"
+    )
+    store_leg = (
+        ss.join(
+            sr,
+            (ss.ss_item_sk == sr.sr_item_sk)
+            & (ss.ss_ticket_number == sr.sr_ticket_number),
+            "left",
+        )
+        .groupBy(F.col("ss_item_sk").alias("item_sk"))
+        .agg(
+            F.sum(F.col("ss_quantity").cast("bigint")).alias("sold_qty"),
+            F.sum(
+                F.coalesce(F.col("sr_return_quantity"), F.lit(0)).cast("bigint")
+            ).alias("ret_qty"),
+        )
+        .select(F.lit("store").alias("channel"), "item_sk", "sold_qty", "ret_qty")
+    )
+    web_leg = (
+        ws.join(
+            wr,
+            (ws.ws_item_sk == wr.wr_item_sk)
+            & (ws.ws_order_number == wr.wr_order_number),
+            "left",
+        )
+        .groupBy(F.col("ws_item_sk").alias("item_sk"))
+        .agg(
+            F.sum(F.col("ws_quantity").cast("bigint")).alias("sold_qty"),
+            F.sum(
+                F.coalesce(F.col("wr_return_quantity"), F.lit(0)).cast("bigint")
+            ).alias("ret_qty"),
+        )
+        .select(F.lit("web").alias("channel"), "item_sk", "sold_qty", "ret_qty")
+    )
+    legs = store_leg.unionByName(web_leg).filter(F.col("sold_qty") > 0)
+    ratio = F.col("ret_qty").cast("double") / F.col("sold_qty")
+    w = W.partitionBy("channel").orderBy(ratio.desc(), "item_sk")
+    return (
+        legs.withColumn("return_ratio", ratio)
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "channel", "item_sk", "sold_qty", "ret_qty",
+            (F.floor(F.col("return_ratio") * 10000) / 10000).alias("return_ratio"),
+            "rk",
+        )
+    )
+
+
+@query(
+    "tpcds_q23_frequent_best",
+    oracle=_with("store_sales", "catalog_sales", "web_sales", "date_dim", "item")
+    + """
+    , frequent_items AS (
+      SELECT i_item_sk FROM (
+        SELECT ss_item_sk AS i_item_sk, d_year, d_moy, COUNT(*) AS cnt
+        FROM store_sales JOIN date_dim ON ss_sold_date_sk = d_date_sk
+        GROUP BY 1, 2, 3
+      ) WHERE cnt >= 4
+      GROUP BY i_item_sk
+    ), cust_totals AS (
+      SELECT ss_customer_sk AS cust,
+             CAST(SUM(CAST(ss_quantity * ss_sales_price * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM store_sales WHERE ss_customer_sk IS NOT NULL
+      GROUP BY 1
+    ), max_total AS (
+      SELECT CAST(MAX(cents) AS BIGINT) AS max_cents FROM cust_totals
+    ), best_customers AS (
+      SELECT cust FROM cust_totals CROSS JOIN max_total
+      WHERE cents * 2 > max_cents
+    )
+    SELECT
+      CAST(SUM(CASE WHEN src = 'catalog' THEN cents ELSE 0 END) AS BIGINT)
+        AS catalog_cents,
+      CAST(SUM(CASE WHEN src = 'web' THEN cents ELSE 0 END) AS BIGINT)
+        AS web_cents,
+      CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM (
+      SELECT 'catalog' AS src,
+             CAST(cs_quantity * cs_list_price * 100 AS BIGINT) AS cents
+      FROM catalog_sales JOIN date_dim ON cs_sold_date_sk = d_date_sk
+      WHERE d_year = 2001 AND d_moy = 3
+        AND cs_item_sk IN (SELECT i_item_sk FROM frequent_items)
+        AND cs_bill_customer_sk IN (SELECT cust FROM best_customers)
+      UNION ALL
+      SELECT 'web', CAST(ws_quantity * ws_list_price * 100 AS BIGINT)
+      FROM web_sales JOIN date_dim ON ws_sold_date_sk = d_date_sk
+      WHERE d_year = 2001 AND d_moy = 3
+        AND ws_item_sk IN (SELECT i_item_sk FROM frequent_items)
+        AND ws_bill_customer_sk IN (SELECT cust FROM best_customers)
+    )
+    """,
+)
+def tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q23 shape (lite): remote-channel revenue in one month
+    from FREQUENT items bought by the BEST store customers.
+
+    The two famous derived sets composed: frequently-sold items
+    (item×month counts over a threshold — spec uses item×date with
+    dsdgen's skew; the generator's uniform dates make months the
+    equivalent grain, documented) and top customers (spent more than
+    half the maximum spender — the spec's 95th-percentile cut done as
+    an exact-cents comparison against a one-row MAX broadcast,
+    cents·2 > max). Both sets are small, so the month's catalog/web
+    scans semi-join against two broadcasts — at 100 TB this is two
+    map-side IN-filters over the fact partition-pruned to one month,
+    no wide shuffle at all until the final one-row total.
+    """
+    dd_all = F.broadcast(
+        _t(spark, "date_dim").select("d_date_sk", "d_year", "d_moy")
+    )
+    ss = _t(spark, "store_sales")
+    freq = (
+        ss.join(dd_all, ss.ss_sold_date_sk == dd_all.d_date_sk)
+        .groupBy(
+            F.col("ss_item_sk").alias("i_item_sk"), "d_year", "d_moy"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 4)
+        .select("i_item_sk")
+        .distinct()
+    )
+    cust_totals = (
+        ss.filter(F.col("ss_customer_sk").isNotNull())
+        .groupBy(F.col("ss_customer_sk").alias("cust"))
+        .agg(
+            F.sum(
+                (F.col("ss_quantity") * F.col("ss_sales_price") * 100).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    max_total = cust_totals.agg(F.max("cents").alias("max_cents"))
+    best = (
+        cust_totals.crossJoin(F.broadcast(max_total))
+        .filter(F.col("cents") * 2 > F.col("max_cents"))
+        .select("cust")
+    )
+    dd_m = F.broadcast(
+        _t(spark, "date_dim")
+        .filter((F.col("d_year") == 2001) & (F.col("d_moy") == 3))
+        .select("d_date_sk")
+    )
+
+    def leg(fact: DataFrame, src: str, item_col: str, cust_col: str,
+            date_col: str, q: str, p: str) -> DataFrame:
+        return (
+            fact.join(dd_m, F.col(date_col) == dd_m.d_date_sk)
+            .join(F.broadcast(freq), F.col(item_col) == freq.i_item_sk, "left_semi")
+            .join(F.broadcast(best), F.col(cust_col) == best.cust, "left_semi")
+            .select(
+                F.lit(src).alias("src"),
+                (F.col(q) * F.col(p) * 100).cast("bigint").alias("cents"),
+            )
+        )
+
+    lines = leg(
+        _t(spark, "catalog_sales"), "catalog", "cs_item_sk",
+        "cs_bill_customer_sk", "cs_sold_date_sk", "cs_quantity", "cs_list_price",
+    ).unionByName(
+        leg(
+            _t(spark, "web_sales"), "web", "ws_item_sk",
+            "ws_bill_customer_sk", "ws_sold_date_sk", "ws_quantity",
+            "ws_list_price",
+        )
+    )
+    return lines.agg(
+        F.sum(F.when(F.col("src") == "catalog", F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("catalog_cents"),
+        F.sum(F.when(F.col("src") == "web", F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("web_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
