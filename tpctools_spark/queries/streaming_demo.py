@@ -298,3 +298,75 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_value",
     )
     return _drain_to_memory(joined, "append")
+
+
+@query(
+    "stream_foreach_batch_view",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_foreach_batch_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized view through ``foreachBatch``: each
+    micro-batch's partial (count, decimal sum) per event type is merged
+    into a parquet-backed view by key — the canonical "stream keeps an
+    aggregate table fresh" deployment, with the sink logic free to run
+    arbitrary batch DataFrame code (MERGE, multi-table writes, ...).
+
+    Counts and decimal sums are associative/commutative partials, so
+    merge order cannot change the result — the final view equals the
+    batch aggregate, which is exactly what the oracle checks. State
+    lives in the sink table, not executor memory: per-batch work is
+    O(batch + |view|), and at scale the read-merge-write becomes a
+    key-partitioned MERGE on the same plan.
+    """
+    out = os.path.join(
+        os.path.abspath(_SCRATCH), f"febview-{uuid.uuid4().hex[:8]}"
+    )
+    view_dir = os.path.join(out, "view")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("value_dec"),
+        )
+        s = batch_df.sparkSession
+        if os.path.exists(view_dir):
+            prev = s.read.parquet(view_dir)
+            part = (
+                prev.unionByName(part)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("n_events").cast("bigint").alias("n_events"),
+                    F.sum("value_dec")
+                    .cast("decimal(12,2)")
+                    .alias("value_dec"),
+                )
+            )
+        # write to a fresh generation dir, then swap (no partial reads)
+        gen = os.path.join(out, f"gen-{batch_id}")
+        part.write.mode("overwrite").parquet(gen)
+        if os.path.exists(view_dir):
+            shutil.rmtree(view_dir)
+        os.rename(gen, view_dir)
+
+    stream = _stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option(
+            "checkpointLocation", os.path.join(out, "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(view_dir).select(
+        "event_type",
+        "n_events",
+        F.round(F.col("value_dec").cast("double"), 2).alias("total_value"),
+    )
