@@ -6,8 +6,11 @@ Runs the heavier queries from the §2.B inventory at the sf directory in
 ``noop`` sink — full compute, no driver collect — so timings measure the
 distributed plan, not result transfer.
 
-Output: {"metric": "suite_wall_time", "value": <total sec>,
-         "unit": "sec", "queries": {name: sec, ...}, "sf": <sf>}
+Output: ONE compact JSON line (printed last, < 1800 chars so the
+driver's stdout tail capture never truncates it):
+  {"metric": "suite_wall_time", "value": <total sec>, "unit": "sec",
+   "queries": {headline subset}, "gen_throughput": {...}, "sf": <sf>}
+Full per-query warm+cold timings land in ``bench_out.json``.
 """
 
 from __future__ import annotations
@@ -56,6 +59,36 @@ HEADLINE = [
     "pipeline_pack_sequences",
     "pipeline_contamination",
     "pipeline_unigram_lm_score",
+    # TPC-DS anchor group: the four most expensive shapes (6-fact union
+    # rollup, 4-way CTE self-join, cross-channel INTERSECT, dual-rank
+    # union) over the native generator's materialized parquet.
+    "tpcds_q5_channel_rollup",
+    "tpcds_q11_channel_growth",
+    "tpcds_q14_cross_channel_intersect",
+    "tpcds_q49_return_ratios",
+]
+
+# Driver-facing compact line keys: the stdout tail capture is ~2000
+# chars, so only this subset of timings rides on the final JSON line;
+# the full per-query + cold map goes to bench_out.json.
+COMPACT_KEYS = [
+    "agg_group_sum",
+    "tpch_q3_shipping_priority",
+    "tpch_q18_large_volume_customer",
+    "join_multiway",
+    "window_session",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_components",
+    "sim_cosine_topk",
+    "pipeline_contamination",
+    "tpcds_q5_channel_rollup",
+    "tpcds_q11_channel_growth",
+    "tpcds_q14_cross_channel_intersect",
+    "tpcds_q49_return_ratios",
+    "q1_sf1",
+    "gen_tpch",
+    "gen_tpcds",
 ]
 
 
@@ -161,24 +194,62 @@ def main() -> None:
     gen_stats["tpch_sf1_rows_per_s"] = _best_of_2(_gen_tpch)
     gen_stats["tpcds_sf1_rows_per_s"] = _best_of_2(_gen_tpcds)
 
+    # Q1 at sf1 (6M-row multi-file lineitem): the driver fixture is a
+    # single row group → 1-task scan, so agg_group_sum's fixture timing
+    # says nothing about scan parallelism. Materialize the generator's
+    # lineitem at sf1 once (pure function of (table, sf) — reusable) and
+    # time the same Q1 plan over it; this run scans 32 splits.
+    sf1_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".scratch", "bench_sf1"
+    )
+    li_path = os.path.join(sf1_dir, "lineitem.parquet")
+    if not os.path.exists(os.path.join(li_path, "_SUCCESS")):
+        build_table(spark, "lineitem", 1.0, 32).write.mode("overwrite").parquet(
+            li_path
+        )
+    qs["agg_group_sum"](spark, sf1_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()  # warm: codegen compile
+    t0 = time.perf_counter()
+    qs["agg_group_sum"](spark, sf1_dir).write.format("noop").mode("overwrite").save()
+    timings["q1_sf1"] = round(time.perf_counter() - t0, 3)
+
     sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_time",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "cold_queries": cold,
-                "gen_throughput": gen_stats,
-                "sf": sf_val,
-            }
-        )
+
+    full = {
+        "metric": "suite_wall_time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "cold_queries": cold,
+        "gen_throughput": gen_stats,
+        "sf": sf_val,
+    }
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
     )
+    with open(out_path, "w") as f:
+        json.dump(full, f, indent=2)
+
+    # Driver contract: ONE compact JSON line, printed LAST. The driver's
+    # stdout tail capture is ~2000 chars — round 2's full map overflowed
+    # it (BENCH_r02 parsed:null), so only the headline subset rides here.
+    compact = {
+        "metric": "suite_wall_time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: timings[k] for k in COMPACT_KEYS if k in timings},
+        "gen_throughput": gen_stats,
+        "sf": sf_val,
+        "detail": "bench_out.json",
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1800, f"compact bench line too long: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

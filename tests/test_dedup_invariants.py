@@ -106,6 +106,38 @@ def test_cluster_components_transitivity(spark, planted_dir):
         assert by_doc[d].keep
 
 
+def test_jaccard_hot_gram_cap(spark, tmp_path):
+    """A boilerplate sentence shared by 120 docs (df > JACCARD_DF_CAP)
+    must NOT explode into ~120²/2 candidate pairs — the df-cap drops the
+    hot grams from candidate generation entirely, while selective grams
+    (df=2 control pair) still dedup exactly."""
+    from tpctools_spark.queries.dedup import JACCARD_DF_CAP
+    from tpctools_spark.registry import spark_queries
+
+    boiler = "this document is provided as is without warranty of any kind"
+    rows = [
+        (i, f"{boiler} unique filler number {i} alpha beta")
+        for i in range(120)
+    ]
+    control = "seventeen green turtles watch from a mossy riverbank tonight"
+    rows += [(9001, control), (9002, control)]
+    assert 120 > JACCARD_DF_CAP  # the plant actually exceeds the cap
+    out = str(tmp_path / "hotgram")
+    spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in spark_queries()["dedup_ngram_jaccard"](spark, out).collect()
+    }
+    # Without the cap every boilerplate pair scores 10/(29-10) ≈ 0.53 →
+    # 7140 pairs; with it the hot grams vanish and only the control
+    # pair (whose grams have df=2) survives.
+    assert pairs == {(9001, 9002): 1.0}
+
+
 def test_lsh_cosine_matches_brute_force(spark):
     """After exact rescoring, LSH output ⊆ brute-force pairs by
     construction (precision 1); on the deterministic fixture the

@@ -232,10 +232,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Document-frequency ceiling for the inverted index: a gram shared by k
+# docs yields O(k²) rows out of the postings self-join, so one hot
+# boilerplate shingle in 10⁶ docs would be 10¹² candidate pairs. Grams
+# with df > τ are dropped from candidate generation (standard
+# prefix-filter practice); recall tradeoff: a pair whose ONLY shared
+# grams are boilerplate hot grams is no longer reported — at a 0.2
+# Jaccard threshold such pairs are overwhelmingly non-duplicates.
+JACCARD_DF_CAP = 50
+
+
+def _jaccard_pairs(
+    spark: SparkSession, sf_dir: str, caches: list | None = None
+) -> DataFrame:
     """Near-dup candidate pairs (doc_a < doc_b, jacc ≥ 0.2) with the
     raw `jacc` double column — shared by the pair query and the
-    connected-components clustering."""
+    connected-components clustering.
+
+    ``caches``: optional list the function appends its cached
+    DataFrames to, so callers that fully consume the result inside
+    their own lifetime (cluster components) can unpersist them."""
     # The corpus arrives as one small parquet file → one input partition;
     # spread it so shingling uses every core (at 100 TB the input is
     # already many splits and this repartition is a no-op to remove).
@@ -253,11 +269,26 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three consumers (the size filter, the n column, the explode) and
     # into both join legs — 6 evaluations per row instead of 1.
     base = docs.select("doc_id", gs.alias("gs")).filter(F.size("gs") > 0).cache()
+    if caches is not None:
+        caches.append(base)
     prep = base.select(
         "doc_id", F.size("gs").alias("n"), F.explode("gs").alias("gram")
     )
-    a = prep.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "gram")
-    b = prep.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "gram")
+    # df-cap (JACCARD_DF_CAP): hash-aggregate postings per gram (map-side
+    # partial → the shuffled df table is |distinct grams|, not |postings|),
+    # keep only the hot grams (tiny by construction — every row is ≥ τ
+    # docs' worth of postings), and broadcast-anti-join them away. The
+    # postings never shuffle for this step; doc gram-set sizes `n` stay
+    # FULL sizes so the Jaccard denominator is unaffected by the cap.
+    hot = (
+        prep.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > JACCARD_DF_CAP)
+        .select("gram")
+    )
+    kept = prep.join(F.broadcast(hot), "gram", "left_anti")
+    a = kept.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "gram")
+    b = kept.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "gram")
     shared = (
         a.join(b, "gram")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -272,7 +303,7 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_ngram_jaccard",
-    oracle="""
+    oracle=f"""
     WITH grams AS (
       SELECT DISTINCT doc_id, gram FROM (
         SELECT doc_id,
@@ -283,9 +314,13 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE gram IS NOT NULL
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+    ), hot AS (
+      SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > {JACCARD_DF_CAP}
+    ), kept AS (
+      SELECT * FROM grams WHERE gram NOT IN (SELECT gram FROM hot)
     ), shared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -301,8 +336,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     3-gram shingles are selective keys, so the self-join touches only
     documents that actually share a shingle (prefix-filtering family) —
-    never the full n² pair space. Jaccard is an exact integer ratio, so
-    the threshold decision is FP-safe against the oracle.
+    never the full n² pair space. Grams seen in more than
+    ``JACCARD_DF_CAP`` docs are excluded from candidate generation (the
+    hot-gram quadratic guard; see the constant's comment for the recall
+    tradeoff). Jaccard is an exact integer ratio, so the threshold
+    decision is FP-safe against the oracle.
     """
     return _jaccard_pairs(spark, sf_dir).select(
         "doc_a", "doc_b", trunc_digits(F.col("jacc"), 4).alias("jaccard")
@@ -379,7 +417,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_cluster_components",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE grams AS (
       SELECT DISTINCT doc_id, gram FROM (
         SELECT doc_id,
@@ -390,9 +428,13 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE gram IS NOT NULL
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+    ), hot AS (
+      SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > {JACCARD_DF_CAP}
+    ), kept AS (
+      SELECT * FROM grams WHERE gram NOT IN (SELECT gram FROM hot)
     ), shared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ), pairs AS (
       SELECT doc_a, doc_b FROM shared
@@ -441,7 +483,10 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pair_caches: list[DataFrame] = []
+    pairs = _jaccard_pairs(spark, sf_dir, caches=pair_caches).select(
+        "doc_a", "doc_b"
+    )
     edges = (
         pairs.unionByName(
             pairs.select(
@@ -475,6 +520,14 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    # The loop consumed edges and the shingle base fully (the final
+    # labels generation is materialized in cache by its sum-agg above) —
+    # release them so back-to-back multi-query sessions don't accumulate
+    # dead cached RDDs. `labels` itself must STAY cached: the returned
+    # DataFrame reads it.
+    edges.unpersist()
+    for c in pair_caches:
+        c.unpersist()
     w = Window.partitionBy("cluster_id")
     return labels.select(
         "doc_id",
