@@ -109,18 +109,26 @@ def main() -> None:
     # JVM's bounded codegen cache. Measured: dedup_ngram_jaccard 13.2 s
     # cold vs 1.3 s warm on identical data. Cold totals are reported
     # alongside in "cold_queries".
+    # Fault isolation: one broken query must not zero the whole round's
+    # bench record (round 3 lost its record to a single AnalysisException
+    # raised before any output) — time each query under try/except,
+    # report failures in "errors", and always print the compact line.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        cold[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        dt = round(time.perf_counter() - t0, 3)
-        timings[name] = dt
-        total += dt
+        try:
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            cold[name] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = dt
+            total += dt
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
         spark.catalog.clearCache()
 
     # Generation throughput — the reference's one published number is
@@ -135,20 +143,23 @@ def main() -> None:
     # Same warm-then-time protocol as the queries: a tiny-SF pass pays
     # the plan-compile cost, the timed pass measures generation
     # throughput at the bench SF.
-    for t in TPCH_TABLES:
-        build_table(spark, t, 0.001, 32).write.format("noop").mode("overwrite").save()
-    for t in TPCDS_TABLES:
-        build_tpcds_table(spark, t, 0.001, 32).write.format("noop").mode("overwrite").save()
-    t0 = time.perf_counter()
-    for t in TPCH_TABLES:
-        build_table(spark, t, sf_num, 32).write.format("noop").mode("overwrite").save()
-    timings["gen_tpch"] = round(time.perf_counter() - t0, 3)
-    total += timings["gen_tpch"]
-    t0 = time.perf_counter()
-    for t in TPCDS_TABLES:
-        build_tpcds_table(spark, t, sf_num, 32).write.format("noop").mode("overwrite").save()
-    timings["gen_tpcds"] = round(time.perf_counter() - t0, 3)
-    total += timings["gen_tpcds"]
+    try:
+        for t in TPCH_TABLES:
+            build_table(spark, t, 0.001, 32).write.format("noop").mode("overwrite").save()
+        for t in TPCDS_TABLES:
+            build_tpcds_table(spark, t, 0.001, 32).write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        for t in TPCH_TABLES:
+            build_table(spark, t, sf_num, 32).write.format("noop").mode("overwrite").save()
+        timings["gen_tpch"] = round(time.perf_counter() - t0, 3)
+        total += timings["gen_tpch"]
+        t0 = time.perf_counter()
+        for t in TPCDS_TABLES:
+            build_tpcds_table(spark, t, sf_num, 32).write.format("noop").mode("overwrite").save()
+        timings["gen_tpcds"] = round(time.perf_counter() - t0, 3)
+        total += timings["gen_tpcds"]
+    except Exception as exc:  # noqa: BLE001
+        errors["gen"] = f"{type(exc).__name__}: {exc}"[:200]
 
     # Amortized-scale generation throughput (rows/s at sf1, all tables):
     # the comparable figure to the reference's dsdgen 6247 s at
@@ -191,8 +202,11 @@ def main() -> None:
             n_rows += rows_for(t, 1.0)
         return n_rows
 
-    gen_stats["tpch_sf1_rows_per_s"] = _best_of_2(_gen_tpch)
-    gen_stats["tpcds_sf1_rows_per_s"] = _best_of_2(_gen_tpcds)
+    try:
+        gen_stats["tpch_sf1_rows_per_s"] = _best_of_2(_gen_tpch)
+        gen_stats["tpcds_sf1_rows_per_s"] = _best_of_2(_gen_tpcds)
+    except Exception as exc:  # noqa: BLE001
+        errors["gen_throughput"] = f"{type(exc).__name__}: {exc}"[:200]
 
     # Q1 at sf1 (6M-row multi-file lineitem): the driver fixture is a
     # single row group → 1-task scan, so agg_group_sum's fixture timing
@@ -203,16 +217,21 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), ".scratch", "bench_sf1"
     )
     li_path = os.path.join(sf1_dir, "lineitem.parquet")
-    if not os.path.exists(os.path.join(li_path, "_SUCCESS")):
-        build_table(spark, "lineitem", 1.0, 32).write.mode("overwrite").parquet(
-            li_path
-        )
-    qs["agg_group_sum"](spark, sf1_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()  # warm: codegen compile
-    t0 = time.perf_counter()
-    qs["agg_group_sum"](spark, sf1_dir).write.format("noop").mode("overwrite").save()
-    timings["q1_sf1"] = round(time.perf_counter() - t0, 3)
+    try:
+        if not os.path.exists(os.path.join(li_path, "_SUCCESS")):
+            build_table(spark, "lineitem", 1.0, 32).write.mode("overwrite").parquet(
+                li_path
+            )
+        qs["agg_group_sum"](spark, sf1_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()  # warm: codegen compile
+        t0 = time.perf_counter()
+        qs["agg_group_sum"](spark, sf1_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["q1_sf1"] = round(time.perf_counter() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["q1_sf1"] = f"{type(exc).__name__}: {exc}"[:200]
 
     sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
     try:
@@ -227,6 +246,7 @@ def main() -> None:
         "queries": timings,
         "cold_queries": cold,
         "gen_throughput": gen_stats,
+        "errors": errors,
         "sf": sf_val,
     }
     out_path = os.path.join(
@@ -247,8 +267,15 @@ def main() -> None:
         "sf": sf_val,
         "detail": "bench_out.json",
     }
+    if errors:
+        # Names only on the compact line (messages live in bench_out.json)
+        # so the line stays inside the driver's tail-capture budget.
+        compact["errors"] = sorted(errors)
     line = json.dumps(compact)
-    assert len(line) < 1800, f"compact bench line too long: {len(line)}"
+    if len(line) >= 1800:  # never die on line length — shed detail instead
+        compact["queries"] = dict(list(compact["queries"].items())[:8])
+        compact.pop("errors", None)
+        line = json.dumps(compact)
     print(line)
 
 

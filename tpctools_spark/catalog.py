@@ -27,6 +27,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     session would render every event-time output shifted.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Fixture timestamps are physical timestamp[us] with no timezone tag.
+    # Spark 4 infers those as TIMESTAMP_NTZ by default, which poisons
+    # epoch arithmetic (unix_micros rejects NTZ) and diverges from the
+    # LTZ semantics every query was validated under.  Under the UTC pin
+    # the two types are value-identical, so read them as LTZ; unlike a
+    # post-scan cast this keeps predicate pushdown on timestamp columns.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         return _events(spark, path)

@@ -24,6 +24,7 @@ from tpctools_spark.queries import (  # noqa: F401
     tpcds_demo2,
     tpcds_demo3,
     tpcds_demo4,
+    tpcds_demo5,
     scale_patterns,
     subqueries,
     pipeline,

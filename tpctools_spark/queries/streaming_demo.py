@@ -40,14 +40,24 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = StructType(
-        [
-            f if f.name != "ts" else type(f)("ts", LongType(), True)
-            for f in TESTDATA["events"].fields
-        ]
-    )
-    raw = spark.readStream.schema(schema).parquet(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # The fixture's physical ts type has varied across driver versions:
+    # TIMESTAMP(NANOS) (readable only as int64 via nanosAsLong) vs
+    # TIMESTAMP(MICROS) (a normal timestamp). Probe with the batch
+    # reader and only apply the nanos→micros truncation when the column
+    # really is nanos — dividing micros by 1000 would compress every
+    # event-time 1000×.
+    probed = spark.read.parquet(stage).schema["ts"].dataType
+    if isinstance(probed, LongType):  # physical TIMESTAMP(NANOS)
+        schema = StructType(
+            [
+                f if f.name != "ts" else type(f)("ts", LongType(), True)
+                for f in TESTDATA["events"].fields
+            ]
+        )
+        raw = spark.readStream.schema(schema).parquet(stage)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.readStream.schema(TESTDATA["events"]).parquet(stage)
 
 
 def _drain_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
