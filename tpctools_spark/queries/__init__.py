@@ -25,6 +25,7 @@ from tpctools_spark.queries import (  # noqa: F401
     tpcds_demo3,
     tpcds_demo4,
     tpcds_demo5,
+    tpcds_demo6,
     scale_patterns,
     subqueries,
     pipeline,
