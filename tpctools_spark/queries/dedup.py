@@ -30,6 +30,21 @@ from tpctools_spark.registry import query
 N_MINHASH = 32  # signature length
 MINHASH_BANDS = 8  # 8 bands × 4 rows
 
+# Cross-engine string hashing for the minhash/simhash oracles: md5 is
+# the one string hash Spark and DuckDB both evaluate bit-identically,
+# so the two 60-bit hex halves of the digest (reduced mod a prime) are
+# the base hashes, and every derived hash function is plain integer
+# arithmetic on them — the same construction that makes dedup_lsh_cosine
+# oracle-able. P keeps all products inside int64.
+_HP = 1_000_000_007
+
+# Minhash derived-function coefficients: mh_i = (a_i*h1 + b_i*h2) mod P.
+# The mod is load-bearing — a linear-in-i family without it leaves
+# adjacent hash functions minimized by the same shingle, which
+# correlates all rows of a band and destroys LSH recall.
+_MINHASH_A = [654435747, 963307234, 272178714, 581050201, 889921688, 198793168, 507664655, 816536142, 125407622, 434279109, 743150596, 52022076, 360893563, 669765050, 978636537, 287508017, 596379504, 905250991, 214122471, 522993958, 831865445, 140736925, 449608412, 758479899, 67351379, 376222866, 685094353, 993965840, 302837320, 611708807, 920580294, 229451774]
+_MINHASH_B = [246822505, 493645010, 740467515, 987290020, 234112518, 480935023, 727757528, 974580033, 221402531, 468225036, 715047541, 961870046, 208692544, 455515049, 702337554, 949160059, 195982557, 442805062, 689627567, 936450072, 183272570, 430095075, 676917580, 923740085, 170562583, 417385088, 664207593, 911030098, 157852596, 404675101, 651497606, 898320111]
+
 
 def _words(col: str = "text") -> F.Column:
     """Single-space tokenization of normalized text (mirrors the oracle's
@@ -86,9 +101,10 @@ def _shingles(w: F.Column) -> F.Column:
 def _minhash_signatures(docs: DataFrame) -> DataFrame:
     """doc_id → array<long> of N_MINHASH minhashes over 3-gram shingles.
 
-    Shape: explode shingles → 2 base hashes per shingle → groupBy doc_id
-    with 32 ``min(h1 + i·h2)`` aggregates (the classic 2-universal
-    minhash family — 2 string hashes, 32 derived functions).
+    Shape: explode shingles → 2 md5-derived base hashes per shingle →
+    groupBy doc_id with 32 ``min((a_i·h1 + b_i·h2) mod P)`` aggregates (the classic
+    2-universal minhash family — 2 base hashes, 32 derived functions,
+    all reproducible in ANSI SQL for the oracle).
 
     Why this shape: the whole pipeline stays inside whole-stage codegen
     (split/explode/xxhash64/hash-agg are all JVM-generated code).
@@ -103,22 +119,134 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
     low, so candidate generation stays near-linear.
     """
     shingles = F.filter(_shingles(_words()), lambda s: s.isNotNull())
-    hashed = docs.select("doc_id", F.explode(shingles).alias("s")).select(
+    hashed = (
+        docs.select("doc_id", F.explode(shingles).alias("s"))
+        .select("doc_id", F.md5("s").alias("m"))
+        .select(
+            "doc_id",
+            (F.conv(F.substring("m", 1, 15), 16, 10).cast("bigint") % _HP).alias("h1"),
+            (F.conv(F.substring("m", 17, 15), 16, 10).cast("bigint") % _HP).alias("h2"),
+        )
+    )
+    # One row-side projection builds all 32 derived hashes (md5/conv
+    # evaluated once per shingle — inlining them into 32 aggregate
+    # expressions re-evaluates the hash per aggregate); the aggregates
+    # then reduce plain array slots.
+    derived = hashed.select(
         "doc_id",
-        F.xxhash64(F.lit(1), "s").alias("h1"),
-        F.xxhash64(F.lit(2), "s").alias("h2"),
+        F.array(
+            *[
+                (F.col("h1") * _MINHASH_A[i] + F.col("h2") * _MINHASH_B[i]) % _HP
+                for i in range(N_MINHASH)
+            ]
+        ).alias("hs"),
     )
     mins = [
-        F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"mh_{i}")
-        for i in range(N_MINHASH)
+        F.min(F.element_at("hs", i + 1)).alias(f"mh_{i}") for i in range(N_MINHASH)
     ]
-    sig = hashed.groupBy("doc_id").agg(*mins)
+    sig = derived.groupBy("doc_id").agg(*mins)
     return sig.select(
         "doc_id", F.array(*[f"mh_{i}" for i in range(N_MINHASH)]).alias("signature")
     )
 
 
-@query("dedup_minhash")  # hash-function specific → rows-only
+_MINHASH_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               ELSE [] END) AS s
+      FROM toks
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) % 1000000007 AS h1,
+             CAST(('0x' || substring(md5(s), 17, 15)) AS BIGINT) % 1000000007 AS h2
+      FROM sh
+    ), sig AS (
+      SELECT doc_id,
+             MIN((h1 * 654435747 + h2 * 246822505) % 1000000007) AS mh_0,
+             MIN((h1 * 963307234 + h2 * 493645010) % 1000000007) AS mh_1,
+             MIN((h1 * 272178714 + h2 * 740467515) % 1000000007) AS mh_2,
+             MIN((h1 * 581050201 + h2 * 987290020) % 1000000007) AS mh_3,
+             MIN((h1 * 889921688 + h2 * 234112518) % 1000000007) AS mh_4,
+             MIN((h1 * 198793168 + h2 * 480935023) % 1000000007) AS mh_5,
+             MIN((h1 * 507664655 + h2 * 727757528) % 1000000007) AS mh_6,
+             MIN((h1 * 816536142 + h2 * 974580033) % 1000000007) AS mh_7,
+             MIN((h1 * 125407622 + h2 * 221402531) % 1000000007) AS mh_8,
+             MIN((h1 * 434279109 + h2 * 468225036) % 1000000007) AS mh_9,
+             MIN((h1 * 743150596 + h2 * 715047541) % 1000000007) AS mh_10,
+             MIN((h1 * 52022076 + h2 * 961870046) % 1000000007) AS mh_11,
+             MIN((h1 * 360893563 + h2 * 208692544) % 1000000007) AS mh_12,
+             MIN((h1 * 669765050 + h2 * 455515049) % 1000000007) AS mh_13,
+             MIN((h1 * 978636537 + h2 * 702337554) % 1000000007) AS mh_14,
+             MIN((h1 * 287508017 + h2 * 949160059) % 1000000007) AS mh_15,
+             MIN((h1 * 596379504 + h2 * 195982557) % 1000000007) AS mh_16,
+             MIN((h1 * 905250991 + h2 * 442805062) % 1000000007) AS mh_17,
+             MIN((h1 * 214122471 + h2 * 689627567) % 1000000007) AS mh_18,
+             MIN((h1 * 522993958 + h2 * 936450072) % 1000000007) AS mh_19,
+             MIN((h1 * 831865445 + h2 * 183272570) % 1000000007) AS mh_20,
+             MIN((h1 * 140736925 + h2 * 430095075) % 1000000007) AS mh_21,
+             MIN((h1 * 449608412 + h2 * 676917580) % 1000000007) AS mh_22,
+             MIN((h1 * 758479899 + h2 * 923740085) % 1000000007) AS mh_23,
+             MIN((h1 * 67351379 + h2 * 170562583) % 1000000007) AS mh_24,
+             MIN((h1 * 376222866 + h2 * 417385088) % 1000000007) AS mh_25,
+             MIN((h1 * 685094353 + h2 * 664207593) % 1000000007) AS mh_26,
+             MIN((h1 * 993965840 + h2 * 911030098) % 1000000007) AS mh_27,
+             MIN((h1 * 302837320 + h2 * 157852596) % 1000000007) AS mh_28,
+             MIN((h1 * 611708807 + h2 * 404675101) % 1000000007) AS mh_29,
+             MIN((h1 * 920580294 + h2 * 651497606) % 1000000007) AS mh_30,
+             MIN((h1 * 229451774 + h2 * 898320111) % 1000000007) AS mh_31
+      FROM hashed GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, 0 AS band, ((((((mh_0) % 1000000007) * 131 + mh_1) % 1000000007) * 131 + mh_2) % 1000000007) * 131 + mh_3 AS bucket FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, ((((((mh_4) % 1000000007) * 131 + mh_5) % 1000000007) * 131 + mh_6) % 1000000007) * 131 + mh_7 AS bucket FROM sig
+      UNION ALL
+      SELECT doc_id, 2 AS band, ((((((mh_8) % 1000000007) * 131 + mh_9) % 1000000007) * 131 + mh_10) % 1000000007) * 131 + mh_11 AS bucket FROM sig
+      UNION ALL
+      SELECT doc_id, 3 AS band, ((((((mh_12) % 1000000007) * 131 + mh_13) % 1000000007) * 131 + mh_14) % 1000000007) * 131 + mh_15 AS bucket FROM sig
+      UNION ALL
+      SELECT doc_id, 4 AS band, ((((((mh_16) % 1000000007) * 131 + mh_17) % 1000000007) * 131 + mh_18) % 1000000007) * 131 + mh_19 AS bucket FROM sig
+      UNION ALL
+      SELECT doc_id, 5 AS band, ((((((mh_20) % 1000000007) * 131 + mh_21) % 1000000007) * 131 + mh_22) % 1000000007) * 131 + mh_23 AS bucket FROM sig
+      UNION ALL
+      SELECT doc_id, 6 AS band, ((((((mh_24) % 1000000007) * 131 + mh_25) % 1000000007) * 131 + mh_26) % 1000000007) * 131 + mh_27 AS bucket FROM sig
+      UNION ALL
+      SELECT doc_id, 7 AS band, ((((((mh_28) % 1000000007) * 131 + mh_29) % 1000000007) * 131 + mh_30) % 1000000007) * 131 + mh_31 AS bucket FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), sigl AS (
+      SELECT doc_id, [mh_0, mh_1, mh_2, mh_3, mh_4, mh_5, mh_6, mh_7, mh_8, mh_9, mh_10, mh_11, mh_12, mh_13, mh_14, mh_15, mh_16, mh_17, mh_18, mh_19, mh_20, mh_21, mh_22, mh_23, mh_24, mh_25, mh_26, mh_27, mh_28, mh_29, mh_30, mh_31] AS sig FROM sig
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(list_sum(list_transform(range(1, 33),
+                   i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+                 AS DOUBLE) / 32, 4) AS est_jaccard
+    FROM cand
+    JOIN sigl sa ON sa.doc_id = doc_a
+    JOIN sigl sb ON sb.doc_id = doc_b
+    WHERE list_sum(list_transform(range(1, 33),
+            i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) >= 16
+"""
+
+
+def _fold_bucket(cols: list[F.Column]) -> F.Column:
+    """Arithmetic band-bucket key: fold the band's minhashes through
+    ``acc = (acc % P)*131 + v`` — the identical formula the oracle
+    writes inline, so bucket membership matches across engines (stays
+    under 2e11, no overflow)."""
+    acc = cols[0]
+    for c in cols[1:]:
+        acc = (acc % _HP) * 131 + c
+    return acc
+
+
+@query("dedup_minhash", oracle=_MINHASH_ORACLE)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate candidate pairs.
 
@@ -143,8 +271,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
+                        _fold_bucket(
+                            [
                                 F.element_at("signature", b * rows_per_band + r + 1)
                                 for r in range(rows_per_band)
                             ]
@@ -187,27 +315,216 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # hash-function specific → rows-only
+_SIMHASH_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(word), 1, 15)) AS BIGINT)
+               % 1000000007 AS h1,
+             CAST(('0x' || substring(md5(word), 17, 15)) AS BIGINT)
+               % 1000000007 AS h2
+      FROM toks
+    ), voted AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             SUM(CASE WHEN ((h1 * 654435747 + h2 * 283521) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_0,
+             SUM(CASE WHEN ((h1 * 308871487 + h2 * 324024) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_1,
+             SUM(CASE WHEN ((h1 * 963307234 + h2 * 364527) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_2,
+             SUM(CASE WHEN ((h1 * 617742974 + h2 * 405030) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_3,
+             SUM(CASE WHEN ((h1 * 272178714 + h2 * 445533) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_4,
+             SUM(CASE WHEN ((h1 * 926614461 + h2 * 486036) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_5,
+             SUM(CASE WHEN ((h1 * 581050201 + h2 * 526539) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_6,
+             SUM(CASE WHEN ((h1 * 235485941 + h2 * 567042) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_7,
+             SUM(CASE WHEN ((h1 * 889921688 + h2 * 607545) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_8,
+             SUM(CASE WHEN ((h1 * 544357428 + h2 * 648048) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_9,
+             SUM(CASE WHEN ((h1 * 198793168 + h2 * 688551) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_10,
+             SUM(CASE WHEN ((h1 * 853228915 + h2 * 729054) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_11,
+             SUM(CASE WHEN ((h1 * 507664655 + h2 * 769557) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_12,
+             SUM(CASE WHEN ((h1 * 162100395 + h2 * 810060) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_13,
+             SUM(CASE WHEN ((h1 * 816536142 + h2 * 850563) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_14,
+             SUM(CASE WHEN ((h1 * 470971882 + h2 * 891066) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_15,
+             SUM(CASE WHEN ((h1 * 125407622 + h2 * 931569) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_16,
+             SUM(CASE WHEN ((h1 * 779843369 + h2 * 972072) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_17,
+             SUM(CASE WHEN ((h1 * 434279109 + h2 * 1012575) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_18,
+             SUM(CASE WHEN ((h1 * 88714849 + h2 * 1053078) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_19,
+             SUM(CASE WHEN ((h1 * 743150596 + h2 * 1093581) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_20,
+             SUM(CASE WHEN ((h1 * 397586336 + h2 * 1134084) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_21,
+             SUM(CASE WHEN ((h1 * 52022076 + h2 * 1174587) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_22,
+             SUM(CASE WHEN ((h1 * 706457823 + h2 * 1215090) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_23,
+             SUM(CASE WHEN ((h1 * 360893563 + h2 * 1255593) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_24,
+             SUM(CASE WHEN ((h1 * 15329303 + h2 * 1296096) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_25,
+             SUM(CASE WHEN ((h1 * 669765050 + h2 * 1336599) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_26,
+             SUM(CASE WHEN ((h1 * 324200790 + h2 * 1377102) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_27,
+             SUM(CASE WHEN ((h1 * 978636537 + h2 * 1417605) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_28,
+             SUM(CASE WHEN ((h1 * 633072277 + h2 * 1458108) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_29,
+             SUM(CASE WHEN ((h1 * 287508017 + h2 * 1498611) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_30,
+             SUM(CASE WHEN ((h1 * 941943764 + h2 * 1539114) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_31,
+             SUM(CASE WHEN ((h1 * 596379504 + h2 * 1579617) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_32,
+             SUM(CASE WHEN ((h1 * 250815244 + h2 * 1620120) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_33,
+             SUM(CASE WHEN ((h1 * 905250991 + h2 * 1660623) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_34,
+             SUM(CASE WHEN ((h1 * 559686731 + h2 * 1701126) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_35,
+             SUM(CASE WHEN ((h1 * 214122471 + h2 * 1741629) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_36,
+             SUM(CASE WHEN ((h1 * 868558218 + h2 * 1782132) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_37,
+             SUM(CASE WHEN ((h1 * 522993958 + h2 * 1822635) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_38,
+             SUM(CASE WHEN ((h1 * 177429698 + h2 * 1863138) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_39,
+             SUM(CASE WHEN ((h1 * 831865445 + h2 * 1903641) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_40,
+             SUM(CASE WHEN ((h1 * 486301185 + h2 * 1944144) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_41,
+             SUM(CASE WHEN ((h1 * 140736925 + h2 * 1984647) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_42,
+             SUM(CASE WHEN ((h1 * 795172672 + h2 * 2025150) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_43,
+             SUM(CASE WHEN ((h1 * 449608412 + h2 * 2065653) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_44,
+             SUM(CASE WHEN ((h1 * 104044152 + h2 * 2106156) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_45,
+             SUM(CASE WHEN ((h1 * 758479899 + h2 * 2146659) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_46,
+             SUM(CASE WHEN ((h1 * 412915639 + h2 * 2187162) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_47,
+             SUM(CASE WHEN ((h1 * 67351379 + h2 * 2227665) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_48,
+             SUM(CASE WHEN ((h1 * 721787126 + h2 * 2268168) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_49,
+             SUM(CASE WHEN ((h1 * 376222866 + h2 * 2308671) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_50,
+             SUM(CASE WHEN ((h1 * 30658606 + h2 * 2349174) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_51,
+             SUM(CASE WHEN ((h1 * 685094353 + h2 * 2389677) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_52,
+             SUM(CASE WHEN ((h1 * 339530093 + h2 * 2430180) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_53,
+             SUM(CASE WHEN ((h1 * 993965840 + h2 * 2470683) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_54,
+             SUM(CASE WHEN ((h1 * 648401580 + h2 * 2511186) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_55,
+             SUM(CASE WHEN ((h1 * 302837320 + h2 * 2551689) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_56,
+             SUM(CASE WHEN ((h1 * 957273067 + h2 * 2592192) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_57,
+             SUM(CASE WHEN ((h1 * 611708807 + h2 * 2632695) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_58,
+             SUM(CASE WHEN ((h1 * 266144547 + h2 * 2673198) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_59,
+             SUM(CASE WHEN ((h1 * 920580294 + h2 * 2713701) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_60,
+             SUM(CASE WHEN ((h1 * 575016034 + h2 * 2754204) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_61,
+             SUM(CASE WHEN ((h1 * 229451774 + h2 * 2794707) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_62,
+             SUM(CASE WHEN ((h1 * 883887521 + h2 * 2835210) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END) AS v_63
+      FROM hashed GROUP BY doc_id
+    ), assembled AS (
+      SELECT doc_id, n_tokens,
+             (CASE WHEN v_0 > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN v_1 > 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN v_2 > 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN v_3 > 0 THEN 8 ELSE 0 END)
+             + (CASE WHEN v_4 > 0 THEN 16 ELSE 0 END)
+             + (CASE WHEN v_5 > 0 THEN 32 ELSE 0 END)
+             + (CASE WHEN v_6 > 0 THEN 64 ELSE 0 END)
+             + (CASE WHEN v_7 > 0 THEN 128 ELSE 0 END)
+             + (CASE WHEN v_8 > 0 THEN 256 ELSE 0 END)
+             + (CASE WHEN v_9 > 0 THEN 512 ELSE 0 END)
+             + (CASE WHEN v_10 > 0 THEN 1024 ELSE 0 END)
+             + (CASE WHEN v_11 > 0 THEN 2048 ELSE 0 END)
+             + (CASE WHEN v_12 > 0 THEN 4096 ELSE 0 END)
+             + (CASE WHEN v_13 > 0 THEN 8192 ELSE 0 END)
+             + (CASE WHEN v_14 > 0 THEN 16384 ELSE 0 END)
+             + (CASE WHEN v_15 > 0 THEN 32768 ELSE 0 END)
+             + (CASE WHEN v_16 > 0 THEN 65536 ELSE 0 END)
+             + (CASE WHEN v_17 > 0 THEN 131072 ELSE 0 END)
+             + (CASE WHEN v_18 > 0 THEN 262144 ELSE 0 END)
+             + (CASE WHEN v_19 > 0 THEN 524288 ELSE 0 END)
+             + (CASE WHEN v_20 > 0 THEN 1048576 ELSE 0 END)
+             + (CASE WHEN v_21 > 0 THEN 2097152 ELSE 0 END)
+             + (CASE WHEN v_22 > 0 THEN 4194304 ELSE 0 END)
+             + (CASE WHEN v_23 > 0 THEN 8388608 ELSE 0 END)
+             + (CASE WHEN v_24 > 0 THEN 16777216 ELSE 0 END)
+             + (CASE WHEN v_25 > 0 THEN 33554432 ELSE 0 END)
+             + (CASE WHEN v_26 > 0 THEN 67108864 ELSE 0 END)
+             + (CASE WHEN v_27 > 0 THEN 134217728 ELSE 0 END)
+             + (CASE WHEN v_28 > 0 THEN 268435456 ELSE 0 END)
+             + (CASE WHEN v_29 > 0 THEN 536870912 ELSE 0 END)
+             + (CASE WHEN v_30 > 0 THEN 1073741824 ELSE 0 END)
+             + (CASE WHEN v_31 > 0 THEN 2147483648 ELSE 0 END)
+             + (CASE WHEN v_32 > 0 THEN 4294967296 ELSE 0 END)
+             + (CASE WHEN v_33 > 0 THEN 8589934592 ELSE 0 END)
+             + (CASE WHEN v_34 > 0 THEN 17179869184 ELSE 0 END)
+             + (CASE WHEN v_35 > 0 THEN 34359738368 ELSE 0 END)
+             + (CASE WHEN v_36 > 0 THEN 68719476736 ELSE 0 END)
+             + (CASE WHEN v_37 > 0 THEN 137438953472 ELSE 0 END)
+             + (CASE WHEN v_38 > 0 THEN 274877906944 ELSE 0 END)
+             + (CASE WHEN v_39 > 0 THEN 549755813888 ELSE 0 END)
+             + (CASE WHEN v_40 > 0 THEN 1099511627776 ELSE 0 END)
+             + (CASE WHEN v_41 > 0 THEN 2199023255552 ELSE 0 END)
+             + (CASE WHEN v_42 > 0 THEN 4398046511104 ELSE 0 END)
+             + (CASE WHEN v_43 > 0 THEN 8796093022208 ELSE 0 END)
+             + (CASE WHEN v_44 > 0 THEN 17592186044416 ELSE 0 END)
+             + (CASE WHEN v_45 > 0 THEN 35184372088832 ELSE 0 END)
+             + (CASE WHEN v_46 > 0 THEN 70368744177664 ELSE 0 END)
+             + (CASE WHEN v_47 > 0 THEN 140737488355328 ELSE 0 END)
+             + (CASE WHEN v_48 > 0 THEN 281474976710656 ELSE 0 END)
+             + (CASE WHEN v_49 > 0 THEN 562949953421312 ELSE 0 END)
+             + (CASE WHEN v_50 > 0 THEN 1125899906842624 ELSE 0 END)
+             + (CASE WHEN v_51 > 0 THEN 2251799813685248 ELSE 0 END)
+             + (CASE WHEN v_52 > 0 THEN 4503599627370496 ELSE 0 END)
+             + (CASE WHEN v_53 > 0 THEN 9007199254740992 ELSE 0 END)
+             + (CASE WHEN v_54 > 0 THEN 18014398509481984 ELSE 0 END)
+             + (CASE WHEN v_55 > 0 THEN 36028797018963968 ELSE 0 END)
+             + (CASE WHEN v_56 > 0 THEN 72057594037927936 ELSE 0 END)
+             + (CASE WHEN v_57 > 0 THEN 144115188075855872 ELSE 0 END)
+             + (CASE WHEN v_58 > 0 THEN 288230376151711744 ELSE 0 END)
+             + (CASE WHEN v_59 > 0 THEN 576460752303423488 ELSE 0 END)
+             + (CASE WHEN v_60 > 0 THEN 1152921504606846976 ELSE 0 END)
+             + (CASE WHEN v_61 > 0 THEN 2305843009213693952 ELSE 0 END)
+             + (CASE WHEN v_62 > 0 THEN 4611686018427387904 ELSE 0 END)
+             + (CASE WHEN v_63 > 0 THEN -9223372036854775807 - 1 ELSE 0 END)
+               AS simhash
+      FROM voted
+    )
+    SELECT doc_id, n_tokens, simhash,
+           (simhash >> 0)  & 65535 AS band_0,
+           (simhash >> 16) & 65535 AS band_1,
+           (simhash >> 32) & 65535 AS band_2,
+           (simhash >> 48) & 65535 AS band_3
+    FROM assembled
+"""
+
+# Per-bit vote hash coefficients: 64 derived hash functions over the two
+# md5 base hashes (a_i·h1 + b_i·h2 mod P mod 2) — plain arithmetic both
+# engines evaluate identically, replacing the engine-specific xxhash64
+# bit extraction. Products stay under 2e18 (h < P ≈ 1e9, a_i,b_i < P).
+_SIMHASH_A = [654435747, 308871487, 963307234, 617742974, 272178714, 926614461, 581050201, 235485941, 889921688, 544357428, 198793168, 853228915, 507664655, 162100395, 816536142, 470971882, 125407622, 779843369, 434279109, 88714849, 743150596, 397586336, 52022076, 706457823, 360893563, 15329303, 669765050, 324200790, 978636537, 633072277, 287508017, 941943764, 596379504, 250815244, 905250991, 559686731, 214122471, 868558218, 522993958, 177429698, 831865445, 486301185, 140736925, 795172672, 449608412, 104044152, 758479899, 412915639, 67351379, 721787126, 376222866, 30658606, 685094353, 339530093, 993965840, 648401580, 302837320, 957273067, 611708807, 266144547, 920580294, 575016034, 229451774, 883887521]
+_SIMHASH_B = [283521, 324024, 364527, 405030, 445533, 486036, 526539, 567042, 607545, 648048, 688551, 729054, 769557, 810060, 850563, 891066, 931569, 972072, 1012575, 1053078, 1093581, 1134084, 1174587, 1215090, 1255593, 1296096, 1336599, 1377102, 1417605, 1458108, 1498611, 1539114, 1579617, 1620120, 1660623, 1701126, 1741629, 1782132, 1822635, 1863138, 1903641, 1944144, 1984647, 2025150, 2065653, 2106156, 2146659, 2187162, 2227665, 2268168, 2308671, 2349174, 2389677, 2430180, 2470683, 2511186, 2551689, 2592192, 2632695, 2673198, 2713701, 2754204, 2794707, 2835210]
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (per-bit majority vote over token
     hashes), plus its 4×16-bit band keys for hamming-≤3 bucketing.
 
     The vote is an aggregation over exploded tokens — fully JVM-side;
-    the signature assembles via bit arithmetic, no UDF.
+    the signature assembles via bit arithmetic, no UDF. Each bit's
+    token hash is a derived arithmetic function of two md5-based hashes
+    (see _SIMHASH_A/_B), which is what lets DuckDB rebuild the exact
+    signature: the whole pipeline is value-checked, not rows-only. Bit
+    63 lands via two's-complement addition of -2^63 (DuckDB's << 63
+    overflows; the sum of disjoint powers equals the xor).
     """
     docs = table(spark, sf_dir, "documents")
-    tokens = docs.select("doc_id", F.explode(_words()).alias("word")).withColumn(
-        "h", F.xxhash64("word")
+    tokens = (
+        docs.select("doc_id", F.explode(_words()).alias("word"))
+        .select("doc_id", F.md5("word").alias("m"))
+        .select(
+            "doc_id",
+            (F.conv(F.substring("m", 1, 15), 16, 10).cast("bigint") % _HP).alias("h1"),
+            (F.conv(F.substring("m", 17, 15), 16, 10).cast("bigint") % _HP).alias("h2"),
+        )
+    )
+    # Row-side projection of all 64 ±1 votes (hash computed once per
+    # word, not once per aggregate expression), then 64 plain sums.
+    tokens = tokens.select(
+        "doc_id",
+        F.array(
+            *[
+                F.when(
+                    (
+                        (
+                            F.col("h1") * _SIMHASH_A[i]
+                            + F.col("h2") * _SIMHASH_B[i]
+                        )
+                        % _HP
+                    )
+                    % 2
+                    == 1,
+                    1,
+                ).otherwise(-1)
+                for i in range(64)
+            ]
+        ).alias("vb"),
     )
     # Per bit: sum of +1/-1 votes; bit set iff the vote is positive.
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
-        ).alias(f"v_{i}")
-        for i in range(64)
-    ]
+    votes = [F.sum(F.element_at("vb", i + 1)).alias(f"v_{i}") for i in range(64)]
     voted = tokens.groupBy("doc_id").agg(
         *votes, F.count(F.lit(1)).alias("n_tokens")
     )
