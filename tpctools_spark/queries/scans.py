@@ -56,8 +56,15 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _stable_scratch(tag: str) -> str:
     """A deterministic scratch path: written with mode=overwrite and left
     on disk so the returned DataFrame stays lazily readable (no collect/
-    createDataFrame rebuild — the plan is a real file scan)."""
-    path = os.path.join(_SCRATCH, tag)
+    createDataFrame rebuild — the plan is a real file scan).
+
+    Keyed per process (overridable via SPARK_GRAFT_SCRATCH_KEY) so two
+    concurrent sessions — e.g. the driver's correctness run and a judge
+    session — can never race each other's mode=overwrite on the same
+    directory. Stable WITHIN a process, which is all the lazy read-back
+    needs."""
+    key = os.environ.get("SPARK_GRAFT_SCRATCH_KEY", f"pid{os.getpid()}")
+    path = os.path.join(_SCRATCH, f"{tag}-{key}")
     os.makedirs(_SCRATCH, exist_ok=True)
     return path
 
