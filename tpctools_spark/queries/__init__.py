@@ -26,6 +26,7 @@ from tpctools_spark.queries import (  # noqa: F401
     tpcds_demo4,
     tpcds_demo5,
     tpcds_demo6,
+    tpcds_demo7,
     scale_patterns,
     subqueries,
     pipeline,
