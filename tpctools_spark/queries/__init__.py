@@ -27,6 +27,7 @@ from tpctools_spark.queries import (  # noqa: F401
     tpcds_demo5,
     tpcds_demo6,
     tpcds_demo7,
+    tpcds_demo8,
     scale_patterns,
     subqueries,
     pipeline,
