@@ -28,6 +28,7 @@ from tpctools_spark.queries import (  # noqa: F401
     tpcds_demo6,
     tpcds_demo7,
     tpcds_demo8,
+    tpcds_demo9,
     scale_patterns,
     subqueries,
     pipeline,

@@ -41,7 +41,7 @@ _GEN_TABLES = [
     "date_dim", "time_dim", "item", "store", "warehouse",
     "customer", "customer_address", "customer_demographics",
     "household_demographics", "promotion", "catalog_page", "web_page",
-    "reason", "ship_mode", "web_site", "call_center",
+    "reason", "ship_mode", "web_site", "call_center", "income_band",
 ]
 
 

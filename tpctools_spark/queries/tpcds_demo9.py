@@ -1,0 +1,643 @@
+"""TPC-DS shapes, tenth tier: Q8 (zip-set store profit), Q24 (color
+basket vs average), Q57 (catalog monthly deviation with neighbors),
+Q75 (YoY channel decline with returns netted), Q79 (max ticket per
+customer), Q83 (tri-channel return quantities), Q84 (income-band
+customer resolution), Q86 (web rollup rank), Q91 (call-center return
+profile).
+
+Shapes here are instantiations of families proven in earlier tiers
+(deviation windows, union-of-channels netting, rollup ranks, star
+chains) on their remaining spec members — the last stretch toward
+full 99-query coverage. Oracle scheme as :mod:`tpcds_demo`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tpctools_spark.queries.tpcds_demo import _t, _with
+from tpctools_spark.registry import query
+
+
+@query(
+    "tpcds_q8_zip_store_profit",
+    oracle=_with("store_sales", "store", "customer", "customer_address", "date_dim")
+    + """
+    , pref_zips AS (
+      SELECT DISTINCT substring(ca_zip, 1, 1) AS z2
+      FROM customer
+      JOIN customer_address ON c_current_addr_sk = ca_address_sk
+      WHERE c_preferred_cust_flag = 'Y'
+    )
+    SELECT s_store_name,
+           CAST(SUM(CAST(ss_net_profit * 100 AS BIGINT)) AS BIGINT)
+             AS profit_cents
+    FROM store_sales
+    JOIN store ON ss_store_sk = s_store_sk
+    JOIN date_dim ON ss_sold_date_sk = d_date_sk
+    WHERE d_year = 2001
+      AND substring(s_zip, 1, 1) IN (SELECT z2 FROM pref_zips)
+    GROUP BY 1
+    """,
+)
+def tpcds_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q8 shape: store profit for stores whose zip prefix is
+    shared with a preferred customer's address.
+
+    The spec intersects a literal 400-zip list with preferred-customer
+    zips; the generator's zips are uniform 5-digit strings, so the
+    literal list is dropped and the preferred-customer zip-prefix SET
+    drives the gate alone (documented). The derived set is tiny →
+    broadcast semi join against the store dim, which then gates the
+    fact scan — the two-level derived-dim-gates-fact shape.
+    """
+    ca = F.broadcast(_t(spark, "customer_address").select("ca_address_sk", "ca_zip"))
+    pref = (
+        _t(spark, "customer")
+        .filter(F.col("c_preferred_cust_flag") == "Y")
+        .join(ca, F.col("c_current_addr_sk") == ca.ca_address_sk)
+        .select(F.substring("ca_zip", 1, 1).alias("z2"))
+        .distinct()
+    )
+    st = (
+        _t(spark, "store")
+        .select("s_store_sk", "s_store_name", F.substring("s_zip", 1, 1).alias("sz2"))
+        .join(F.broadcast(pref), F.col("sz2") == F.col("z2"), "left_semi")
+    )
+    dd = F.broadcast(
+        _t(spark, "date_dim").filter(F.col("d_year") == 2001).select("d_date_sk")
+    )
+    ss = _t(spark, "store_sales")
+    return (
+        ss.join(F.broadcast(st), ss.ss_store_sk == st.s_store_sk)
+        .join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .groupBy("s_store_name")
+        .agg(
+            F.sum((F.col("ss_net_profit") * 100).cast("bigint")).alias(
+                "profit_cents"
+            )
+        )
+    )
+
+
+@query(
+    "tpcds_q24_color_basket_above_avg",
+    oracle=_with("store_sales", "store_returns", "customer", "item")
+    + """
+    , ssales AS (
+      SELECT c_last_name, c_first_name, i_color,
+             CAST(SUM(CAST(ss_net_paid * 100 AS BIGINT)) AS BIGINT) AS paid_cents
+      FROM store_sales
+      JOIN store_returns ON ss_ticket_number = sr_ticket_number
+                        AND ss_item_sk = sr_item_sk
+      JOIN customer ON ss_customer_sk = c_customer_sk
+      JOIN item ON ss_item_sk = i_item_sk
+      GROUP BY 1, 2, 3
+    ), with_avg AS (
+      SELECT *,
+             CAST(SUM(paid_cents) OVER () AS BIGINT) AS all_cents,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_cells
+      FROM ssales
+    )
+    SELECT c_last_name, c_first_name, i_color, paid_cents
+    FROM with_avg
+    WHERE paid_cents * n_cells * 20 > all_cents
+    """,
+)
+def tpcds_q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q24 shape: returned-sales spend per (customer, color)
+    cells exceeding 5% of the overall per-cell average.
+
+    The sold⋈returned composite-key join rolled to (name, color)
+    cells, then the spec's ``> 0.05 · avg(all cells)`` gate as a
+    global window with exact cross-multiplication (paid·n·20 > total).
+    The global window is a single-partition exchange over the (small)
+    cell table, not the fact.
+    """
+    cust = F.broadcast(
+        _t(spark, "customer").select("c_customer_sk", "c_last_name", "c_first_name")
+    )
+    it = F.broadcast(_t(spark, "item").select("i_item_sk", "i_color"))
+    ss = _t(spark, "store_sales").select(
+        "ss_ticket_number", "ss_item_sk", "ss_customer_sk", "ss_net_paid"
+    )
+    sr = _t(spark, "store_returns").select("sr_ticket_number", "sr_item_sk")
+    cells = (
+        ss.join(
+            sr,
+            (ss.ss_ticket_number == sr.sr_ticket_number)
+            & (ss.ss_item_sk == sr.sr_item_sk),
+        )
+        .join(cust, ss.ss_customer_sk == cust.c_customer_sk)
+        .join(it, ss.ss_item_sk == it.i_item_sk)
+        .groupBy("c_last_name", "c_first_name", "i_color")
+        .agg(F.sum((F.col("ss_net_paid") * 100).cast("bigint")).alias("paid_cents"))
+    )
+    w = Window.partitionBy()
+    return (
+        cells.select(
+            "c_last_name", "c_first_name", "i_color", "paid_cents",
+            F.sum("paid_cents").over(w).cast("bigint").alias("all_cents"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_cells"),
+        )
+        .filter(F.col("paid_cents") * F.col("n_cells") * 20 > F.col("all_cents"))
+        .select("c_last_name", "c_first_name", "i_color", "paid_cents")
+    )
+
+
+@query(
+    "tpcds_q57_catalog_monthly_deviation",
+    oracle=_with("catalog_sales", "item", "call_center", "date_dim")
+    + """
+    , monthly AS (
+      SELECT i_category, i_brand, cc_name, d_moy,
+             CAST(SUM(CAST(cs_sales_price * 100 AS BIGINT)) AS BIGINT) AS cents
+      FROM catalog_sales
+      JOIN item ON cs_item_sk = i_item_sk
+      JOIN call_center ON cs_call_center_sk = cc_call_center_sk
+      JOIN date_dim ON cs_sold_date_sk = d_date_sk
+      WHERE d_year = 2001
+      GROUP BY 1, 2, 3, 4
+    ), stats AS (
+      SELECT *,
+             CAST(SUM(cents) OVER w_y AS BIGINT) AS year_cents,
+             CAST(COUNT(*) OVER w_y AS BIGINT) AS n_months,
+             LAG(cents) OVER w_seq AS prev_cents,
+             LEAD(cents) OVER w_seq AS next_cents
+      FROM monthly
+      WINDOW w_y AS (PARTITION BY i_category, i_brand, cc_name),
+             w_seq AS (PARTITION BY i_category, i_brand, cc_name ORDER BY d_moy)
+    )
+    SELECT i_category, i_brand, cc_name, d_moy, cents, year_cents,
+           n_months, prev_cents, next_cents
+    FROM stats
+    WHERE year_cents > 0
+      AND 10 * ABS(cents * n_months - year_cents) > year_cents
+    """,
+)
+def tpcds_q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q57 shape: Q47's catalog twin — months whose
+    (category, brand, call-center) sales deviate >10% from the yearly
+    mean, with LAG/LEAD neighbor months alongside.
+
+    Same one-wide-shuffle window composition as Q47: the yearly stats
+    window and the month-sequence lag/lead window share the same
+    partitioning, so the executed plan re-sorts in place rather than
+    re-exchanging.
+    """
+    dd = F.broadcast(
+        _t(spark, "date_dim")
+        .filter(F.col("d_year") == 2001)
+        .select("d_date_sk", "d_moy")
+    )
+    it = F.broadcast(_t(spark, "item").select("i_item_sk", "i_category", "i_brand"))
+    cc = F.broadcast(_t(spark, "call_center").select("cc_call_center_sk", "cc_name"))
+    cs = _t(spark, "catalog_sales")
+    monthly = (
+        cs.join(dd, cs.cs_sold_date_sk == dd.d_date_sk)
+        .join(it, cs.cs_item_sk == it.i_item_sk)
+        .join(cc, cs.cs_call_center_sk == cc.cc_call_center_sk)
+        .groupBy("i_category", "i_brand", "cc_name", "d_moy")
+        .agg(F.sum((F.col("cs_sales_price") * 100).cast("bigint")).alias("cents"))
+    )
+    part = ["i_category", "i_brand", "cc_name"]
+    wy = Window.partitionBy(*part)
+    wseq = Window.partitionBy(*part).orderBy("d_moy")
+    stats = monthly.select(
+        *part, "d_moy", "cents",
+        F.sum("cents").over(wy).cast("bigint").alias("year_cents"),
+        F.count(F.lit(1)).over(wy).cast("bigint").alias("n_months"),
+        F.lag("cents").over(wseq).alias("prev_cents"),
+        F.lead("cents").over(wseq).alias("next_cents"),
+    )
+    return stats.filter(
+        (F.col("year_cents") > 0)
+        & (
+            10 * F.abs(F.col("cents") * F.col("n_months") - F.col("year_cents"))
+            > F.col("year_cents")
+        )
+    ).select(
+        "i_category", "i_brand", "cc_name", "d_moy", "cents", "year_cents",
+        "n_months", "prev_cents", "next_cents",
+    )
+
+
+def _net_sql(fact, pfx, rfact, rpfx, rkey, ramt):
+    return f"""
+      SELECT d_year, i_brand_id,
+             CAST({pfx}_quantity AS BIGINT)
+               - CAST(COALESCE({rpfx}_return_quantity, 0) AS BIGINT) AS qty,
+             CAST({pfx}_ext_sales_price * 100 AS BIGINT)
+               - CAST(COALESCE({ramt} * 100, 0) AS BIGINT) AS cents
+      FROM {fact}
+      JOIN item ON {pfx}_item_sk = i_item_sk
+      JOIN date_dim ON {pfx}_sold_date_sk = d_date_sk
+      LEFT JOIN {rfact} ON {pfx}_{rkey} = {rpfx}_{rkey}
+                       AND {pfx}_item_sk = {rpfx}_item_sk
+      WHERE d_year IN (2000, 2001)"""
+
+
+@query(
+    "tpcds_q75_brand_yoy_decline",
+    oracle=_with(
+        "store_sales", "store_returns", "catalog_sales", "catalog_returns",
+        "web_sales", "web_returns", "item", "date_dim"
+    )
+    + f"""
+    , legs AS (
+      {_net_sql("store_sales", "ss", "store_returns", "sr", "ticket_number", "sr_return_amt")}
+      UNION ALL
+      {_net_sql("catalog_sales", "cs", "catalog_returns", "cr", "order_number", "cr_return_amount")}
+      UNION ALL
+      {_net_sql("web_sales", "ws", "web_returns", "wr", "order_number", "wr_return_amt_inc_tax")}
+    ), yearly AS (
+      SELECT d_year, i_brand_id,
+             CAST(SUM(qty) AS BIGINT) AS qty,
+             CAST(SUM(cents) AS BIGINT) AS cents
+      FROM legs GROUP BY 1, 2
+    )
+    SELECT y2.i_brand_id,
+           y1.qty AS qty_2000, y2.qty AS qty_2001,
+           y1.cents AS cents_2000, y2.cents AS cents_2001
+    FROM yearly y1
+    JOIN yearly y2 ON y1.i_brand_id = y2.i_brand_id
+    WHERE y1.d_year = 2000 AND y2.d_year = 2001
+      AND y2.qty < y1.qty
+    """,
+)
+def tpcds_q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q75 shape: brands whose net quantity (sales minus
+    returns, all three channels) declined year over year.
+
+    Each channel nets returns through its composite-key LEFT join
+    (ticket/order + item), the three legs union with partial
+    aggregation at (year, brand), and the YoY comparison is a
+    self-join of the small yearly table. Spec groups by the full item
+    hierarchy; brand grain keeps cells dense at the materialized
+    scale (documented).
+    """
+    it = F.broadcast(_t(spark, "item").select("i_item_sk", "i_brand_id"))
+    dd = F.broadcast(
+        _t(spark, "date_dim")
+        .filter(F.col("d_year").isin(2000, 2001))
+        .select("d_date_sk", "d_year")
+    )
+
+    def leg(fact, pfx, rfact, rpfx, rkey, ramt):
+        f_ = _t(spark, fact)
+        r_ = _t(spark, rfact).select(
+            f"{rpfx}_{rkey}", f"{rpfx}_item_sk",
+            f"{rpfx}_return_quantity", ramt,
+        )
+        qty = (
+            F.col(f"{pfx}_quantity").cast("bigint")
+            - F.coalesce(F.col(f"{rpfx}_return_quantity"), F.lit(0)).cast("bigint")
+        )
+        cents = (F.col(f"{pfx}_ext_sales_price") * 100).cast("bigint") - F.coalesce(
+            (F.col(ramt) * 100).cast("bigint"), F.lit(0)
+        )
+        return (
+            f_.join(
+                r_,
+                (F.col(f"{pfx}_{rkey}") == F.col(f"{rpfx}_{rkey}"))
+                & (F.col(f"{pfx}_item_sk") == F.col(f"{rpfx}_item_sk")),
+                "left",
+            )
+            .join(it, F.col(f"{pfx}_item_sk") == it.i_item_sk)
+            .join(dd, F.col(f"{pfx}_sold_date_sk") == dd.d_date_sk)
+            .select("d_year", "i_brand_id", qty.alias("qty"), cents.alias("cents"))
+        )
+
+    u = (
+        leg("store_sales", "ss", "store_returns", "sr", "ticket_number",
+            "sr_return_amt")
+        .unionByName(
+            leg("catalog_sales", "cs", "catalog_returns", "cr", "order_number",
+                "cr_return_amount")
+        )
+        .unionByName(
+            leg("web_sales", "ws", "web_returns", "wr", "order_number",
+                "wr_return_amt_inc_tax")
+        )
+    )
+    yearly = u.groupBy("d_year", "i_brand_id").agg(
+        F.sum("qty").cast("bigint").alias("qty"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    y1 = yearly.filter(F.col("d_year") == 2000).select(
+        F.col("i_brand_id").alias("b1"), F.col("qty").alias("qty_2000"),
+        F.col("cents").alias("cents_2000"),
+    )
+    y2 = yearly.filter(F.col("d_year") == 2001).select(
+        "i_brand_id", F.col("qty").alias("qty_2001"),
+        F.col("cents").alias("cents_2001"),
+    )
+    return (
+        y2.join(y1, y2.i_brand_id == y1.b1)
+        .filter(F.col("qty_2001") < F.col("qty_2000"))
+        .select("i_brand_id", "qty_2000", "qty_2001", "cents_2000", "cents_2001")
+    )
+
+
+@query(
+    "tpcds_q79_max_ticket_per_customer",
+    oracle=_with(
+        "store_sales", "store", "household_demographics", "customer", "date_dim"
+    )
+    + """
+    , baskets AS (
+      SELECT ss_ticket_number, ss_customer_sk,
+             CAST(SUM(CAST(ss_coupon_amt * 100 AS BIGINT)) AS BIGINT) AS amt,
+             CAST(SUM(CAST(ss_net_profit * 100 AS BIGINT)) AS BIGINT) AS profit
+      FROM store_sales
+      JOIN store ON ss_store_sk = s_store_sk
+      JOIN household_demographics ON ss_hdemo_sk = hd_demo_sk
+      JOIN date_dim ON ss_sold_date_sk = d_date_sk
+      WHERE d_year = 2001 AND d_dow = 1
+        AND (hd_dep_count = 4 OR hd_vehicle_count > 2)
+      GROUP BY 1, 2
+    )
+    SELECT c_last_name, c_first_name,
+           CAST(MAX(profit) AS BIGINT) AS max_profit,
+           CAST(MAX(amt) AS BIGINT) AS max_amt
+    FROM baskets JOIN customer ON ss_customer_sk = c_customer_sk
+    GROUP BY 1, 2
+    """,
+)
+def tpcds_q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q79 shape: each customer's best Monday-shopping ticket
+    (max basket profit / coupon amount) under a household gate.
+
+    Two-level aggregation: ticket baskets first (the wide shuffle),
+    then per-customer MAX over the small basket table. Name
+    resolution broadcasts after both aggregations.
+    """
+    st = F.broadcast(_t(spark, "store").select("s_store_sk"))
+    hd = F.broadcast(
+        _t(spark, "household_demographics")
+        .filter((F.col("hd_dep_count") == 4) | (F.col("hd_vehicle_count") > 2))
+        .select("hd_demo_sk")
+    )
+    dd = F.broadcast(
+        _t(spark, "date_dim")
+        .filter((F.col("d_year") == 2001) & (F.col("d_dow") == 1))
+        .select("d_date_sk")
+    )
+    ss = _t(spark, "store_sales")
+    baskets = (
+        ss.join(st, ss.ss_store_sk == st.s_store_sk)
+        .join(hd, ss.ss_hdemo_sk == hd.hd_demo_sk)
+        .join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .groupBy("ss_ticket_number", "ss_customer_sk")
+        .agg(
+            F.sum((F.col("ss_coupon_amt") * 100).cast("bigint")).alias("amt"),
+            F.sum((F.col("ss_net_profit") * 100).cast("bigint")).alias("profit"),
+        )
+    )
+    cust = F.broadcast(
+        _t(spark, "customer").select("c_customer_sk", "c_last_name", "c_first_name")
+    )
+    return (
+        baskets.join(cust, baskets.ss_customer_sk == cust.c_customer_sk)
+        .groupBy("c_last_name", "c_first_name")
+        .agg(
+            F.max("profit").cast("bigint").alias("max_profit"),
+            F.max("amt").cast("bigint").alias("max_amt"),
+        )
+    )
+
+
+@query(
+    "tpcds_q83_tri_channel_return_quantities",
+    oracle=_with(
+        "store_returns", "catalog_returns", "web_returns", "item", "date_dim"
+    )
+    + """
+    , sr AS (
+      SELECT i_item_id,
+             CAST(SUM(CAST(sr_return_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM store_returns
+      JOIN item ON sr_item_sk = i_item_sk
+      JOIN date_dim ON sr_returned_date_sk = d_date_sk
+      WHERE d_year = 2001 GROUP BY 1
+    ), cr AS (
+      SELECT i_item_id,
+             CAST(SUM(CAST(cr_return_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM catalog_returns
+      JOIN item ON cr_item_sk = i_item_sk
+      JOIN date_dim ON cr_returned_date_sk = d_date_sk
+      WHERE d_year = 2001 GROUP BY 1
+    ), wr AS (
+      SELECT i_item_id,
+             CAST(SUM(CAST(wr_return_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM web_returns
+      JOIN item ON wr_item_sk = i_item_sk
+      JOIN date_dim ON wr_returned_date_sk = d_date_sk
+      WHERE d_year = 2001 GROUP BY 1
+    )
+    SELECT sr.i_item_id,
+           sr.qty AS store_qty, cr.qty AS catalog_qty, wr.qty AS web_qty
+    FROM sr JOIN cr ON sr.i_item_id = cr.i_item_id
+    JOIN wr ON sr.i_item_id = wr.i_item_id
+    """,
+)
+def tpcds_q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q83 shape: items returned through ALL three channels in
+    the year, with each channel's return quantity side by side (three
+    per-channel aggregates joined on the item id — the returns-side
+    sibling of Q58's balance join)."""
+    it = F.broadcast(_t(spark, "item").select("i_item_sk", "i_item_id"))
+    dd = F.broadcast(
+        _t(spark, "date_dim").filter(F.col("d_year") == 2001).select("d_date_sk")
+    )
+
+    def leg(rfact: str, pfx: str, out: str) -> DataFrame:
+        r_ = _t(spark, rfact)
+        return (
+            r_.join(it, F.col(f"{pfx}_item_sk") == it.i_item_sk)
+            .join(dd, F.col(f"{pfx}_returned_date_sk") == dd.d_date_sk)
+            .groupBy(F.col("i_item_id").alias(f"id_{out}"))
+            .agg(F.sum(F.col(f"{pfx}_return_quantity").cast("bigint")).alias(out))
+        )
+
+    s = leg("store_returns", "sr", "store_qty")
+    c = leg("catalog_returns", "cr", "catalog_qty")
+    w = leg("web_returns", "wr", "web_qty")
+    return (
+        s.join(c, s.id_store_qty == c.id_catalog_qty)
+        .join(w, s.id_store_qty == w.id_web_qty)
+        .select(
+            F.col("id_store_qty").alias("i_item_id"),
+            "store_qty", "catalog_qty", "web_qty",
+        )
+    )
+
+
+@query(
+    "tpcds_q84_income_band_customers",
+    oracle=_with(
+        "customer", "customer_address", "customer_demographics",
+        "household_demographics", "income_band", "store_returns"
+    )
+    + """
+    SELECT c_customer_id,
+           c_last_name, c_first_name,
+           CAST(COUNT(*) AS BIGINT) AS n_returns
+    FROM customer
+    JOIN customer_address ON c_current_addr_sk = ca_address_sk
+    JOIN customer_demographics ON c_current_cdemo_sk = cd_demo_sk
+    JOIN household_demographics ON c_current_hdemo_sk = hd_demo_sk
+    JOIN income_band ON hd_income_band_sk = ib_income_band_sk
+    JOIN store_returns ON sr_customer_sk = c_customer_sk
+    WHERE ca_city = 'apartment' OR ca_location_type = 'apartment'
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpcds_q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q84 shape: customers resolved through the full
+    demographic chain (address → cdemo → hdemo → income band) matched
+    to their store returns.
+
+    The five-dim resolution chain is all broadcast joins; the only
+    fact is store_returns. The spec links returns by shared
+    demographic row (sr_cdemo_sk) — dead against the fixed 1.92M-row
+    demographics table at the materialized scale, so the linkage is
+    the customer key instead (documented; same star shape). Spec gates on city and
+    an income window; the generator's city strings come from the word
+    pool, so the gate is the location-type disjunction (documented).
+    """
+    ca = F.broadcast(
+        _t(spark, "customer_address")
+        .filter(
+            (F.col("ca_city") == "apartment")
+            | (F.col("ca_location_type") == "apartment")
+        )
+        .select("ca_address_sk")
+    )
+    cd = F.broadcast(_t(spark, "customer_demographics").select("cd_demo_sk"))
+    hd = F.broadcast(
+        _t(spark, "household_demographics").select("hd_demo_sk", "hd_income_band_sk")
+    )
+    ib = F.broadcast(_t(spark, "income_band").select("ib_income_band_sk"))
+    cust = _t(spark, "customer").select(
+        "c_customer_sk", "c_customer_id", "c_last_name", "c_first_name",
+        "c_current_addr_sk", "c_current_cdemo_sk", "c_current_hdemo_sk",
+    )
+    sr = _t(spark, "store_returns").select("sr_customer_sk")
+    return (
+        cust.join(ca, cust.c_current_addr_sk == ca.ca_address_sk)
+        .join(cd, cust.c_current_cdemo_sk == cd.cd_demo_sk)
+        .join(hd, cust.c_current_hdemo_sk == hd.hd_demo_sk)
+        .join(ib, hd.hd_income_band_sk == ib.ib_income_band_sk)
+        .join(sr, F.col("sr_customer_sk") == cust.c_customer_sk)
+        .groupBy("c_customer_id", "c_last_name", "c_first_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_returns"))
+    )
+
+
+@query(
+    "tpcds_q86_web_rollup_rank",
+    oracle=_with("web_sales", "item", "date_dim")
+    + """
+    , rolled AS (
+      SELECT i_category, i_class,
+             CAST(SUM(CAST(ws_net_paid * 100 AS BIGINT)) AS BIGINT) AS paid_cents,
+             GROUPING(i_category) + GROUPING(i_class) AS lochierarchy,
+             GROUPING(i_class) AS g_class
+      FROM web_sales
+      JOIN item ON ws_item_sk = i_item_sk
+      JOIN date_dim ON ws_sold_date_sk = d_date_sk
+      WHERE d_year = 2001
+      GROUP BY ROLLUP(i_category, i_class)
+    )
+    SELECT i_category, i_class, paid_cents, lochierarchy,
+           RANK() OVER (
+             PARTITION BY lochierarchy,
+                          CASE WHEN g_class = 1 THEN i_category END
+             ORDER BY paid_cents DESC) AS rank_within_parent
+    FROM rolled
+    """,
+)
+def tpcds_q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q86 shape: Q70's web twin — net-paid ROLLUP over the
+    item hierarchy with the GROUPING()-arithmetic level column and
+    rank-within-parent window (no state gate in this spec member)."""
+    it = F.broadcast(_t(spark, "item").select("i_item_sk", "i_category", "i_class"))
+    dd = F.broadcast(
+        _t(spark, "date_dim").filter(F.col("d_year") == 2001).select("d_date_sk")
+    )
+    ws = _t(spark, "web_sales")
+    rolled = (
+        ws.join(it, ws.ws_item_sk == it.i_item_sk)
+        .join(dd, ws.ws_sold_date_sk == dd.d_date_sk)
+        .rollup("i_category", "i_class")
+        .agg(
+            F.sum((F.col("ws_net_paid") * 100).cast("bigint")).alias("paid_cents"),
+            (F.grouping("i_category") + F.grouping("i_class")).alias("lochierarchy"),
+            F.grouping("i_class").alias("g_class"),
+        )
+    )
+    w = Window.partitionBy(
+        "lochierarchy", F.when(F.col("g_class") == 1, F.col("i_category"))
+    ).orderBy(F.col("paid_cents").desc())
+    return rolled.withColumn("rank_within_parent", F.rank().over(w)).select(
+        "i_category", "i_class", "paid_cents", "lochierarchy", "rank_within_parent"
+    )
+
+
+@query(
+    "tpcds_q91_call_center_returns",
+    oracle=_with(
+        "catalog_returns", "call_center", "customer", "customer_demographics",
+        "household_demographics", "date_dim"
+    )
+    + """
+    SELECT cc_name, cd_marital_status, cd_education_status,
+           CAST(SUM(CAST(cr_net_loss * 100 AS BIGINT)) AS BIGINT) AS loss_cents
+    FROM catalog_returns
+    JOIN call_center ON cr_call_center_sk = cc_call_center_sk
+    JOIN customer ON cr_returning_customer_sk = c_customer_sk
+    JOIN customer_demographics ON c_current_cdemo_sk = cd_demo_sk
+    JOIN household_demographics ON c_current_hdemo_sk = hd_demo_sk
+    JOIN date_dim ON cr_returned_date_sk = d_date_sk
+    WHERE d_year = 2001
+      AND hd_buy_potential IN ('0-500', 'Unknown')
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpcds_q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q91 shape: call-center return losses by customer
+    demographic profile (the returns-fact star with two demographic
+    dims resolved through the customer row, buy-potential gated at
+    the broadcast)."""
+    cc = F.broadcast(_t(spark, "call_center").select("cc_call_center_sk", "cc_name"))
+    cust = F.broadcast(
+        _t(spark, "customer").select(
+            "c_customer_sk", "c_current_cdemo_sk", "c_current_hdemo_sk"
+        )
+    )
+    cd = F.broadcast(
+        _t(spark, "customer_demographics").select(
+            "cd_demo_sk", "cd_marital_status", "cd_education_status"
+        )
+    )
+    hd = F.broadcast(
+        _t(spark, "household_demographics")
+        .filter(F.col("hd_buy_potential").isin("0-500", "Unknown"))
+        .select("hd_demo_sk")
+    )
+    dd = F.broadcast(
+        _t(spark, "date_dim").filter(F.col("d_year") == 2001).select("d_date_sk")
+    )
+    cr = _t(spark, "catalog_returns")
+    return (
+        cr.join(cc, cr.cr_call_center_sk == cc.cc_call_center_sk)
+        .join(cust, cr.cr_returning_customer_sk == cust.c_customer_sk)
+        .join(cd, cust.c_current_cdemo_sk == cd.cd_demo_sk)
+        .join(hd, cust.c_current_hdemo_sk == hd.hd_demo_sk)
+        .join(dd, cr.cr_returned_date_sk == dd.d_date_sk)
+        .groupBy("cc_name", "cd_marital_status", "cd_education_status")
+        .agg(F.sum((F.col("cr_net_loss") * 100).cast("bigint")).alias("loss_cents"))
+    )
