@@ -29,6 +29,7 @@ from tpctools_spark.queries import (  # noqa: F401
     tpcds_demo7,
     tpcds_demo8,
     tpcds_demo9,
+    tpcds_demo10,
     scale_patterns,
     subqueries,
     pipeline,
