@@ -145,3 +145,65 @@ def test_q47_windows_share_one_exchange(spark):
         line for line in plan.splitlines() if "Exchange hashpartitioning" in line
     ]
     assert len(wide) == 2  # rollup exchange + ONE shared window exchange
+
+
+def test_q67_rollup_feeds_single_window_exchange(spark):
+    """Top-k over rollup: exactly one Expand (the 8-level rollup's
+    grouping-set expansion) and one ranking Window, with the window's
+    exchange partitioned on the category — the WindowGroupLimit shape
+    that keeps per-partition top-k below the final exchange."""
+    from tpctools_spark.registry import spark_queries
+
+    plan = _plan(
+        spark_queries()["tpcds_q67_topk_over_rollup"](spark, "/root/testdata/sf0.001")
+    )
+    assert plan.count("Expand") == 1
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q38_intersect_plans_as_semi_joins(spark):
+    """Three-channel INTERSECT must run as hash semi joins on the
+    composite row, never materializing a cross product."""
+    from tpctools_spark.registry import spark_queries
+
+    plan = _plan(
+        spark_queries()["tpcds_q38_triple_channel_intersect"](
+            spark, "/root/testdata/sf0.001"
+        )
+    )
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q16_order_gates_share_the_order_key(spark):
+    """The multi-mode HAVING gate, the semi join, and the anti join
+    all key on cs_order_number; no nested loop appears and returns
+    join anti."""
+    from tpctools_spark.registry import spark_queries
+
+    plan = _plan(
+        spark_queries()["tpcds_q16_catalog_multi_mode_no_return"](
+            spark, "/root/testdata/sf0.001"
+        )
+    )
+    assert "LeftAnti" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q72_shortfall_join_is_hash_not_nested_loop(spark):
+    """The inventory×demand same-week join has an equi component
+    (item + week), so the shortfall residual must ride on a hash join
+    — a nested-loop here would be quadratic at scale."""
+    from tpctools_spark.registry import spark_queries
+
+    plan = _plan(
+        spark_queries()["tpcds_q72_inventory_shortfall"](
+            spark, "/root/testdata/sf0.001"
+        )
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
