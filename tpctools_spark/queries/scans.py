@@ -167,6 +167,81 @@ def generate_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_json_lines",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + typed scan — the interchange format the
+    reference's CSV/parquet matrix lacks but every ingestion pipeline
+    meets first.
+
+    Round-trips a typed customer projection through newline-delimited
+    JSON and scans it back with an explicit schema (no inference — one
+    pass, exact types; schema inference would double-scan at 100 TB).
+    The writer emits doubles in shortest-round-trip form and the typed
+    reader parses them back bit-exactly, so even the float column
+    survives the text round trip unchanged. The oracle is the source
+    table: the round trip must be lossless.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    path = os.path.join(_stable_scratch("json_lines"), "customer.jsonl")
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    cust.write.mode("overwrite").json(path)
+    schema = StructType(
+        [
+            StructField("c_custkey", LongType(), True),
+            StructField("c_name", StringType(), True),
+            StructField("c_nationkey", IntegerType(), True),
+            StructField("c_acctbal", DoubleType(), True),
+            StructField("c_mktsegment", StringType(), True),
+        ]
+    )
+    return spark.read.schema(schema).json(path).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+
+
+@query(
+    "sink_orc_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """,
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink (zlib) + lazy scan-back — Spark's second columnar
+    format, covered so a reference user migrating an ORC lake isn't
+    stranded on parquet.
+
+    Same contract as the parquet sink (A2): write a typed projection,
+    return the lazy read-back scan, oracle against the source table so
+    the round trip provably loses nothing. ORC carries its own column
+    statistics and predicate-pushdown index, so the scan side keeps
+    the same filter/prune behavior the parquet path gets.
+    """
+    path = os.path.join(_stable_scratch("sink_orc"), "supplier.orc")
+    supp = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    supp.repartition(2).write.mode("overwrite").option(
+        "compression", "zlib"
+    ).orc(path)
+    return spark.read.orc(path)
+
+
+@query(
     "sink_partitioned_prune",
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS n_orders,
