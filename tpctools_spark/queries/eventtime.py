@@ -299,3 +299,109 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return firsts.groupBy(stage.alias("stage")).agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@query(
+    "events_downsample_ohlc",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '15 minutes', ts), '{_TS_FMT_DUCK}') AS bucket_start,
+           event_type,
+           arg_min(value, strftime(ts, '%Y%m%d%H%M%S%f') || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, strftime(ts, '%Y%m%d%H%M%S%f') || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS volume
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style OHLC downsample: 15-minute bars per event type.
+
+    The time-series rollup pattern (continuous-aggregate material): one
+    hash aggregate per bar, no window sort anywhere — ``min_by``/
+    ``max_by`` pick the open/close in the same map-side-partial pass
+    that computes high/low/volume, so a 100 TB tick table downsamples
+    in a single shuffle keyed by (bar, series). Open/close are ordered
+    by a sortable string key (microsecond timestamp digits ‖ zero-padded
+    event_id) because event timestamps can tie; the identical key
+    expression on both engines makes the tie-break — and therefore the
+    bar values — deterministic. Volume sums exact decimals; open/close/
+    high/low are raw stored doubles, bit-equal across engines.
+    """
+    ev = table(spark, sf_dir, "events")
+    okey = F.concat(
+        F.date_format("ts", "yyyyMMddHHmmssSSSSSS"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", okey).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", okey).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(money(F.col("value"))).cast("double"), 2).alias("volume"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("bucket_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "volume",
+        )
+    )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH weekly AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    ), cohorts AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM weekly GROUP BY user_id
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(datediff('day', cohort_week, week) / 7 AS BIGINT) AS week_offset,
+           COUNT(*) AS n_users
+    FROM weekly JOIN cohorts USING (user_id)
+    GROUP BY cohorts.cohort_week, week_offset
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users grouped by first-active
+    week, counted in every later week they return.
+
+    The standard growth-analytics shape. One distinct-reduce to
+    (user, week) — the only pass over the raw events — then the cohort
+    assignment is a per-user MIN re-joined to the same tiny weekly
+    activity table; at 100 TB the event scan happens once and
+    everything after runs on |users × weeks| rows. All-integer output
+    (date strings, week offsets, counts): nothing to round.
+    """
+    ev = table(spark, sf_dir, "events")
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    cohorts = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weekly.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+        )
+    )
