@@ -362,3 +362,64 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("lang", "tok", "tf", "df", "rk")
     )
+
+
+@query(
+    "text_tfidf_keywords",
+    oracle="""
+    WITH tokens AS (
+      SELECT doc_id, UNNEST(string_split(lower(trim(text)), ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM tokens WHERE term <> '' GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT doc_id, term, tf, df,
+             CAST(tf AS DOUBLE) / df AS score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY CAST(tf AS DOUBLE) / df DESC, term) AS rk
+      FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term, tf, df, score, rk FROM scored WHERE rk <= 3
+    """,
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by tf-idf.
+
+    Uses the raw-idf variant (idf = N/df, no logarithm): with the
+    constant N dropped, the ranking score is tf/df — ONE IEEE division
+    of two exact integers, so the score doubles are bit-identical
+    across engines and the ranking can never flip on FP rounding (the
+    log-idf variant would hinge on last-ulp ln() agreement). Shape:
+    tf aggregate on (doc, term) → df aggregate on term (vocabulary-
+    sized, broadcast back) → per-doc ROW_NUMBER with a term tiebreak,
+    where the rank-≤-3 filter pushes into the window sort
+    (WindowGroupLimit): each task keeps 3 rows per doc, never the full
+    posting list.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    score = F.col("tf").cast("double") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("term"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .select(
+            "doc_id", "term", "tf", "df",
+            score.alias("score"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
