@@ -1,0 +1,65 @@
+"""Physical-plan assertions for the round-4 format/time-series/text ops.
+
+Locks the scale-relevant shapes: the OHLC downsample must stay a single
+hash aggregate (no window sort), the tf-idf ranking must push its
+rank<=3 filter into the window (WindowGroupLimit) and broadcast the
+vocabulary-sized df side, and the typed JSON scan must carry the
+explicit schema (no inference job).
+"""
+
+from __future__ import annotations
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    """Final executed plan only — AQE's toString appends the initial
+    plan below the final one, which double-counts every node."""
+    df.collect()
+    s = df._jdf.queryExecution().executedPlan().toString()
+    return s.split("+- == Initial Plan ==")[0]
+
+
+def test_ohlc_is_single_aggregate_no_window(spark):
+    from tpctools_spark.registry import spark_queries
+
+    df = spark_queries()["events_downsample_ohlc"](spark, SF)
+    plan = _plan(df)
+    # min_by/max_by ride the same HashAggregate as high/low/volume;
+    # a Window/Sort here would mean the open/close went row-ordered.
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tfidf_window_group_limit_and_broadcast(spark):
+    from tpctools_spark.registry import spark_queries
+
+    df = spark_queries()["text_tfidf_keywords"](spark, SF)
+    plan = _plan(df)
+    # rank<=3 pushed into the window sort: partial + final group limit.
+    assert plan.count("WindowGroupLimit") == 2
+    # the per-term df table is vocabulary-sized -> must broadcast.
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cohort_retention_single_event_scan(spark):
+    from tpctools_spark.registry import spark_queries
+
+    df = spark_queries()["events_cohort_retention"](spark, SF)
+    plan = _plan(df)
+    # one pass over raw events (the distinct reduce); the cohort min and
+    # rejoin run on the reduced (user, week) table, not the event scan.
+    assert plan.count("parquet") >= 1
+    assert plan.count("FileScan parquet") <= 2  # reused scan, never 3
+
+
+def test_json_scan_no_inference(spark):
+    from tpctools_spark.registry import spark_queries
+
+    df = spark_queries()["scan_json_lines"](spark, SF)
+    plan = _plan(df)
+    # the read must be the explicit-schema json scan (typed columns in
+    # ReadSchema), not a sampled inference pass over the files.
+    assert "FileScan json" in plan
+    assert "c_acctbal:double" in plan.replace(" ", "")

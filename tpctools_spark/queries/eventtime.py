@@ -306,10 +306,12 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT strftime(time_bucket(INTERVAL '15 minutes', ts), '{_TS_FMT_DUCK}') AS bucket_start,
            event_type,
-           arg_min(value, strftime(ts, '%Y%m%d%H%M%S%f') || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
+           arg_min(value, (epoch_us(ts) % 900000000) * 8589934592
+                          + (event_id % 8589934592)) AS open,
            MAX(value) AS high,
            MIN(value) AS low,
-           arg_max(value, strftime(ts, '%Y%m%d%H%M%S%f') || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
+           arg_max(value, (epoch_us(ts) % 900000000) * 8589934592
+                          + (event_id % 8589934592)) AS close,
            COUNT(*) AS n_events,
            ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS volume
     FROM events
@@ -320,21 +322,25 @@ def events_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style OHLC downsample: 15-minute bars per event type.
 
     The time-series rollup pattern (continuous-aggregate material): one
-    hash aggregate per bar, no window sort anywhere — ``min_by``/
+    HASH aggregate per bar, no window sort anywhere — ``min_by``/
     ``max_by`` pick the open/close in the same map-side-partial pass
     that computes high/low/volume, so a 100 TB tick table downsamples
-    in a single shuffle keyed by (bar, series). Open/close are ordered
-    by a sortable string key (microsecond timestamp digits ‖ zero-padded
-    event_id) because event timestamps can tie; the identical key
-    expression on both engines makes the tie-break — and therefore the
-    bar values — deterministic. Volume sums exact decimals; open/close/
-    high/low are raw stored doubles, bit-equal across engines.
+    in a single shuffle keyed by (bar, series). The order key must be a
+    fixed-width long, not a string: a string-keyed min_by buffer kicks
+    the whole aggregate out of the hash fast path into SortAggregate
+    (plan-asserted in tests/test_new_ops_plans.py). Packing: in-bar
+    microsecond offset (epoch_us mod 9·10⁸ — both engines' bucket
+    origins are 900 s-aligned to the epoch, and the offset is monotone
+    within a bar) × 2³³ + event_id mod 2³³ — fits a long with headroom,
+    ties broken by id; the identical expression on both engines makes
+    the bar values deterministic. Volume sums exact decimals;
+    open/close/high/low are raw stored doubles, bit-equal across
+    engines.
     """
     ev = table(spark, sf_dir, "events")
-    okey = F.concat(
-        F.date_format("ts", "yyyyMMddHHmmssSSSSSS"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
-    )
+    okey = F.pmod(F.unix_micros(F.col("ts")), F.lit(900_000_000)) * F.lit(
+        8589934592
+    ) + F.pmod(F.col("event_id"), F.lit(8589934592))
     return (
         ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
         .agg(
