@@ -143,19 +143,31 @@ def main() -> None:
     # Same warm-then-time protocol as the queries: a tiny-SF pass pays
     # the plan-compile cost, the timed pass measures generation
     # throughput at the bench SF.
+    # Tables are submitted as concurrent jobs here and in the sf1
+    # throughput section below — the reference's own 48-way dsdgen
+    # protocol, and the way a real cluster runs independent table jobs.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _noop_tpch(t: str, sf: float) -> None:
+        build_table(spark, t, sf, 32).write.format("noop").mode("overwrite").save()
+
+    def _noop_tpcds(t: str, sf: float) -> None:
+        build_tpcds_table(spark, t, sf, 32).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     try:
-        for t in TPCH_TABLES:
-            build_table(spark, t, 0.001, 32).write.format("noop").mode("overwrite").save()
-        for t in TPCDS_TABLES:
-            build_tpcds_table(spark, t, 0.001, 32).write.format("noop").mode("overwrite").save()
+        with ThreadPoolExecutor(8) as ex:
+            list(ex.map(lambda t: _noop_tpch(t, 0.001), TPCH_TABLES))
+            list(ex.map(lambda t: _noop_tpcds(t, 0.001), TPCDS_TABLES))
         t0 = time.perf_counter()
-        for t in TPCH_TABLES:
-            build_table(spark, t, sf_num, 32).write.format("noop").mode("overwrite").save()
+        with ThreadPoolExecutor(8) as ex:
+            list(ex.map(lambda t: _noop_tpch(t, sf_num), TPCH_TABLES))
         timings["gen_tpch"] = round(time.perf_counter() - t0, 3)
         total += timings["gen_tpch"]
         t0 = time.perf_counter()
-        for t in TPCDS_TABLES:
-            build_tpcds_table(spark, t, sf_num, 32).write.format("noop").mode("overwrite").save()
+        with ThreadPoolExecutor(8) as ex:
+            list(ex.map(lambda t: _noop_tpcds(t, sf_num), TPCDS_TABLES))
         timings["gen_tpcds"] = round(time.perf_counter() - t0, 3)
         total += timings["gen_tpcds"]
     except Exception as exc:  # noqa: BLE001
