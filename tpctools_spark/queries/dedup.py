@@ -1022,3 +1022,81 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine_raw") >= 0.5)
         .select("vec_a", "vec_b", trunc_digits(F.col("cosine_raw"), 4).alias("cosine"))
     )
+
+
+@query(
+    "dedup_keep_longest",
+    oracle=f"""
+    WITH RECURSIVE grams AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                 range(1, greatest(len(w) - 1, 1)),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents)
+      ) WHERE gram IS NOT NULL
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+    ), hot AS (
+      SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > {JACCARD_DF_CAP}
+    ), kept AS (
+      SELECT * FROM grams WHERE gram NOT IN (SELECT gram FROM hot)
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM shared
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.2
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ), comp AS (
+      SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+    ), elected AS (
+      SELECT c.cluster_id,
+             arg_max(c.doc_id, d.n_chars * 8589934592 + (8589934592 - c.doc_id))
+               AS rep_id
+      FROM comp c JOIN documents d USING (doc_id)
+      GROUP BY c.cluster_id
+    )
+    SELECT c.doc_id, c.cluster_id, d.n_chars,
+           c.doc_id = e.rep_id AS keep
+    FROM comp c
+    JOIN documents d USING (doc_id)
+    JOIN elected e ON e.cluster_id = c.cluster_id
+    """,
+)
+def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-complete near-dedup: elect the LONGEST doc per cluster.
+
+    Production near-dedup keeps the highest-quality member of each
+    duplicate cluster, not the lowest id — length is the classic proxy
+    (CCNet/RefinedWeb-style). Composes the connected components with a
+    per-cluster ``max_by`` on a packed long key (n_chars · 2³³ +
+    (2³³ − doc_id): longest wins, ties to the lowest id) — the election
+    is ONE hash aggregate over |docs| rows, and the packed key keeps it
+    on the hash fast path and bit-deterministic in both engines.
+    """
+    comps = dedup_cluster_components(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    with_len = comps.join(docs, "doc_id")
+    okey = F.col("n_chars") * F.lit(8589934592) + (
+        F.lit(8589934592) - F.col("doc_id")
+    )
+    elected = with_len.groupBy("cluster_id").agg(
+        F.max_by("doc_id", okey).alias("rep_id")
+    )
+    return with_len.join(elected, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "n_chars",
+        (F.col("doc_id") == F.col("rep_id")).alias("keep"),
+    )
