@@ -204,3 +204,53 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_type").over(w).alias("last_type"),
         F.nth_value("event_type", 2).over(w).alias("second_type"),
     )
+
+
+@query(
+    "window_running_distinct",
+    oracle="""
+    SELECT event_id, event_type,
+           COUNT(DISTINCT user_id) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS distinct_users
+    FROM events
+    """,
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an ordered window — which Spark's
+    window functions don't support directly — via the scale-correct
+    first-occurrence-marker rewrite.
+
+    A user counts toward the running total exactly once: at their first
+    event within the partition. So mark first occurrences with
+    ``row_number() == 1`` over (event_type, user_id), then running-SUM
+    the 0/1 markers over the event order. Two window passes with
+    bounded per-row state — the naive ``size(collect_set() OVER ...)``
+    alternative carries the full distinct set in every row's frame and
+    dies at scale. DuckDB runs its native COUNT(DISTINCT ...) OVER with
+    an identical ROWS frame as the oracle; the deterministic
+    (ts, event_id) tie-break keeps frames identical across engines.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "ts"
+    )
+    first_seen = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    running = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(F.row_number().over(first_seen) == 1, 1).otherwise(0).alias("m"),
+    )
+    return marked.select(
+        "event_id",
+        "event_type",
+        F.sum("m").over(running).cast("bigint").alias("distinct_users"),
+    )
