@@ -273,3 +273,44 @@ def join_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carried.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "asof_error_id"
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH keyed AS (
+      SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg FROM customer
+    ), dim AS (
+      SELECT DISTINCT seg FROM keyed
+    )
+    SELECT d.seg, COUNT(*) AS n_customers,
+           CAST(MIN(k.c_custkey) AS BIGINT) AS min_custkey
+    FROM keyed k JOIN dim d ON k.seg IS NOT DISTINCT FROM d.seg
+    GROUP BY d.seg
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (``<=>``): NULL keys match each other instead
+    of silently dropping.
+
+    The semantics an inner join gets wrong when the key is nullable —
+    rows with NULL keys vanish from a plain equi join, a classic silent
+    data-loss bug in fact-to-dim lookups with optional attributes.
+    ``eqNullSafe`` still plans as a hash join (the null bucket hashes
+    like any value), so scale behavior is unchanged; skew only appears
+    if NULLs dominate, in which case the standard fix is splitting the
+    NULL slice off before the join.
+    """
+    keyed = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+    )
+    dim = keyed.select("seg").distinct().select(F.col("seg").alias("d_seg"))
+    return (
+        keyed.join(F.broadcast(dim), keyed.seg.eqNullSafe(F.col("d_seg")))
+        .groupBy(F.col("d_seg").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_custkey").alias("min_custkey"),
+        )
+    )

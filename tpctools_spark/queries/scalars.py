@@ -264,3 +264,37 @@ def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, F.lit("type")).alias("type_from_map"),
         F.array_join(F.map_keys(m), ",").alias("keys_csv"),
     )
+
+
+@query(
+    "scalar_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 4095 AS key_and,
+           o_orderkey | 4096 AS key_or,
+           xor(o_orderkey, o_custkey) AS key_xor,
+           (o_orderkey % 16) << 4 AS key_shl,
+           o_orderkey >> 8 AS key_shr,
+           CAST(bit_count(CAST(o_orderkey AS BIGINT)) AS INTEGER) AS key_bits
+    FROM orders
+    """,
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface: AND/OR/XOR, shifts, popcount.
+
+    The bit-twiddling toolkit behind bucket assignment, bloom probes,
+    and bitmap indexes — all codegen'd JVM expressions, exact integer
+    semantics in both engines (``>>`` is arithmetic shift in both;
+    operands stay non-negative here so sign never diverges).
+    """
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(4095)).alias("key_and"),
+        k.bitwiseOR(F.lit(4096)).alias("key_or"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("key_xor"),
+        F.shiftleft((k % 16).cast("int"), 4).cast("bigint").alias("key_shl"),
+        F.shiftright(k, 8).alias("key_shr"),
+        F.bit_count(k).alias("key_bits"),
+    )
