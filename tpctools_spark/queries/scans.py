@@ -276,3 +276,38 @@ def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.min("o_orderkey").alias("min_key"),
     )
+
+
+@query(
+    "sink_compact_small_files",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM orders
+    """,
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction: a fragmented table rewritten to sized files.
+
+    The chronic data-lake ops problem — streaming/incremental writers
+    leave thousands of KB-scale files whose per-file open/footer cost
+    dominates scans. This op writes orders deliberately fragmented
+    (64 part files), then compacts by repartitioning to
+    ceil(rows / rows_per_file) output files — the row-count proxy for a
+    byte-size target; at 100 TB the same two-liner runs per partition
+    directory with rows_per_file derived from observed bytes/row. The
+    read-back is oracle-checked against the source: compaction must be
+    a pure layout change.
+    """
+    import math
+
+    base = _stable_scratch("compact")
+    frag_path = os.path.join(base, "orders_fragmented.parquet")
+    compact_path = os.path.join(base, "orders_compact.parquet")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    o.repartition(64).write.mode("overwrite").parquet(frag_path)
+    frag = spark.read.parquet(frag_path)
+    n_files = max(1, math.ceil(frag.count() / 100_000))
+    frag.repartition(n_files).write.mode("overwrite").parquet(compact_path)
+    return spark.read.parquet(compact_path)
