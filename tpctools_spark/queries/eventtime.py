@@ -411,3 +411,54 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+@query(
+    "events_path_trigrams",
+    oracle="""
+    WITH steps AS (
+      SELECT event_type AS t0,
+             LEAD(event_type, 1) OVER w AS t1,
+             LEAD(event_type, 2) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), trigrams AS (
+      SELECT t0 || '>' || t1 || '>' || t2 AS path, COUNT(*) AS n
+      FROM steps WHERE t2 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT path, n, rk FROM (
+      SELECT path, n, ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rk
+      FROM trigrams
+    ) WHERE rk <= 20
+    """,
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user journey trigrams: the most common 3-step event-type
+    paths across all users.
+
+    Sequential pattern mining's workhorse shape: two LEADs over the
+    per-user event order turn each position into its 3-step window —
+    one sort per user partition, no self-joins (the join formulation
+    shuffles the event table twice more). The trigram count table is
+    vocabulary-sized, so the global top-20 rank is a single-partition
+    afterthought; the (ts, event_id) tie-break and (count, path)
+    rank order keep both engines' top-20 identical.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t0"),
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    )
+    trigrams = (
+        steps.filter(F.col("t2").isNotNull())
+        .select(F.concat_ws(">", "t0", "t1", "t2").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rk = Window.orderBy(F.col("n").desc(), F.col("path"))
+    return (
+        trigrams.select("path", "n", F.row_number().over(rk).alias("rk"))
+        .filter(F.col("rk") <= 20)
+    )

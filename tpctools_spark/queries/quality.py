@@ -176,3 +176,64 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("quality").alias("n_scored"),
         F.sum(F.coalesce("quality", F.lit(0))).cast("bigint").alias("quality_sum"),
     )
+
+
+@query(
+    "quality_outlier_iqr",
+    oracle="""
+    WITH fences AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN e.value < f.q1 - 1.5 * (f.q3 - f.q1)
+                           OR e.value > f.q3 + 1.5 * (f.q3 - f.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           f.q1 - 1.5 * (f.q3 - f.q1) AS fence_lo,
+           f.q3 + 1.5 * (f.q3 - f.q1) AS fence_hi
+    FROM events e JOIN fences f USING (event_type)
+    GROUP BY e.event_type, f.q1, f.q3
+    """,
+)
+def quality_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier profiling per series: flag values outside
+    [q1 − 1.5·IQR, q3 + 1.5·IQR].
+
+    The standard numeric-anomaly screen in data-quality suites. Exact
+    interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, bitwise — proven by agg_percentile) feed a
+    group-count-sized fence table broadcast back onto the events; the
+    fence arithmetic is the same IEEE mul/sub on both engines, so even
+    boundary-sitting values classify identically. Two passes over the
+    events (percentile agg, then flag+count) — at 100 TB you'd swap
+    pass one for approx_percentile and keep the same shape.
+    """
+    ev = table(spark, sf_dir, "events")
+    fences = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        ev.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    (F.col("value") < lo) | (F.col("value") > hi), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_outliers",
+            lo.alias("fence_lo"),
+            hi.alias("fence_hi"),
+        )
+    )
