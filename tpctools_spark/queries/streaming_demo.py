@@ -380,3 +380,60 @@ def stream_foreach_batch_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("value_dec").cast("double"), 2).alias("total_value"),
     )
+
+
+@query(
+    "stream_ohlc_bars",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '15 minutes', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           event_type,
+           arg_min(value, (epoch_us(ts) % 900000000) * 8589934592
+                          + (event_id % 8589934592)) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, (epoch_us(ts) % 900000000) * 8589934592
+                          + (event_id % 8589934592)) AS close,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous OHLC aggregation: the streaming twin of
+    ``events_downsample_ohlc`` — 15-minute bars maintained incrementally
+    with a watermark.
+
+    min_by/max_by are declarative aggregates, so the streaming state
+    per open bar is four scalars + count, merged on every micro-batch —
+    the continuous-aggregate pattern time-series stores call a rolling
+    materialized view. The packed-long order key (see the batch twin)
+    keeps tie-breaks deterministic, which makes the drained
+    ``availableNow`` stream bit-equal to the batch SQL oracle.
+    """
+    ev = _stream_events(spark, sf_dir)
+    okey = F.pmod(F.unix_micros(F.col("ts")), F.lit(900_000_000)) * F.lit(
+        8589934592
+    ) + F.pmod(F.col("event_id"), F.lit(8589934592))
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", okey).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", okey).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket_start"
+            ),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+    return _drain_to_memory(agg, "complete")
