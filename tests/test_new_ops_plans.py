@@ -63,3 +63,25 @@ def test_json_scan_no_inference(spark):
     # ReadSchema), not a sampled inference pass over the files.
     assert "FileScan json" in plan
     assert "c_acctbal:double" in plan.replace(" ", "")
+
+
+def test_outlier_iqr_broadcasts_fences(spark):
+    from tpctools_spark.registry import spark_queries
+
+    df = spark_queries()["quality_outlier_iqr"](spark, SF)
+    plan = _plan(df)
+    # the per-series fence table is group-count-sized -> must broadcast;
+    # the events side must never shuffle for the join.
+    assert "BroadcastHashJoin" in plan
+
+
+def test_path_trigrams_one_sort_no_self_join(spark):
+    from tpctools_spark.registry import spark_queries
+
+    df = spark_queries()["events_path_trigrams"](spark, SF)
+    plan = _plan(df)
+    # two LEADs share one window sort; the join formulation would show
+    # SortMergeJoin/BroadcastHashJoin over the events table.
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert plan.count("Window") >= 1
