@@ -806,6 +806,14 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same loop would swap in large-star/small-star rounds.
     Driver-side state is one scalar per round — never the labels.
 
+    Scale note: the loop runs over the PAIR GRAPH's nodes only — docs
+    that appear in no near-dup pair are singletons by construction and
+    never enter the iterative shuffles. On a dedup-heavy corpus the
+    edge-node set is a small fraction of the corpus, so every round's
+    join + min-agg is sized by the graph, not the 100 TB doc table;
+    the corpus itself is touched exactly once (a broadcast anti-join
+    to emit the singletons, no shuffle of the docs).
+
     Oracle: DuckDB computes the same components by recursive-CTE
     transitive closure (min reachable label); both engines agree
     because the component minimum is partitioning-invariant.
@@ -828,7 +836,8 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toDF("src", "dst")
         .cache()
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).cache()
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id")).cache()
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     while True:
         prop = (
@@ -860,13 +869,29 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges.unpersist()
     for c in pair_caches:
         c.unpersist()
+    # Window only over the edge-node labels (graph-sized shuffle); the
+    # full corpus joins in as singletons via a broadcast anti-join —
+    # zero shuffles proportional to the doc table.
     w = Window.partitionBy("cluster_id")
-    return labels.select(
+    clustered = labels.select(
         "doc_id",
         "cluster_id",
         F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
     )
+    # Broadcast hint: the edge-node id set is graph-sized (near-dup
+    # pairs are a small fraction of any real corpus). If a pathological
+    # corpus made it executor-memory large, drop the hint and this
+    # becomes a shuffled anti-join — still one corpus shuffle total.
+    singles = docs.join(
+        F.broadcast(labels.select("doc_id")), "doc_id", "left_anti"
+    ).select(
+        "doc_id",
+        F.col("doc_id").alias("cluster_id"),
+        F.lit(1).cast("long").alias("cluster_size"),
+        F.lit(True).alias("keep"),
+    )
+    return clustered.unionByName(singles)
 
 
 # Cosine-LSH signature geometry: 16 deterministic ±1 hyperplanes over
