@@ -35,4 +35,5 @@ from tpctools_spark.queries import (  # noqa: F401
     pipeline,
     reshape,
     quality,
+    mining,
 )

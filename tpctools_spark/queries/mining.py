@@ -1,0 +1,626 @@
+"""Corpus/table mining ops — round-5 additions beyond SURVEY.md §2.B.
+
+Families that a production training-data platform layers on top of the
+core relational surface:
+
+- ``mining_basket_lift``     — market-basket affinity (support/confidence/
+                               lift) over order line items.
+- ``mining_bpe_pairs``       — adjacent-character-pair frequencies: the
+                               counting step of a BPE tokenizer's first
+                               merge round.
+- ``pipeline_weighted_sample`` — Efraimidis–Spirakis weighted sampling
+                               without replacement (A-ES keys), fully
+                               deterministic via an arithmetic hash.
+- ``reshape_scd2_history``   — slowly-changing-dimension type-2 intervals
+                               from an event change log.
+- ``quality_drift_psi``      — population-stability-index drift between
+                               two halves of a stream.
+- ``text_chunk_overlap``     — overlapping fixed-size word-window
+                               chunking (the RAG/pretraining chunker).
+- ``sim_cosine_topk_quantized`` — int8 scalar-quantized cosine top-k:
+                               the memory-bound ANN scale path.
+- ``layout_zorder_address``  — Z-order (Morton) addresses for
+                               multi-dimensional data-skipping layout.
+
+All eight are oracle-checked; FP-sensitive aggregations go through the
+exact-decimal patterns from ``_util`` so both engines agree bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tpctools_spark.catalog import table
+from tpctools_spark.queries._util import sql_trunc_digits, trunc_digits
+from tpctools_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# mining_basket_lift
+
+_MIN_PAIR_ORDERS = 3
+
+
+@query(
+    "mining_basket_lift",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), tot AS (
+      SELECT COUNT(DISTINCT o) AS n_orders FROM items
+    ), item_n AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM items GROUP BY p
+    ), pairs AS (
+      SELECT a.p AS part_a, b.p AS part_b, CAST(COUNT(*) AS BIGINT) AS pair_n
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_MIN_PAIR_ORDERS}
+    )
+    SELECT part_a, part_b, pair_n,
+           {sql_trunc_digits('CAST(pair_n AS DOUBLE) / n_orders', 6)} AS support,
+           {sql_trunc_digits('CAST(pair_n AS DOUBLE) / na.n', 6)} AS confidence,
+           {sql_trunc_digits(
+               'CAST(pair_n AS DOUBLE) * n_orders / (na.n * nb.n)', 6)} AS lift
+    FROM pairs
+    JOIN item_n na ON na.p = part_a
+    JOIN item_n nb ON nb.p = part_b
+    CROSS JOIN tot
+    """,
+)
+def mining_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket item-pair affinity: support, confidence, lift.
+
+    The co-occurrence self-join runs per order key, so its cost is
+    bounded by (basket size)² per order — never |items|² globally —
+    and the join is co-partitioned on the order key (one shuffle of
+    the distinct item-order pairs). Per-item order counts are a
+    part-cardinality table (broadcast), and the order total is a
+    one-row broadcast. All counts are integers; the three ratios are
+    single IEEE divisions of integers, so truncation is bit-stable
+    against the oracle.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    tot = items.agg(F.countDistinct("o").alias("n_orders"))
+    item_n = items.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    a = items.select("o", F.col("p").alias("part_a"))
+    b = items.select("o", F.col("p").alias("part_b"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= _MIN_PAIR_ORDERS)
+    )
+    na = item_n.select(F.col("p").alias("part_a"), F.col("n").alias("na"))
+    nb = item_n.select(F.col("p").alias("part_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(na), "part_a")
+        .join(F.broadcast(nb), "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_n",
+            trunc_digits(
+                F.col("pair_n").cast("double") / F.col("n_orders"), 6
+            ).alias("support"),
+            trunc_digits(F.col("pair_n").cast("double") / F.col("na"), 6).alias(
+                "confidence"
+            ),
+            trunc_digits(
+                F.col("pair_n").cast("double")
+                * F.col("n_orders")
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# mining_bpe_pairs
+
+_BPE_TOP = 50
+
+
+@query(
+    "mining_bpe_pairs",
+    oracle=f"""
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT unnest(list_transform(range(1, length(t)),
+                                   i -> t[CAST(i AS INT):CAST(i + 1 AS INT)])) AS pair
+      FROM (SELECT lower(text) AS t FROM documents)
+    )
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT {_BPE_TOP}
+    """,
+)
+def mining_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent character-pair counts — the statistics a byte-pair-
+    encoding tokenizer gathers for its first merge decision.
+
+    One pass: per row, `sequence(1, len-1)` positions transform to
+    2-char substrings JVM-side (no Python), explode, hash-aggregate.
+    Map-side partial counts shrink the shuffle to |distinct pairs|
+    (≤ alphabet², a few KB) regardless of corpus size; the top-k is a
+    TakeOrderedAndProject, tie-broken on the pair text. Iterating BPE
+    merges would re-run this counting step on the merged symbol
+    stream — each round is this same scan shape.
+    """
+    docs = table(spark, sf_dir, "documents")
+    # substring with a per-position start needs the expr form
+    # (F.substring takes literal positions only).
+    pairs = docs.select(F.lower(F.col("text")).alias("t")).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(_BPE_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_weighted_sample
+
+_WS_PRIME = 1000003
+_WS_MULT = 2654435761
+_WS_K = 100
+
+
+@query(
+    "pipeline_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ln(CAST(((doc_id % {_WS_PRIME}) * {_WS_MULT}) % {_WS_PRIME} + 1
+                     AS DOUBLE) / {_WS_PRIME + 1})
+               / n_chars AS k
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           {sql_trunc_digits('k', 6)} AS sample_key,
+           ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS rank
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT {_WS_K}
+    """,
+)
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    keep the k records with the largest ln(u)/w, u uniform per record,
+    w = n_chars. Selection probability is proportional to weight.
+
+    The uniform draw is an arithmetic hash of doc_id (multiplicative
+    mod-prime — the same deterministic-randomness trick as the LSH
+    hyperplanes), so both engines draw identical u and the sample is
+    reproducible run-to-run — the property that makes weighted corpus
+    subsampling auditable. One scan + TakeOrderedAndProject: no
+    shuffle of the corpus, only k rows survive to the driver side.
+    log/division inputs are identical IEEE doubles on both engines;
+    adjacent A-ES keys differ by ~1/n² ≫ libm ulp error, so the
+    top-k boundary is stable.
+    """
+    docs = table(spark, sf_dir, "documents")
+    h = ((F.col("doc_id") % _WS_PRIME) * _WS_MULT) % _WS_PRIME
+    u = (h + 1).cast("double") / F.lit(float(_WS_PRIME + 1))
+    k = F.log(u) / F.col("n_chars")
+    keyed = docs.select("doc_id", "n_chars", k.alias("k"))
+    w = Window.orderBy(F.col("k").desc(), "doc_id")
+    return (
+        keyed.orderBy(F.col("k").desc(), "doc_id")
+        .limit(_WS_K)
+        .select(
+            "doc_id",
+            "n_chars",
+            trunc_digits(F.col("k"), 6).alias("sample_key"),
+            F.row_number().over(w).alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# reshape_scd2_history
+
+
+@query(
+    "reshape_scd2_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), seg AS (
+      SELECT user_id, ts, event_type,
+             CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS version
+      FROM ordered
+    ), hist AS (
+      SELECT user_id, version, event_type AS state,
+             MIN(ts) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM seg GROUP BY user_id, version, event_type
+    )
+    SELECT user_id, version, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+             AS valid_to,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+             IS NULL AS is_current,
+           n_events
+    FROM hist
+    """,
+)
+def reshape_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: compress each user's
+    event-type stream into validity intervals [valid_from, valid_to)
+    with a current-row flag — the standard dimension-history shape
+    warehouses maintain from change logs.
+
+    Change points come from one lag window, interval ids from a
+    running sum over the same (user, ts, event_id) ordering — both
+    reuse a single hash-partition exchange on user_id (Catalyst
+    shares the window exchange), then one partial-agg groupBy and a
+    graph-sized lead window. Nothing ever sorts globally; at 100 TB
+    the cost is one shuffle of the change log by entity key, which is
+    the floor for this computation.
+    """
+    ev = table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("event_type").over(wo).isNull()
+            | (F.lag("event_type").over(wo) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    seg = lagged.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("chg").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "version"
+        ),
+    )
+    hist = seg.groupBy("user_id", "version", F.col("event_type").alias("state")).agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wl = Window.partitionBy("user_id").orderBy("version")
+    valid_to = F.lead("valid_from").over(wl)
+    return hist.select(
+        "user_id",
+        "version",
+        "state",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality_drift_psi
+
+_PSI_BINS = 10
+_PSI_WIDTH = 10.0
+
+
+@query(
+    "quality_drift_psi",
+    oracle=f"""
+    WITH binned AS (
+      SELECT event_type, event_id % 2 AS half,
+             CAST(least(floor(value / {_PSI_WIDTH}), {_PSI_BINS - 1}) AS BIGINT)
+               AS bin
+      FROM events
+    ), bc AS (
+      SELECT event_type, bin,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cc
+      FROM binned GROUP BY event_type, bin
+    ), grid AS (
+      SELECT t.event_type, g.bin, COALESCE(bc.cb, 0) AS cb, COALESCE(bc.cc, 0) AS cc
+      FROM (SELECT DISTINCT event_type FROM binned) t
+      CROSS JOIN (SELECT unnest(range({_PSI_BINS})) AS bin) g
+      LEFT JOIN bc ON bc.event_type = t.event_type AND bc.bin = g.bin
+    ), tot AS (
+      SELECT event_type, SUM(cb) AS nb, SUM(cc) AS nc FROM grid GROUP BY event_type
+    )
+    SELECT grid.event_type,
+           CAST(MAX(nb) AS BIGINT) AS n_base,
+           CAST(MAX(nc) AS BIGINT) AS n_cur,
+           {sql_trunc_digits(
+             "CAST(SUM(CAST("
+             " (CAST(cb + 1 AS DOUBLE) / (nb + 10) - CAST(cc + 1 AS DOUBLE) / (nc + 10))"
+             " * ln((CAST(cb + 1 AS DOUBLE) / (nb + 10))"
+             "      / (CAST(cc + 1 AS DOUBLE) / (nc + 10)))"
+             " AS DECIMAL(25,16))) AS DOUBLE)", 6)} AS psi
+    FROM grid JOIN tot ON tot.event_type = grid.event_type
+    GROUP BY grid.event_type
+    """,
+)
+def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two deterministic halves of
+    the event stream (event_id parity stands in for before/after
+    deploy windows): PSI = Σ_bins (p−q)·ln(p/q) over fixed-width
+    value bins with Laplace smoothing, per event_type.
+
+    The drift screen monitoring stacks run on every feature column.
+    Counting is one conditional-aggregation scan (map-side partial →
+    the shuffle is |types|×|bins| rows); the bin scaffold joins in so
+    empty bins still contribute their smoothed mass identically on
+    both engines. Per-bin PSI terms are cast to exact decimals before
+    the final sum, so 10-term FP addition order can never flip the
+    truncated result — the same order-independence trick as the money
+    aggregates.
+    """
+    ev = table(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        (F.col("event_id") % 2).alias("half"),
+        F.least(F.floor(F.col("value") / _PSI_WIDTH), F.lit(_PSI_BINS - 1))
+        .cast("bigint")
+        .alias("bin"),
+    )
+    bc = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("cb"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cc"),
+    )
+    grid = (
+        binned.select("event_type")
+        .distinct()
+        .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(_PSI_BINS - 1))).alias("bin"))
+        .select("event_type", F.col("bin").cast("bigint").alias("bin"))
+        .join(bc, ["event_type", "bin"], "left")
+        .fillna(0, ["cb", "cc"])
+    )
+    tot = grid.groupBy("event_type").agg(
+        F.sum("cb").alias("nb"), F.sum("cc").alias("nc")
+    )
+    j = grid.join(F.broadcast(tot), "event_type")
+    p = (F.col("cb") + 1).cast("double") / (F.col("nb") + _PSI_BINS)
+    q = (F.col("cc") + 1).cast("double") / (F.col("nc") + _PSI_BINS)
+    term = ((p - q) * F.log(p / q)).cast("decimal(25,16)")
+    return j.groupBy("event_type").agg(
+        F.max("nb").cast("bigint").alias("n_base"),
+        F.max("nc").cast("bigint").alias("n_cur"),
+        trunc_digits(F.sum(term).cast("double"), 6).alias("psi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_chunk_overlap
+
+_CHUNK_W = 12
+_CHUNK_STRIDE = 6
+
+
+@query(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), starts AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w), {_CHUNK_STRIDE})) AS s
+      FROM words
+    )
+    SELECT doc_id,
+           CAST((s - 1) // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(len(w[CAST(s AS INT):CAST(s + {_CHUNK_W - 1} AS INT)]) AS BIGINT)
+             AS n_words,
+           array_to_string(w[CAST(s AS INT):CAST(s + {_CHUNK_W - 1} AS INT)], ' ')
+             AS chunk_text
+    FROM starts
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking: fixed window of
+    ``_CHUNK_W`` words advancing by ``_CHUNK_STRIDE`` — the chunker in
+    front of every embedding/RAG index and context-window packer.
+
+    Entirely row-local (split → sequence of starts → slice per
+    start): no shuffle at any size, output rows ≈ n_words/stride per
+    doc. The trailing chunks are allowed to run short rather than
+    being dropped, so every word lands in ≥1 chunk (the recall-safe
+    convention); both engines derive chunk ids from the same integer
+    arithmetic.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.sequence(F.lit(1), F.size("w"), F.lit(_CHUNK_STRIDE))
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / _CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+            F.size(F.expr(f"slice(w, s, {_CHUNK_W})")).cast("bigint").alias(
+                "n_words"
+            ),
+            F.array_join(F.expr(f"slice(w, s, {_CHUNK_W})"), " ").alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_cosine_topk_quantized
+
+_Q_PROBE = 0
+_Q_TOPK = 10
+
+
+@query(
+    "sim_cosine_topk_quantized",
+    oracle=f"""
+    WITH prep AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), quant AS (
+      SELECT vec_id, label,
+             list_transform(e, x -> CAST(round(x * 127.0 /
+               list_max(list_transform(e, y -> abs(y)))) AS BIGINT)) AS q
+      FROM prep
+      WHERE list_max(list_transform(e, y -> abs(y))) > 0
+    ), scored AS (
+      SELECT a.vec_id, a.label,
+             CAST(list_sum(list_transform(list_zip(a.q, p.q),
+                                          t -> t[1] * t[2])) AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(a.q, x -> x * x)) AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(p.q, x -> x * x)) AS DOUBLE)))
+               AS cos_raw
+      FROM quant a, (SELECT q FROM quant WHERE vec_id = {_Q_PROBE}) p
+      WHERE a.vec_id <> {_Q_PROBE}
+    )
+    SELECT vec_id, label,
+           {sql_trunc_digits('cos_raw', 4)} AS cosine,
+           ROW_NUMBER() OVER (ORDER BY cos_raw DESC, vec_id) AS rank
+    FROM scored
+    ORDER BY cos_raw DESC, vec_id
+    LIMIT {_Q_TOPK}
+    """,
+)
+def sim_cosine_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k over int8 scalar-quantized vectors — the
+    memory-bound ANN path: q_i = round(127·x_i / max|x|) shrinks the
+    vector store 4× (and 8× vs float64), which at 100 TB is the
+    difference between spilling and an in-memory scan. Quantized dot
+    products are exact integer arithmetic (≤ 127²·dim ≪ 2⁶³), so
+    ranking is bit-deterministic and the oracle matches without any
+    FP-summation tricks; sqrt/divide of those integers are single
+    correctly-rounded IEEE ops.
+
+    Same plan shape as the exact baseline (`sim_cosine_topk`): one
+    scan, constant-size probe broadcast, TakeOrderedAndProject top-k —
+    quantization changes the operand width, not the data flow.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(e, F.abs))
+    q = F.transform(e, lambda x: F.round(x * 127.0 / scale).cast("bigint"))
+    quant = emb.filter(scale > 0).select("vec_id", "label", q.alias("q"))
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    probe = quant.filter(F.col("vec_id") == _Q_PROBE).select(
+        F.col("q").alias("pq")
+    )
+    scored = (
+        quant.filter(F.col("vec_id") != _Q_PROBE)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "label",
+            (
+                idot(F.col("q"), F.col("pq")).cast("double")
+                / (
+                    F.sqrt(idot(F.col("q"), F.col("q")).cast("double"))
+                    * F.sqrt(idot(F.col("pq"), F.col("pq")).cast("double"))
+                )
+            ).alias("cos_raw"),
+        )
+    )
+    w = Window.orderBy(F.col("cos_raw").desc(), "vec_id")
+    return (
+        scored.orderBy(F.col("cos_raw").desc(), "vec_id")
+        .limit(_Q_TOPK)
+        .select(
+            "vec_id",
+            "label",
+            trunc_digits(F.col("cos_raw"), 4).alias("cosine"),
+            F.row_number().over(w).alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# layout_zorder_address
+
+_Z_BITS = 16
+
+
+def _sql_zaddr(x: str, y: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "layout_zorder_address",
+    oracle=f"""
+    WITH src AS (
+      SELECT event_id, user_id AS x,
+             CAST(floor(value) AS BIGINT) AS y
+      FROM events
+    )
+    SELECT event_id, x, y,
+           CAST({_sql_zaddr('x', 'y')} AS BIGINT) AS zaddr,
+           CAST(({_sql_zaddr('x', 'y')}) >> 26 AS BIGINT) AS file_bucket
+    FROM src
+    """,
+)
+def layout_zorder_address(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) addresses interleaving the bits of two scan
+    dimensions (user_id × integerized value) — the clustering key
+    behind multi-dimensional data skipping: sort/range-partition by
+    `zaddr` and each output file's min/max footer stats become tight
+    on BOTH dimensions, so predicates on either column prune files.
+
+    The address is 32 pure bit-ops folded into one codegen'd
+    expression — no shuffle here; the layout write would be
+    ``repartitionByRange("zaddr").sortWithinPartitions("zaddr")``,
+    one range exchange at any scale. `file_bucket` (top 6 address
+    bits) shows the file assignment that write would produce.
+    """
+    ev = table(spark, sf_dir, "events")
+    x = F.col("x")
+    y = F.col("y")
+    z = F.lit(0).cast("bigint")
+    for i in range(_Z_BITS):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)).cast("bigint"), 2 * i)
+        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)).cast("bigint"), 2 * i + 1)
+    return (
+        ev.select(
+            "event_id",
+            F.col("user_id").alias("x"),
+            F.floor("value").cast("bigint").alias("y"),
+        )
+        .select(
+            "event_id",
+            "x",
+            "y",
+            z.alias("zaddr"),
+            F.shiftright(z, 26).cast("bigint").alias("file_bucket"),
+        )
+    )
