@@ -574,11 +574,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 JACCARD_DF_CAP = 50
 
 
-def _jaccard_pairs(
+def _shared_gram_counts(
     spark: SparkSession, sf_dir: str, caches: list | None = None
 ) -> DataFrame:
-    """Near-dup candidate pairs (doc_a < doc_b, jacc ≥ 0.2) with the
-    raw `jacc` double column — shared by the pair query and the
+    """Shared-gram statistics per candidate pair (doc_a < doc_b):
+    columns (doc_a, doc_b, na, nb, n_shared) — the inverted-index
+    core behind Jaccard pairs, containment pairs, and the
     connected-components clustering.
 
     ``caches``: optional list the function appends its cached
@@ -621,12 +622,20 @@ def _jaccard_pairs(
     kept = prep.join(F.broadcast(hot), "gram", "left_anti")
     a = kept.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "gram")
     b = kept.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "gram")
-    shared = (
+    return (
         a.join(b, "gram")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def _jaccard_pairs(
+    spark: SparkSession, sf_dir: str, caches: list | None = None
+) -> DataFrame:
+    """Near-dup candidate pairs (doc_a < doc_b, jacc ≥ 0.2) with the
+    raw `jacc` double column."""
+    shared = _shared_gram_counts(spark, sf_dir, caches=caches)
     jacc = F.col("n_shared").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_shared")
     )
@@ -676,6 +685,63 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     return _jaccard_pairs(spark, sf_dir).select(
         "doc_a", "doc_b", trunc_digits(F.col("jacc"), 4).alias("jaccard")
+    )
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH grams AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                 range(1, greatest(len(w) - 1, 1)),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents)
+      ) WHERE gram IS NOT NULL
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+    ), hot AS (
+      SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > {JACCARD_DF_CAP}
+    ), kept AS (
+      SELECT * FROM grams WHERE gram NOT IN (SELECT gram FROM hot)
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CASE WHEN sa.n <= sb.n THEN doc_a ELSE doc_b END AS doc_inner,
+           CAST(floor(CAST(n_shared AS DOUBLE) / least(sa.n, sb.n) * 10000)
+                AS DOUBLE) / 10000 AS containment
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_shared AS DOUBLE) / least(sa.n, sb.n) >= 0.6
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-containment pairs: shared grams over the SMALLER doc's
+    gram-set size ≥ 0.6 — catches a document embedded inside a larger
+    one (quote farms, boilerplate wrappers, page-of-pages scrapes),
+    which symmetric Jaccard systematically under-scores: a 50-gram doc
+    fully contained in a 500-gram doc has jacc ≈ 0.1 but containment
+    1.0. `doc_inner` names the contained (smaller-set) document — the
+    one a dedup policy would typically drop.
+
+    Same inverted-index + df-cap core as the Jaccard pairs (shared via
+    ``_shared_gram_counts``), so the scale properties carry over:
+    postings shuffle once, hot grams are capped, never all-pairs.
+    """
+    shared = _shared_gram_counts(spark, sf_dir)
+    cont = F.col("n_shared").cast("double") / F.least("na", "nb")
+    return shared.filter(cont >= 0.6).select(
+        "doc_a",
+        "doc_b",
+        F.when(F.col("na") <= F.col("nb"), F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("doc_inner"),
+        trunc_digits(cont, 4).alias("containment"),
     )
 
 

@@ -323,9 +323,46 @@ _PSI_BINS = 10
 _PSI_WIDTH = 10.0
 
 
-@query(
-    "quality_drift_psi",
-    oracle=f"""
+def _psi_bin() -> F.Column:
+    """Fixed-width value bin, capped into the top bin."""
+    return (
+        F.least(F.floor(F.col("value") / _PSI_WIDTH), F.lit(_PSI_BINS - 1))
+        .cast("bigint")
+        .alias("bin")
+    )
+
+
+def _psi_from_counts(types: DataFrame, bc: DataFrame) -> DataFrame:
+    """PSI per event_type from per-(type, bin) baseline/current counts.
+
+    ``types``: one row per event_type (the bin scaffold's spine);
+    ``bc``: (event_type, bin, cb, cc) counts, bins may be missing.
+    Shared by the batch screen and its streaming twin.
+    """
+    grid = (
+        types.select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(_PSI_BINS - 1))).alias("bin"),
+        )
+        .select("event_type", F.col("bin").cast("bigint").alias("bin"))
+        .join(bc, ["event_type", "bin"], "left")
+        .fillna(0, ["cb", "cc"])
+    )
+    tot = grid.groupBy("event_type").agg(
+        F.sum("cb").alias("nb"), F.sum("cc").alias("nc")
+    )
+    j = grid.join(F.broadcast(tot), "event_type")
+    p = (F.col("cb") + 1).cast("double") / (F.col("nb") + _PSI_BINS)
+    q = (F.col("cc") + 1).cast("double") / (F.col("nc") + _PSI_BINS)
+    term = ((p - q) * F.log(p / q)).cast("decimal(25,16)")
+    return j.groupBy("event_type").agg(
+        F.max("nb").cast("bigint").alias("n_base"),
+        F.max("nc").cast("bigint").alias("n_cur"),
+        trunc_digits(F.sum(term).cast("double"), 6).alias("psi"),
+    )
+
+
+_PSI_ORACLE_SQL = f"""
     WITH binned AS (
       SELECT event_type, event_id % 2 AS half,
              CAST(least(floor(value / {_PSI_WIDTH}), {_PSI_BINS - 1}) AS BIGINT)
@@ -355,8 +392,10 @@ _PSI_WIDTH = 10.0
              " AS DECIMAL(25,16))) AS DOUBLE)", 6)} AS psi
     FROM grid JOIN tot ON tot.event_type = grid.event_type
     GROUP BY grid.event_type
-    """,
-)
+    """
+
+
+@query("quality_drift_psi", oracle=_PSI_ORACLE_SQL)
 def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index between two deterministic halves of
     the event stream (event_id parity stands in for before/after
@@ -374,36 +413,13 @@ def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = table(spark, sf_dir, "events")
     binned = ev.select(
-        "event_type",
-        (F.col("event_id") % 2).alias("half"),
-        F.least(F.floor(F.col("value") / _PSI_WIDTH), F.lit(_PSI_BINS - 1))
-        .cast("bigint")
-        .alias("bin"),
+        "event_type", (F.col("event_id") % 2).alias("half"), _psi_bin()
     )
     bc = binned.groupBy("event_type", "bin").agg(
         F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("cb"),
         F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cc"),
     )
-    grid = (
-        binned.select("event_type")
-        .distinct()
-        .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(_PSI_BINS - 1))).alias("bin"))
-        .select("event_type", F.col("bin").cast("bigint").alias("bin"))
-        .join(bc, ["event_type", "bin"], "left")
-        .fillna(0, ["cb", "cc"])
-    )
-    tot = grid.groupBy("event_type").agg(
-        F.sum("cb").alias("nb"), F.sum("cc").alias("nc")
-    )
-    j = grid.join(F.broadcast(tot), "event_type")
-    p = (F.col("cb") + 1).cast("double") / (F.col("nb") + _PSI_BINS)
-    q = (F.col("cc") + 1).cast("double") / (F.col("nc") + _PSI_BINS)
-    term = ((p - q) * F.log(p / q)).cast("decimal(25,16)")
-    return j.groupBy("event_type").agg(
-        F.max("nb").cast("bigint").alias("n_base"),
-        F.max("nc").cast("bigint").alias("n_cur"),
-        trunc_digits(F.sum(term).cast("double"), 6).alias("psi"),
-    )
+    return _psi_from_counts(binned.select("event_type").distinct(), bc)
 
 
 # ---------------------------------------------------------------------------

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructType
 
+from tpctools_spark.queries.mining import _PSI_ORACLE_SQL
 from tpctools_spark.registry import query
 from tpctools_spark.schemas import TESTDATA
 
@@ -437,3 +438,46 @@ def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain_to_memory(agg, "complete")
+
+
+@query("stream_drift_psi", oracle=_PSI_ORACLE_SQL)
+def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous drift monitor: the streaming twin of
+    ``quality_drift_psi``. The live half of the events (event_id
+    parity stands in for post-deploy traffic) streams through a
+    complete-mode per-(type, bin) count — the state Structured
+    Streaming maintains incrementally forever — and each drain
+    combines those counts with the static baseline histogram to score
+    PSI per event_type. In production the combination step runs in
+    ``foreachBatch`` on every trigger; here availableNow drains the
+    stream and the same combination runs on the final counts, so the
+    result equals the batch screen exactly.
+
+    Oracle: shares ``quality_drift_psi``'s batch SQL — the streamed
+    counts are the only stateful part and complete mode makes them
+    equal the batch GROUP BY.
+    """
+    from tpctools_spark.queries.mining import _psi_bin, _psi_from_counts
+
+    from tpctools_spark.catalog import table as _table
+
+    ev = _stream_events(spark, sf_dir)
+    cur = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .select("event_type", _psi_bin())
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("cc"))
+    )
+    cur_counts = _drain_to_memory(cur, "complete")
+    batch = _table(spark, sf_dir, "events")
+    base_counts = (
+        batch.filter(F.col("event_id") % 2 == 0)
+        .select("event_type", _psi_bin())
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    bc = base_counts.join(cur_counts, ["event_type", "bin"], "full_outer").fillna(
+        0, ["cb", "cc"]
+    )
+    return _psi_from_counts(batch.select("event_type").distinct(), bc)
+
