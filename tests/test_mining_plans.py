@@ -92,3 +92,28 @@ def test_drift_psi_broadcasts_totals(spark):
     df = spark_queries()["quality_drift_psi"](spark, SF)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_filter_injects_on_probe_side(spark):
+    from tpctools_spark.queries.scale_patterns import _BLOOM_CONFS, _bloom_join
+
+    old = {k: None for k in _BLOOM_CONFS}
+    for k in _BLOOM_CONFS:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, _BLOOM_CONFS[k])
+    try:
+        df = _bloom_join(spark, SF)
+        plan = _plan(df)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # the dim side builds a bloom over surviving keys; the fact scan
+    # applies might_contain before the shuffle.
+    assert "bloom_filter_agg" in plan
+    assert "might_contain" in plan.lower()

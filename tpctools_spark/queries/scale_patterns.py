@@ -170,3 +170,78 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # The fixture-scale probe side is far below the 10 GB default
+    # application-side threshold; at real scale the default gates the
+    # filter to scans big enough to be worth pruning.
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    # The optimizer skips injection when the creation side could just
+    # be broadcast (broadcast already prunes via DPP); at 100 TB a
+    # year-of-orders creation side is NOT broadcastable, so emulate
+    # that regime at fixture scale. Scoped to the materializing run.
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective dim-filtered fact join, broadcast disabled by hint so
+    the optimizer injects a runtime bloom filter on the probe side."""
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "join_bloom_pruned",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS sum_price
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning: a selective filter on the
+    dimension side is turned into a `bloom_filter_agg` built over the
+    surviving join keys and applied as `might_contain` at the fact
+    scan — rows that cannot match never enter the shuffle. At 100 TB
+    this is the difference between shuffling the whole fact table and
+    shuffling the ~selectivity fraction that survives; it composes
+    with (and beyond) dynamic partition pruning because it prunes
+    ROWS, not just partitions.
+
+    The result is identical to the plain join (the filter is sound),
+    so the oracle is the straightforward SQL. The session confs that
+    let the filter inject at fixture scale are restored after the
+    materializing run — the technique, not the conf state, is the
+    deliverable.
+    """
+    old = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = _bloom_join(spark, sf_dir).cache()
+        df.count()  # materialize while the injection confs are live
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return df
