@@ -117,3 +117,11 @@ def test_bloom_filter_injects_on_probe_side(spark):
     # applies might_contain before the shuffle.
     assert "bloom_filter_agg" in plan
     assert "might_contain" in plan.lower()
+
+
+def test_dpp_prunes_fact_partitions(spark):
+    from tpctools_spark.registry import spark_queries
+
+    df = spark_queries()["join_dpp_partitioned"](spark, SF)
+    plan = _plan(df)
+    assert "dynamicpruning" in plan.lower()

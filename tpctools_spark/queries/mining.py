@@ -640,3 +640,73 @@ def layout_zorder_address(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.shiftright(z, 26).cast("bigint").alias("file_bucket"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_anomaly_mad
+
+
+@query(
+    "quality_anomaly_mad",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type, m.med,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type, m.med
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           {sql_trunc_digits('m.med', 4)} AS med,
+           {sql_trunc_digits('m.mad', 4)} AS mad
+    FROM events e JOIN mad m USING (event_type)
+    GROUP BY e.event_type, m.med, m.mad
+    """,
+)
+def quality_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation anomaly screen per series: flag
+    |x − median| > 3·1.4826·MAD — the robust-statistics counterpart
+    of the IQR fences (1.4826 scales MAD to σ under normality), far
+    less sensitive to the outliers it is hunting than mean/stddev.
+
+    Three passes over the events (median, MAD, flag), each a
+    group-count-sized aggregate broadcast back onto the stream —
+    exact interpolated percentiles on both engines (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, bitwise, proven by
+    agg_percentile), and the fence product is the same literal-order
+    IEEE multiply, so boundary values classify identically. At 100 TB
+    you'd swap the exact percentiles for approx_percentile and keep
+    the same three-scan shape.
+    """
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+        )
+    )
+    flagged = ev.join(F.broadcast(mad), "event_type")
+    is_anom = F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad")
+    return (
+        flagged.groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(is_anom, 1).otherwise(0)).alias("n_anomalies"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_anomalies",
+            trunc_digits(F.col("med"), 4).alias("med"),
+            trunc_digits(F.col("mad"), 4).alias("mad"),
+        )
+    )

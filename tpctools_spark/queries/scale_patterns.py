@@ -245,3 +245,60 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return df
+
+
+@query(
+    "join_dpp_partitioned",
+    oracle="""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS sum_total
+    FROM orders o
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderstatus
+    """,
+)
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is laid out
+    partitioned by the join key (status here standing in for the
+    date_key of a real warehouse layout); a selective filter on the
+    dimension side becomes a runtime IN-subquery on the fact scan, so
+    non-matching PARTITIONS are never read — file listing included.
+    At 100 TB with a date-partitioned fact this is the single biggest
+    scan reducer Spark has; it needs zero hints, only the layout.
+
+    The dim side is a tiny status-attribute relation filtered to the
+    'finished' slice; plan test asserts `dynamicpruning` reaches the
+    fact FileScan. Oracle: the equivalent static filter — DPP never
+    changes the answer, only the partitions read.
+    """
+    from tpctools_spark.queries.scans import _stable_scratch
+
+    base = _stable_scratch("dpp_orders")
+    path = os.path.join(base, "orders_by_status")
+    dim_path = os.path.join(base, "status_dim")
+    orders = table(spark, sf_dir, "orders")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    if not os.path.exists(os.path.join(dim_path, "_SUCCESS")):
+        orders.select(F.col("o_orderstatus").alias("status")).distinct().withColumn(
+            "label",
+            F.when(F.col("status") == "F", "final").otherwise("open"),
+        ).write.mode("overwrite").parquet(dim_path)
+    fact = spark.read.parquet(path)
+    # A real dim relation filtered by an attribute COMPARISON on a
+    # non-key column: the pruning rule pattern-matches a likely-
+    # selective predicate below the join (a filter above an aggregate,
+    # or a bare boolean column, does not qualify), and filtering a
+    # non-key attribute keeps Catalyst from just pushing a static
+    # equality onto the fact side.
+    dim = spark.read.parquet(dim_path).filter(F.col("label") == "final")
+    return (
+        fact.join(F.broadcast(dim), fact.o_orderstatus == dim.status)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("sum_total"),
+        )
+    )
