@@ -66,6 +66,20 @@ HEADLINE = [
     "tpcds_q11_channel_growth",
     "tpcds_q14_cross_channel_intersect",
     "tpcds_q49_return_ratios",
+    # Round-5 group: mining/layout/drift ops and the two runtime-pruning
+    # join patterns (bloom filter, dynamic partition pruning).
+    "mining_basket_lift",
+    "mining_bpe_pairs",
+    "dedup_containment",
+    "pipeline_weighted_sample",
+    "reshape_scd2_history",
+    "quality_drift_psi",
+    "quality_anomaly_mad",
+    "text_chunk_overlap",
+    "sim_cosine_topk_quantized",
+    "layout_zorder_address",
+    "join_bloom_pruned",
+    "join_dpp_partitioned",
 ]
 
 # Driver-facing compact line keys: the stdout tail capture is ~2000
@@ -86,6 +100,9 @@ COMPACT_KEYS = [
     "tpcds_q11_channel_growth",
     "tpcds_q14_cross_channel_intersect",
     "tpcds_q49_return_ratios",
+    "mining_basket_lift",
+    "sim_cosine_topk_quantized",
+    "join_bloom_pruned",
     "q1_sf1",
     "gen_tpch",
     "gen_tpcds",

@@ -125,3 +125,13 @@ def test_dpp_prunes_fact_partitions(spark):
     df = spark_queries()["join_dpp_partitioned"](spark, SF)
     plan = _plan(df)
     assert "dynamicpruning" in plan.lower()
+
+
+def test_rate_limit_compiles_to_window_group_limit(spark):
+    from tpctools_spark.registry import spark_queries
+
+    df = spark_queries()["events_rate_limit"](spark, SF)
+    plan = _plan(df)
+    # rank<=N pushed into the window: partial (map-side) + final group
+    # limit, so the shuffle carries at most N rows per key.
+    assert plan.count("WindowGroupLimit") == 2

@@ -710,3 +710,139 @@ def quality_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             trunc_digits(F.col("mad"), 4).alias("mad"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_bigram_lm
+
+
+@query(
+    "text_bigram_lm",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+    ), bigrams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+               i -> w[i] || ' ' || w[i + 1])) AS bg
+      FROM words WHERE len(w) >= 2
+    ), vocab AS (
+      SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v
+      FROM (SELECT unnest(w) AS word FROM words)
+    ), bg_counts AS (
+      SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_bg FROM bigrams GROUP BY bg
+    ), prefix_counts AS (
+      SELECT string_split(bg, ' ')[1] AS w1,
+             CAST(SUM(c_bg) AS BIGINT) AS c_w1
+      FROM bg_counts GROUP BY 1
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           (CAST(floor(CAST(SUM(CAST(
+              ln(CAST(c.c_bg + 1 AS DOUBLE) / (p.c_w1 + vocab.v))
+              AS DECIMAL(25,16))) AS DOUBLE)
+              / COUNT(*) * 1000000) AS DOUBLE) / 1000000) AS avg_logp
+    FROM bigrams b
+    JOIN bg_counts c ON c.bg = b.bg
+    JOIN prefix_counts p ON p.w1 = string_split(b.bg, ' ')[1]
+    CROSS JOIN vocab
+    GROUP BY b.doc_id
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model fluency score per document: train add-one-
+    smoothed bigram probabilities on the corpus itself, then score each
+    document by its mean log P(w₂|w₁) — the n-gram generalization of
+    the unigram LM quality filter (low scores flag word salad and
+    boilerplate; the classic cheap fluency screen before a neural
+    scorer).
+
+    Two count tables (bigram, prefix) hash-aggregate with map-side
+    partials, join back onto the exploded bigram stream on their keys,
+    and the per-doc mean sums exact decimals so partial-aggregation
+    order can never move the truncated score. The vocabulary size is a
+    one-row broadcast. Three shuffles total, each sized by the gram
+    vocabulary or the bigram stream — nothing quadratic anywhere.
+    """
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), " ").alias("w")
+    )
+    bigrams = (
+        words.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+                )
+            ).alias("bg"),
+        )
+    )
+    vocab = words.select(F.explode("w").alias("word")).agg(
+        F.countDistinct("word").alias("v")
+    )
+    bg_counts = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    prefix_counts = bg_counts.groupBy(
+        F.split("bg", " ").getItem(0).alias("w1")
+    ).agg(F.sum("c_bg").alias("c_w1"))
+    joined = (
+        bigrams.join(bg_counts, "bg")
+        .withColumn("w1", F.split("bg", " ").getItem(0))
+        .join(prefix_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    term = F.log(
+        (F.col("c_bg") + 1).cast("double") / (F.col("c_w1") + F.col("v"))
+    ).cast("decimal(25,16)")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        trunc_digits(
+            F.sum(term).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_logp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_rate_limit
+
+_RATE_KEEP = 3
+
+
+@query(
+    "events_rate_limit",
+    oracle=f"""
+    SELECT event_id, user_id, ts
+    FROM (
+      SELECT event_id, user_id, ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, time_bucket(INTERVAL '1 day', ts)
+               ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn <= {_RATE_KEEP}
+    """,
+)
+def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key rate limiting: keep the first {N} events per (user,
+    day) — the standard log-volume cap before expensive downstream
+    processing (scoring every click is waste; the first few per
+    period carry the signal).
+
+    One window over (user, day-bucket): Catalyst compiles the
+    rank-≤-N filter into WindowGroupLimit, so each group materializes
+    at most N rows on BOTH the partial (map) side and the final side —
+    the shuffle carries ≤ N rows per key, not the raw stream. Ordering
+    ties break on event_id, so the kept set is deterministic on both
+    engines.
+    """
+    ev = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_id", "user_id", "ts", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= _RATE_KEEP)
+        .select("event_id", "user_id", "ts")
+    )
