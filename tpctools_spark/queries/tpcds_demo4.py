@@ -568,7 +568,14 @@ def tpcds_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     trip = ["i_brand_id", "i_class_id", "i_category_id"]
 
     def sold_triples(fact: DataFrame, item_col: str) -> DataFrame:
-        return fact.join(it, F.col(item_col) == it.i_item_sk).select(*trip)
+        # Reduce the fact to its DISTINCT item keys FIRST (map-side
+        # combinable int column → ≤ |items| rows survive the shuffle),
+        # then map keys to triples through the broadcast item dim. The
+        # intersect inputs are item-dimension-sized, never fact-sized —
+        # at 100 TB this is the difference between shuffling billions of
+        # 3-column rows and thousands.
+        sks = fact.select(F.col(item_col).alias("sk")).distinct()
+        return sks.join(it, F.col("sk") == it.i_item_sk).select(*trip)
 
     triples = (
         sold_triples(ss, "ss_item_sk")
