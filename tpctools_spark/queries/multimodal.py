@@ -110,3 +110,56 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     return sample_frames(docs)
+
+
+_BIN_DOCS = 20
+
+
+@query(
+    "scan_binary_files",
+    oracle=f"""
+    SELECT 'doc_' || doc_id || '.bin' AS file_name,
+           CAST(strlen(text) AS BIGINT) AS length,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < {_BIN_DOCS}
+    """,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw media ingestion via Spark's built-in ``binaryFile`` source:
+    a directory of opaque blobs becomes a relation of (path, mtime,
+    length, content) with the bytes as a first-class binary column —
+    the landing-zone entry point of every multimodal pipeline, before
+    decode/feature stages (``multimodal_decode``) take over.
+
+    The fixture blobs are staged from document text (a bounded,
+    documented stand-in for media files arriving from an external
+    store); the SCAN is the real distributed path — Spark splits the
+    file listing across the cluster, each task reads its files and
+    computes length + content digest without the bytes ever visiting
+    the driver. At 100 TB the same plan streams object-store blobs;
+    ``pathGlobFilter``/``recursiveFileLookup`` handle layout, and the
+    4 MB+ per-file regime amortizes the per-file open.
+    """
+    import os
+
+    from tpctools_spark.queries.scans import _stable_scratch
+
+    stage = os.path.join(_stable_scratch("binfiles"), "blobs")
+    os.makedirs(stage, exist_ok=True)
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _BIN_DOCS)
+        .select("doc_id", "text")
+        .collect()
+    )
+    # Bounded landing-zone emulation (N=20 blobs); real media files
+    # arrive from outside the engine — writing them is not the op.
+    for r in docs:
+        with open(os.path.join(stage, f"doc_{r['doc_id']}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    blobs = spark.read.format("binaryFile").load(stage)
+    return blobs.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length").cast("bigint").alias("length"),
+        F.md5("content").alias("content_md5"),
+    )
