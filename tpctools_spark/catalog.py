@@ -11,7 +11,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from tpctools_spark.schemas import TESTDATA_TABLE_NAMES
 
@@ -33,11 +33,31 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # LTZ semantics every query was validated under.  Under the UTC pin
     # the two types are value-identical, so read them as LTZ; unlike a
     # post-scan cast this keeps predicate pushdown on timestamp columns.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:  # noqa: BLE001 — conf may be pinned by the caller
+        pass
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        return _events(spark, path)
-    return spark.read.parquet(path)
+        return _ltz(_events(spark, path))
+    return _ltz(spark.read.parquet(path))
+
+
+def _ltz(df: DataFrame) -> DataFrame:
+    """Defense-in-depth: cast any TIMESTAMP_NTZ column to TIMESTAMP (LTZ).
+
+    Normally a no-op — the inferTimestampNTZ pin above makes the scan
+    produce LTZ directly, preserving timestamp predicate pushdown. But a
+    caller-owned session can pin that conf (or reject conf.set), and an
+    NTZ column then poisons every epoch-arithmetic expression downstream
+    (``unix_micros`` rejects NTZ — the round-3 driver run lost two
+    queries to exactly this). Under the UTC session pin the cast is
+    value-identical.
+    """
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def _events(spark: SparkSession, path: str) -> DataFrame:
@@ -47,7 +67,10 @@ def _events(spark: SparkSession, path: str) -> DataFrame:
     proper timestamp — the identical truncation DuckDB applies when it
     reads nanos, so both engines see the same microsecond instants.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001 — conf may be pinned by the caller
+        pass
     df = spark.read.parquet(path)
     if isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

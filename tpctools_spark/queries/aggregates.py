@@ -8,7 +8,7 @@ with group cardinality, not input size. Money sums use exact decimal math
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tpctools_spark.catalog import table
@@ -500,3 +500,202 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.countDistinct("event_type").alias("n_types"),
     )
+
+
+# Count-min-sketch hash rows: bucket_i(k) = ((a_i·k + b_i) mod P) mod W.
+# Plain int64 arithmetic both engines evaluate identically (k ≤ ~1e9 at
+# any SF, a_i < 1e9 → products < 1e18); same construction as the SimHash
+# and LSH-cosine arithmetic hashes (dedup.py), which is what makes the
+# whole sketch value-checkable in DuckDB instead of rows-only.
+_CMS_P = 1_000_000_007
+_CMS_W = 4096
+_CMS_ROWS = [
+    (0, 654_435_747, 283_521),
+    (1, 308_871_487, 324_024),
+    (2, 963_307_234, 364_527),
+]
+_CMS_SQL_ROWS = ", ".join(f"({i}, {a}, {b})" for i, a, b in _CMS_ROWS)
+
+
+@query(
+    "agg_count_min_sketch",
+    oracle=f"""
+    WITH h(i, a, b) AS (VALUES {_CMS_SQL_ROWS}),
+    sketch AS (
+      SELECT h.i,
+             ((e.user_id * h.a + h.b) % {_CMS_P}) % {_CMS_W} AS bucket,
+             COUNT(*) AS cnt
+      FROM events e CROSS JOIN h
+      GROUP BY 1, 2
+    ),
+    keys AS (
+      SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY user_id
+    ),
+    probe AS (
+      SELECT k.user_id, MIN(s.cnt) AS est_count
+      FROM keys k
+      CROSS JOIN h
+      JOIN sketch s
+        ON s.i = h.i
+       AND s.bucket = ((k.user_id * h.a + h.b) % {_CMS_P}) % {_CMS_W}
+      GROUP BY 1
+    )
+    SELECT k.user_id, p.est_count, k.exact_count
+    FROM keys k JOIN probe p USING (user_id)
+    ORDER BY p.est_count DESC, k.user_id
+    LIMIT 20
+    """,
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch: heavy-hitter frequency estimation in bounded
+    memory — the streaming/telemetry primitive for "top talkers" over
+    data too large to count exactly per key.
+
+    Build: each event votes into d=3 hash rows × W=4096 buckets; the
+    groupBy is map-side combinable, so every partition contributes at
+    most d·W partial rows regardless of row count — at 100 TB the
+    shuffle moves ~12K rows per partition, never the events. Probe:
+    the sketch (≤ d·W rows, data-volume-independent) is broadcast and
+    each key's estimate is the MIN over its d buckets; estimates are
+    biased up only (collisions add), never down. The output returns the
+    top-20 estimated-heaviest users with exact counts alongside; with
+    |keys| ≪ d·W the estimate equals the exact count, making the whole
+    pipeline value-checkable — the sketch arithmetic (not a tolerance
+    band) is what the oracle replicates.
+    """
+    ev = table(spark, sf_dir, "events")
+    hashes = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for i, a, b in _CMS_ROWS
+        ]
+    )
+
+    def bucket(key: Column, h: Column) -> Column:
+        return F.pmod(F.pmod(key * h["a"] + h["b"], F.lit(_CMS_P)), F.lit(_CMS_W))
+
+    votes = ev.select(
+        "user_id", F.explode(hashes).alias("h")
+    ).select(F.col("h.i").alias("i"), bucket(F.col("user_id"), F.col("h")).alias("bucket"))
+    sketch = votes.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+    keys = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    probes = keys.select(
+        "user_id", "exact_count", F.explode(hashes).alias("h")
+    ).select(
+        "user_id",
+        "exact_count",
+        F.col("h.i").alias("i"),
+        bucket(F.col("user_id"), F.col("h")).alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("est_count"), F.first("exact_count").alias("exact_count"))
+    )
+    return (
+        est.orderBy(F.desc("est_count"), F.asc("user_id"))
+        .limit(20)
+        .select("user_id", "est_count", "exact_count")
+    )
+
+
+@query(
+    "agg_mode_median",
+    oracle="""
+    WITH per_user AS (
+      SELECT event_type, user_id, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    modes AS (
+      SELECT event_type, user_id AS mode_user, cnt AS mode_count,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, user_id ASC) AS rn
+      FROM per_user
+    )
+    SELECT m.event_type, m.mode_user, m.mode_count,
+           (CAST(floor(med.med * 100) AS DOUBLE) / 100) AS median_value
+    FROM modes m
+    JOIN (SELECT event_type, MEDIAN(value) AS med FROM events GROUP BY 1) med
+      USING (event_type)
+    WHERE m.rn = 1
+    """,
+)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode + median per group: the most frequent user per event type
+    (deterministic tie-break) and the exact median event value.
+
+    Mode is computed as a two-stage aggregation — count per (type,
+    user), then top-1 per type over the already-aggregated table —
+    rather than a sort of the raw events: the first groupBy map-side
+    combines, so the window only ever ranks |types|·|users| rows, not
+    row count. Median uses Spark's exact ``median`` (sort-based within
+    the hash-agg buffer); at 100 TB you'd swap ``approx_percentile``
+    in, which is the same expression shape.
+    """
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("cnt"), F.asc("user_id")
+    )
+    modes = (
+        per_user.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("user_id").alias("mode_user"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+    med = ev.groupBy("event_type").agg(
+        trunc_digits(F.median("value"), 2).alias("median_value")
+    )
+    return modes.join(med, "event_type").select(
+        "event_type", "mode_user", "mode_count", "median_value"
+    )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_distinct
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'ALL', COUNT(DISTINCT o_custkey) FROM orders
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregation — the scalable
+    alternative to COUNT(DISTINCT) when approximation is unacceptable.
+
+    Keys are bucketed into 32K-bit bitmap segments
+    (``bitmap_bucket_number``/``bitmap_bit_position``); each
+    (group, bucket) aggregates to one bitmap — map-side combinable, so
+    the shuffle carries fixed-size bitmaps instead of raw key values —
+    then ``bitmap_count`` sums per group. Unlike HLL this is exact, and
+    unlike COUNT(DISTINCT) the dedup state is a bitmap OR (mergeable
+    across days/partitions without rescanning). The ALL row re-merges
+    the per-status bitmaps with ``bitmap_or_agg`` — distinct across
+    groups from sketch-state alone, never touching raw rows again.
+    """
+    o = table(spark, sf_dir, "orders")
+    per_bucket = o.groupBy(
+        "o_orderstatus",
+        F.expr("bitmap_bucket_number(o_custkey)").alias("bkt"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias("bm")
+    )
+    per_status = per_bucket.groupBy("o_orderstatus").agg(
+        F.expr("sum(bitmap_count(bm))").alias("n_distinct")
+    )
+    merged = (
+        per_bucket.groupBy("bkt")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .agg(F.expr("sum(bitmap_count(bm))").alias("n_distinct"))
+        .select(F.lit("ALL").alias("o_orderstatus"), "n_distinct")
+    )
+    return per_status.unionByName(merged)

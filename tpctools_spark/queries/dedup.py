@@ -1191,3 +1191,78 @@ def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         (F.col("doc_id") == F.col("rep_id")).alias("keep"),
     )
+
+
+@query(
+    "dedup_url_canonical",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.Example.com'
+                   ELSE 'https://www.example.com' END)
+             || '/p/' || (doc_id % 400)
+             || (CASE WHEN doc_id % 3 = 0
+                      THEN '?utm_source=feed&id=' || (doc_id % 5)
+                      ELSE '?id=' || (doc_id % 5) END)
+             || (CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END) AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             'https://'
+               || lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1))
+               || regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)
+               || '?id=' || regexp_extract(url, '[?&]id=([^&#]*)', 1)
+               AS canonical_url
+      FROM raw
+    )
+    SELECT canonical_url, MIN(doc_id) AS keep_doc_id,
+           COUNT(*) - 1 AS n_dups
+    FROM canon
+    GROUP BY 1
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup: normalize scheme/host case, strip
+    tracking params (utm_*) and fragments, then collapse to one doc per
+    canonical URL (lowest id kept).
+
+    The cheapest dedup pass in a web pipeline — it runs before any
+    content hashing and removes the recrawl/tracking-variant bulk for
+    the cost of one string projection + one groupBy on the canonical
+    key (map-side combinable; the shuffle carries canonical URLs, not
+    documents). Canonicalization is ``parse_url`` component reassembly
+    — host lowercased, only the meaningful ``id`` param kept — all
+    codegen'd JVM string ops. URLs are constructed deterministically
+    from fixture columns (case noise, utm junk, and fragments planted
+    by doc_id residue) so DuckDB's regex-based twin sees identical
+    bytes.
+    """
+    d = table(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://WWW.Example.com"))
+            .otherwise(F.lit("https://www.example.com")),
+            F.lit("/p/"), (F.col("doc_id") % 400).cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("?utm_source=feed&id="), (F.col("doc_id") % 5).cast("string")),
+            ).otherwise(F.concat(F.lit("?id="), (F.col("doc_id") % 5).cast("string"))),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    canon = raw.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.lower(F.parse_url("url", F.lit("HOST"))),
+            F.parse_url("url", F.lit("PATH")),
+            F.lit("?id="),
+            F.parse_url("url", F.lit("QUERY"), F.lit("id")),
+        ).alias("canonical_url"),
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        (F.count(F.lit(1)) - 1).alias("n_dups"),
+    )

@@ -462,3 +462,68 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         trigrams.select("path", "n", F.row_number().over(rk).alias("rk"))
         .filter(F.col("rk") <= 20)
     )
+
+
+@query(
+    "events_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    grouped AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INTEGER) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, COUNT(*) AS streak_len, MIN(day) AS streak_start
+      FROM grouped GROUP BY user_id, grp
+    ),
+    best AS (
+      SELECT user_id, streak_len, streak_start,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY streak_len DESC, streak_start ASC) AS rn
+      FROM streaks
+    )
+    SELECT user_id, streak_len AS longest_streak,
+           CAST(streak_start AS VARCHAR) AS streak_start
+    FROM best WHERE rn = 1
+    """,
+)
+def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands pattern (day minus dense row number is constant
+    within a run of consecutive days), the standard engagement metric.
+
+    Distinct (user, day) first — map-side combinable, collapses the
+    event volume to at most users × days rows before any window — then
+    one partitioned window and two group-bys, all sharing the user_id
+    partitioning (single exchange; the window and both aggregations
+    reuse it). No self-join, no iteration: O(n log n) per user
+    partition at any scale.
+    """
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grouped = days.withColumn(
+        "grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = grouped.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.min("day").alias("streak_start"),
+    )
+    best = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_len"), F.asc("streak_start")
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("streak_len").alias("longest_streak"),
+            F.col("streak_start").cast("string").alias("streak_start"),
+        )
+    )

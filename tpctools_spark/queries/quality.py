@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from tpctools_spark.catalog import table
 from tpctools_spark.queries.scans import _scratch_dir
+from tpctools_spark.queries._util import trunc_digits
 from tpctools_spark.registry import query
 
 _LANGS = ("en", "de", "es", "fr", "zh")
@@ -235,5 +236,59 @@ def quality_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
             lo.alias("fence_lo"),
             hi.alias("fence_hi"),
+        )
+    )
+
+
+@query(
+    "quality_benford_digits",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+      SELECT d, COUNT(*) AS n FROM digits GROUP BY d
+    ),
+    tot AS (SELECT SUM(n) AS total FROM obs)
+    SELECT obs.d AS leading_digit, obs.n AS n_values,
+           (CAST(floor(CAST(obs.n AS DOUBLE) / tot.total * 10000) AS DOUBLE) / 10000)
+             AS observed_p,
+           (CAST(floor(log10(1.0 + 1.0 / obs.d) * 10000) AS DOUBLE) / 10000)
+             AS benford_p
+    FROM obs CROSS JOIN tot
+    """,
+)
+def quality_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen: leading-digit distribution of order totals
+    vs the log10(1+1/d) expectation — the classic fabricated-or-
+    corrupted-numeric detector for ingested financial/metric columns.
+
+    One projection (leading digit via string head of the integer part)
+    + one 9-group aggregate; the total arrives as a one-row broadcast
+    cross join, so the whole screen is two map-side-combinable passes
+    regardless of table size. Output pairs observed vs expected
+    probability per digit (4-decimal truncation, cross-engine safe).
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        ).cast("bigint").alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("leading_digit"),
+            F.col("n").alias("n_values"),
+            trunc_digits(F.col("n").cast("double") / F.col("total"), 4).alias(
+                "observed_p"
+            ),
+            trunc_digits(
+                F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d")), 4
+            ).alias("benford_p"),
         )
     )

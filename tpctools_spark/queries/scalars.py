@@ -298,3 +298,56 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 8).alias("key_shr"),
         F.bit_count(k).alias("key_bits"),
     )
+
+
+@query(
+    "scalar_url_parse",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id, lang, source,
+             'https://' || source || '.example.com/' || lang || '/doc-'
+               || doc_id || '?id=' || (doc_id % 7)
+               || '&utm_source=feed#s-' || (doc_id % 3) AS url
+      FROM documents
+    )
+    SELECT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]id=([^&#]*)', 1) AS qid,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc
+    FROM urls
+    GROUP BY 1, 2, 3
+    """,
+)
+def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition: host / path / query-param extraction, grouped
+    by (host, path, param) — the first step of any web-corpus pipeline
+    (domain-level stats, per-site quota, crawl dedup).
+
+    Uses Spark's codegen'd ``parse_url`` (the Hive-compatible URL
+    parser) — no Python in the row path. The URLs are constructed
+    deterministically from fixture columns so the oracle sees byte-
+    identical inputs; DuckDB lacks parse_url, so its twin decomposes
+    with the equivalent anchored regexes.
+    """
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/doc-"), F.col("doc_id").cast("string"),
+        F.lit("?id="), (F.col("doc_id") % 7).cast("string"),
+        F.lit("&utm_source=feed#s-"), (F.col("doc_id") % 3).cast("string"),
+    )
+    return (
+        d.select("doc_id", url.alias("url"))
+        .select(
+            "doc_id",
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            F.parse_url("url", F.lit("PATH")).alias("path"),
+            F.parse_url("url", F.lit("QUERY"), F.lit("id")).alias("qid"),
+        )
+        .groupBy("host", "path", "qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+    )

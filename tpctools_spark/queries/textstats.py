@@ -423,3 +423,59 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 3)
     )
+
+
+@query(
+    "text_zipf_slope",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    freqs AS (
+      SELECT word, COUNT(*) AS freq FROM words
+      WHERE word <> '' GROUP BY word
+    ),
+    ranked AS (
+      SELECT word, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, word ASC) AS rank
+      FROM freqs
+    )
+    SELECT COUNT(*) AS n_terms,
+           (CAST(floor(regr_slope(ln(freq), ln(rank)) * 10000) AS DOUBLE) / 10000)
+             AS zipf_slope,
+           (CAST(floor(regr_r2(ln(freq), ln(rank)) * 10000) AS DOUBLE) / 10000)
+             AS fit_r2
+    FROM ranked
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level Zipf fit: regress log-frequency on log-rank over the
+    vocabulary — natural text follows slope ≈ −1, so a corpus whose
+    slope drifts far from it (template spam: too flat; boilerplate
+    dups: too steep) fails the health check. A standard one-number
+    screen on web-scale training corpora.
+
+    Term counting map-side combines; ranking is one window over the
+    vocabulary (corpus-size-independent); the regression is a single
+    ``regr_slope``/``regr_r2`` aggregate — no driver-side math. Output
+    truncated to 4 decimals (cross-engine float contract).
+    """
+    d = table(spark, sf_dir, "documents")
+    freqs = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    from pyspark.sql.window import Window
+
+    ranked = freqs.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("word"))),
+    )
+    lf, lr = F.log("freq"), F.log("rank")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        trunc_digits(F.regr_slope(lf, lr), 4).alias("zipf_slope"),
+        trunc_digits(F.regr_r2(lf, lr), 4).alias("fit_r2"),
+    )
