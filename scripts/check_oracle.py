@@ -14,6 +14,7 @@ Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -80,9 +81,32 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
-    from tpctools_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    if os.environ.get("ORACLE_HOSTILE"):
+        # Driver-emulation mode: a PLAIN Spark 4 session — ANSI on,
+        # NTZ parquet inference on, non-UTC host timezone — the exact
+        # environment the external correctness driver runs queries in.
+        # get_spark()'s forgiving confs can mask bugs (int32 overflow
+        # wraps instead of erroring, NTZ never appears); this mode
+        # surfaces them.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master(
+                f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+            )
+            .appName("oracle-check-hostile")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.ansi.enabled", "true")
+            .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.driver.memory", "16g")
+            .getOrCreate()
+        )
+    else:
+        from tpctools_spark.session import get_spark
+
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

@@ -36,4 +36,5 @@ from tpctools_spark.queries import (  # noqa: F401
     reshape,
     quality,
     mining,
+    graph,
 )
