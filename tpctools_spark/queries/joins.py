@@ -314,3 +314,59 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("c_custkey").alias("min_custkey"),
         )
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_id, user_id, ts, event_type,
+             LAST_VALUE(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS err_id,
+             LAST_VALUE(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS err_ts
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CASE WHEN err_ts >= ts - INTERVAL 1 HOUR THEN err_id END AS asof_error_id,
+           CASE WHEN err_ts >= ts - INTERVAL 1 HOUR THEN
+             (epoch_us(ts) - epoch_us(err_ts)) // 1000000 END AS lag_seconds
+    FROM ordered WHERE event_type = 'purchase'
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match tolerance: the most recent error before
+    each purchase, but only if it happened within the last hour —
+    otherwise NULL. The pandas ``merge_asof(tolerance=...)`` /
+    kdb ``wj`` semantics, the shape market-data and telemetry
+    pipelines actually need (a stale quote must NOT join).
+
+    Same union+window formulation as ``join_asof_event`` — one shuffle
+    on user_id, carry BOTH the candidate's id and its timestamp
+    forward, then apply the tolerance as a post-window filter. Still
+    O(n log n); the tolerance costs one comparison, not a range join.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_err = F.col("event_type") == "error"
+    carried = ev.withColumn(
+        "err_id", F.last(F.when(is_err, F.col("event_id")), ignorenulls=True).over(w)
+    ).withColumn(
+        "err_ts", F.last(F.when(is_err, F.col("ts")), ignorenulls=True).over(w)
+    )
+    in_tol = F.col("err_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return carried.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.when(in_tol, F.col("err_id")).alias("asof_error_id"),
+        F.when(
+            in_tol,
+            F.expr("(unix_micros(ts) - unix_micros(err_ts)) div 1000000"),
+        ).alias("lag_seconds"),
+    )

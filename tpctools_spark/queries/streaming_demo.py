@@ -481,3 +481,86 @@ def stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _psi_from_counts(batch.select("event_type").distinct(), bc)
 
+
+
+@query(
+    "stream_heavy_hitters",
+    oracle="""
+    WITH h(i, a, b) AS (VALUES (0, 654435747, 283521),
+                               (1, 308871487, 324024),
+                               (2, 963307234, 364527)),
+    sketch AS (
+      SELECT h.i,
+             ((e.user_id * h.a + h.b) % 1000000007) % 4096 AS bucket,
+             COUNT(*) AS cnt
+      FROM events e CROSS JOIN h
+      GROUP BY 1, 2
+    ),
+    keys AS (
+      SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY user_id
+    ),
+    probe AS (
+      SELECT k.user_id, MIN(s.cnt) AS est_count
+      FROM keys k CROSS JOIN h
+      JOIN sketch s
+        ON s.i = h.i
+       AND s.bucket = ((k.user_id * h.a + h.b) % 1000000007) % 4096
+      GROUP BY 1
+    )
+    SELECT user_id, est_count
+    FROM probe
+    ORDER BY est_count DESC, user_id
+    LIMIT 20
+    """,
+)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-talkers: the count-min sketch maintained AS
+    STREAMING STATE — the sketch's (row, bucket) counts are a running
+    aggregation over the event stream, bounded at d·W rows forever no
+    matter the stream rate (contrast with per-key counting, whose state
+    grows with cardinality).
+
+    The drained sketch is then probed batch-side for the top-20
+    estimated-heaviest users. Same hash family as
+    ``agg_count_min_sketch`` (aggregates.py), so the streaming and
+    batch sketches are value-identical — that equivalence is what the
+    oracle checks end-to-end.
+    """
+    from tpctools_spark.queries.aggregates import _CMS_P, _CMS_ROWS, _CMS_W
+    from tpctools_spark.catalog import table as _table
+
+    ev = _stream_events(spark, sf_dir)
+    hashes = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for i, a, b in _CMS_ROWS
+        ]
+    )
+    votes = ev.select("user_id", F.explode(hashes).alias("h")).select(
+        F.col("h.i").alias("i"),
+        F.pmod(
+            F.pmod(F.col("user_id") * F.col("h.a") + F.col("h.b"), F.lit(_CMS_P)),
+            F.lit(_CMS_W),
+        ).alias("bucket"),
+    )
+    sketch_stream = votes.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    sketch = _drain_to_memory(sketch_stream, "complete")
+
+    keys = (
+        _table(spark, sf_dir, "events").select("user_id").distinct()
+    )
+    probes = keys.select("user_id", F.explode(hashes).alias("h")).select(
+        "user_id",
+        F.col("h.i").alias("i"),
+        F.pmod(
+            F.pmod(F.col("user_id") * F.col("h.a") + F.col("h.b"), F.lit(_CMS_P)),
+            F.lit(_CMS_W),
+        ).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("est_count"))
+        .orderBy(F.desc("est_count"), F.asc("user_id"))
+        .limit(20)
+    )

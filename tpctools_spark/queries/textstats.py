@@ -479,3 +479,97 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc_digits(F.regr_slope(lf, lr), 4).alias("zipf_slope"),
         trunc_digits(F.regr_r2(lf, lr), 4).alias("fit_r2"),
     )
+
+
+@query(
+    "text_rake_keyphrases",
+    oracle="""
+    WITH phrases AS (
+      SELECT DISTINCT trim(p) AS phrase
+      FROM (
+        SELECT unnest(string_split(
+                 regexp_replace(lower(trim(text)), '\\b(a|the)\\b', '|', 'g'),
+                 '|')) AS p
+        FROM documents
+      ) WHERE trim(p) <> ''
+    ),
+    occurrences AS (
+      SELECT trim(p) AS phrase
+      FROM (
+        SELECT unnest(string_split(
+                 regexp_replace(lower(trim(text)), '\\b(a|the)\\b', '|', 'g'),
+                 '|')) AS p
+        FROM documents
+      ) WHERE trim(p) <> ''
+    ),
+    words AS (
+      SELECT phrase, unnest(string_split(phrase, ' ')) AS word,
+             len(string_split(phrase, ' ')) AS plen
+      FROM occurrences
+    ),
+    stats AS (
+      SELECT word, COUNT(*) AS freq, SUM(plen) AS deg
+      FROM words WHERE word <> '' GROUP BY word
+    ),
+    scored AS (
+      SELECT p.phrase,
+             SUM((1000000 * s.deg) // s.freq) AS score_ppm
+      FROM phrases p,
+           unnest(string_split(p.phrase, ' ')) AS u(word)
+      JOIN stats s ON s.word = u.word
+      WHERE u.word <> ''
+      GROUP BY p.phrase
+    )
+    SELECT phrase, CAST(score_ppm AS BIGINT) AS score_ppm
+    FROM scored
+    ORDER BY score_ppm DESC, phrase ASC
+    LIMIT 15
+    """,
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction: split documents into candidate
+    phrases at stopword boundaries, score each word by
+    degree/frequency over the whole corpus, rank phrases by the sum of
+    their word scores — the classic unsupervised keyphrase extractor.
+
+    All set-level aggregations: phrase splitting is one codegen'd
+    regexp projection; word stats (freq, degree = Σ phrase length over
+    occurrences) map-side combine; phrase scores join the corpus-wide
+    word-stat table (vocabulary-sized — broadcast) back to the distinct
+    phrase list. Scores are integers (ppm units, floor division) so the
+    ranking is bit-identical in both engines — no float accumulation
+    across the word sum.
+    """
+    d = table(spark, sf_dir, "documents")
+    split_expr = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\b(a|the)\b", "|"),
+        r"\|",
+    )
+    occ = (
+        d.select(F.explode(split_expr).alias("p"))
+        .select(F.trim("p").alias("phrase"))
+        .filter(F.col("phrase") != "")
+    )
+    words = occ.select(
+        "phrase",
+        F.explode(F.split("phrase", " ")).alias("word"),
+        F.size(F.split("phrase", " ")).alias("plen"),
+    ).filter(F.col("word") != "")
+    stats = words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    phrase_words = (
+        occ.distinct()
+        .select("phrase", F.explode(F.split("phrase", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    scored = (
+        phrase_words.join(F.broadcast(stats), "word")
+        .groupBy("phrase")
+        .agg(F.sum(F.expr("(1000000 * deg) div freq")).alias("score_ppm"))
+    )
+    return (
+        scored.orderBy(F.desc("score_ppm"), F.asc("phrase"))
+        .limit(15)
+        .select("phrase", "score_ppm")
+    )
