@@ -80,6 +80,16 @@ HEADLINE = [
     "layout_zorder_address",
     "join_bloom_pruned",
     "join_dpp_partitioned",
+    # Round-6 group: sketches, graph, URL/keyphrase text ops, tolerance
+    # as-of — the new operator families added this round.
+    "agg_count_min_sketch",
+    "agg_bitmap_distinct",
+    "graph_pagerank_power",
+    "graph_triangle_count",
+    "events_streaks",
+    "text_rake_keyphrases",
+    "join_asof_tolerance",
+    "dedup_url_canonical",
 ]
 
 # Driver-facing compact line keys: the stdout tail capture is ~2000
