@@ -380,3 +380,115 @@ def pipeline_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_token_freq"
         ),
     )
+
+
+@query(
+    "pipeline_filter_cascade",
+    oracle="""
+    WITH staged AS (
+      SELECT doc_id,
+             (n_chars >= 50)                                   AS pass_len,
+             (lang IN ('en', 'de', 'fr'))                      AS pass_lang,
+             (len(string_split(text, ' ')) >= 20)              AS pass_tokens,
+             (len(string_split(text, ' ')) > 0 AND
+              CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                / len(string_split(text, ' ')) >= 0.10)        AS pass_diversity
+      FROM documents
+    )
+    SELECT COUNT(*)                                            AS n_input,
+           COUNT(*) FILTER (pass_len)                          AS after_len,
+           COUNT(*) FILTER (pass_len AND pass_lang)            AS after_lang,
+           COUNT(*) FILTER (pass_len AND pass_lang AND pass_tokens)
+                                                               AS after_tokens,
+           COUNT(*) FILTER (pass_len AND pass_lang AND pass_tokens
+                            AND pass_diversity)                AS after_diversity
+    FROM staged
+    """,
+)
+def pipeline_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter cascade with per-stage attrition counts — the
+    C4/Gopher-style corpus cleaning funnel (length gate → language gate
+    → token-count gate → lexical-diversity gate), reported as survivor
+    counts per stage so each rule's cost is visible before committing
+    to it.
+
+    ONE scan, one row out: every gate is a boolean projection and the
+    funnel is conditional counting in a single aggregate — no
+    per-stage passes, no shuffle beyond the one-row final agg. This is
+    the cheap observability layer a 100 TB cleaning job runs FIRST
+    (rule tuning on counts), before materializing any filtered copy.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    staged = d.select(
+        (F.col("n_chars") >= 50).alias("pass_len"),
+        F.col("lang").isin("en", "de", "fr").alias("pass_lang"),
+        (F.size(words) >= 20).alias("pass_tokens"),
+        (
+            (F.size(words) > 0)
+            & (
+                F.size(F.array_distinct(words)).cast("double") / F.size(words)
+                >= 0.10
+            )
+        ).alias("pass_diversity"),
+    )
+    cnt = lambda c: F.count_if(c)  # noqa: E731
+    p1 = F.col("pass_len")
+    p2 = p1 & F.col("pass_lang")
+    p3 = p2 & F.col("pass_tokens")
+    p4 = p3 & F.col("pass_diversity")
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        cnt(p1).alias("after_len"),
+        cnt(p2).alias("after_lang"),
+        cnt(p3).alias("after_tokens"),
+        cnt(p4).alias("after_diversity"),
+    )
+
+
+@query(
+    "pipeline_deterministic_shuffle",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id,
+             ((doc_id * 654435747 + 104729) % 1000000007) % 100000 AS shard_key
+      FROM documents
+    )
+    SELECT doc_id, shard_key,
+           ROW_NUMBER() OVER (ORDER BY shard_key, doc_id) AS shuffle_pos
+    FROM hashed
+    ORDER BY shuffle_pos
+    LIMIT 500
+    """,
+)
+def pipeline_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering: every
+    doc gets a pseudo-random but reproducible position — same corpus,
+    same order, any cluster size, no RNG state to checkpoint.
+
+    The shard key is the arithmetic multiplicative hash (same family as
+    the LSH/SimHash/CMS ops), so the permutation is a pure function of
+    doc_id. At 100 TB you stop at ``repartitionByRange(shard_key,
+    doc_id)`` + per-file local sort (each output shard is internally
+    ordered; readers stream shards in any order) — the global
+    ROW_NUMBER here exists to value-check the full permutation, and its
+    single-partition window is the one piece you'd drop at scale
+    (documented, not hidden). Output limited to the first 500 positions.
+    """
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id",
+        (
+            F.pmod(F.col("doc_id") * 654_435_747 + 104_729, F.lit(1_000_000_007))
+            % 100_000
+        ).alias("shard_key"),
+    )
+    return (
+        hashed.withColumn(
+            "shuffle_pos", F.row_number().over(Window.orderBy("shard_key", "doc_id"))
+        )
+        .orderBy("shuffle_pos")
+        .limit(500)
+    )
