@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tpctools_spark.catalog import table
-from tpctools_spark.queries._util import money
+from tpctools_spark.queries._util import money, trunc_digits
 from tpctools_spark.registry import query
 
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
@@ -526,4 +526,159 @@ def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("streak_len").alias("longest_streak"),
             F.col("streak_start").cast("string").alias("streak_start"),
         )
+    )
+
+
+@query(
+    "events_funnel_window",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > c.t_click AND e.ts <= c.t_click + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT
+      CASE WHEN p.user_id IS NOT NULL THEN 3
+           WHEN c.user_id IS NOT NULL THEN 2
+           ELSE 1 END AS funnel_depth,
+      COUNT(*) AS n_users
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    GROUP BY 1
+    """,
+)
+def events_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed conversion funnel (windowFunnel semantics): view → click
+    within 24 h → purchase within 24 h of that click; users counted
+    at their deepest reached stage. Unlike ``events_funnel`` the steps
+    must happen within a conversion window of the PREVIOUS step (24 h here — sized so the sparse fixture populates every stage), not
+    just in order — the attribution metric product analytics actually
+    reports.
+
+    Each stage is one conditional MIN aggregation joined against the
+    previous stage's anchor time — three aggs and two joins, all keyed
+    on user_id, so the whole funnel runs inside one partitioning (no
+    per-user sort, no sequential scan). Stage tables only shrink, so
+    later joins get cheaper; at 100 TB each stage's anchor table is a
+    fraction of users and broadcast-eligible once small enough.
+    """
+    ev = table(spark, sf_dir, "events")
+    win = F.expr("INTERVAL 24 HOURS")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view")) & (F.col("ts") <= F.col("t_view") + win)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click")) & (F.col("ts") <= F.col("t_click") + win)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    depth = (
+        v.join(c.select("user_id", F.lit(1).alias("has_c")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("has_p")), "user_id", "left")
+        .select(
+            F.when(F.col("has_p").isNotNull(), F.lit(3))
+            .when(F.col("has_c").isNotNull(), F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("funnel_depth")
+        )
+    )
+    return depth.groupBy("funnel_depth").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "events_ab_ttest",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n, sx / n AS mean,
+             (sxx - sx * sx / n) / (n - 1) AS var
+      FROM stats
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           (CAST(floor(a.mean * 10000) AS DOUBLE) / 10000) AS mean_a,
+           (CAST(floor(b.mean * 10000) AS DOUBLE) / 10000) AS mean_b,
+           (CAST(floor(
+              (a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n) * 10000
+            ) AS DOUBLE) / 10000) AS welch_t
+    FROM m a JOIN m b ON a.event_type = 'click' AND b.event_type = 'purchase'
+    """,
+)
+def events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t statistic between two event cohorts (click vs purchase
+    values) — the A/B-test significance primitive, computed from
+    sufficient statistics only.
+
+    One scan → per-group (n, Σx, Σx²) — decimal sums so the moments are
+    order-exact across partitionings and engines — then the t statistic
+    is pure scalar math on a two-row table. This is THE pattern for
+    statistics at 100 TB: never a second pass for the variance, never a
+    driver-side collect of raw values; any test statistic derivable
+    from mergeable moments aggregates map-side.
+    """
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("sx"),
+        F.sum(dec * dec).cast("double").alias("sxx"),
+    )
+    m = stats.select(
+        "event_type",
+        "n",
+        (F.col("sx") / F.col("n")).alias("mean"),
+        (
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+    a = m.filter(F.col("event_type") == "click").alias("a")
+    b = m.filter(F.col("event_type") == "purchase").alias("b")
+    return a.crossJoin(b).select(
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        trunc_digits(F.col("a.mean"), 4).alias("mean_a"),
+        trunc_digits(F.col("b.mean"), 4).alias("mean_b"),
+        trunc_digits(
+            (F.col("a.mean") - F.col("b.mean"))
+            / F.sqrt(F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n")),
+            4,
+        ).alias("welch_t"),
     )

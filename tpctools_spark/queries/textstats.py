@@ -573,3 +573,61 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(15)
         .select("phrase", "score_ppm")
     )
+
+
+@query(
+    "text_novelty_ratio",
+    oracle="""
+    WITH grams AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                 range(1, greatest(len(w) - 1, 1)),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+              FROM documents)
+      ) WHERE gram IS NOT NULL
+    ),
+    first_seen AS (
+      SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram
+    )
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(*) FILTER (f.first_doc = g.doc_id) AS n_novel,
+           (CAST(floor(CAST(COUNT(*) FILTER (f.first_doc = g.doc_id) AS DOUBLE)
+                 / COUNT(*) * 10000) AS DOUBLE) / 10000) AS novelty
+    FROM grams g JOIN first_seen f USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def text_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's word-3-grams that
+    no earlier document (lower doc_id = earlier ingest) contains — the
+    marginal-contribution score used to prioritize which documents add
+    information to a training corpus vs merely repeating it.
+
+    Gram → first-seen-doc is one map-side-combinable MIN aggregation
+    over the (doc, gram) postings; the novelty fraction is the postings
+    re-joined to that table (vocabulary-keyed shuffle, AQE-splittable
+    on hot grams) and counted per doc. Reuses the same distinct-gram
+    shingling as the Jaccard family; no pairwise comparisons anywhere —
+    novelty is corpus-global but computed in two aggregate passes.
+    """
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    from tpctools_spark.queries.dedup import _shingles_rx
+
+    grams = (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(_shingles_rx())).alias("gram")
+        )
+    )
+    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    joined = grams.join(first_seen, "gram")
+    novel = F.count_if(F.col("first_doc") == F.col("doc_id"))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        novel.alias("n_novel"),
+        trunc_digits(novel.cast("double") / F.count(F.lit(1)), 4).alias("novelty"),
+    )
