@@ -176,3 +176,44 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
             yield out[[f.name for f in RESIZE_SCHEMA.fields]]
 
     return df.mapInPandas(run, RESIZE_SCHEMA)
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+PHASH_SLICES = 8
+
+
+def perceptual_hash(df: DataFrame) -> DataFrame:
+    """aHash-style perceptual fingerprint over the payload bytes.
+
+    The image near-dup pattern: downsample to a tiny grid, threshold
+    each cell against the global mean, pack bits. The stub "grid" is
+    PHASH_SLICES equal byte slices of the payload (a real build
+    decodes pixels first — same shape, same schema). Pure-int sums /
+    exact float division keep the bits reproducible in SQL.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                n = len(data)
+                if n == 0:
+                    out.append({"doc_id": doc_id, "phash": 0})
+                    continue
+                total_mean = sum(data) / n
+                h = 0
+                for j in range(PHASH_SLICES):
+                    s = data[j * n // PHASH_SLICES : (j + 1) * n // PHASH_SLICES]
+                    if s and sum(s) / len(s) > total_mean:
+                        h |= 1 << j
+                out.append({"doc_id": doc_id, "phash": h})
+            yield pd.DataFrame(out, columns=["doc_id", "phash"])
+
+    return df.mapInPandas(run, PHASH_SCHEMA)

@@ -163,3 +163,85 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("bigint").alias("length"),
         F.md5("content").alias("content_md5"),
     )
+
+
+_PHASH_ORACLE = """
+    WITH codes AS (
+      SELECT doc_id,
+             [unicode(c) for c in string_split_regex(text, '')] AS cs
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, cs, len(cs) AS n,
+             CAST(list_sum(cs) AS DOUBLE) / len(cs) AS tmean
+      FROM codes WHERE len(cs) > 0
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST((CASE WHEN (((1*n)//8) - ((0*n)//8)) > 0 AND CAST(list_sum(cs[((0*n)//8)+1:((1*n)//8)]) AS DOUBLE)/(((1*n)//8) - ((0*n)//8)) > tmean THEN 1 ELSE 0 END)
+             + (CASE WHEN (((2*n)//8) - ((1*n)//8)) > 0 AND CAST(list_sum(cs[((1*n)//8)+1:((2*n)//8)]) AS DOUBLE)/(((2*n)//8) - ((1*n)//8)) > tmean THEN 2 ELSE 0 END)
+             + (CASE WHEN (((3*n)//8) - ((2*n)//8)) > 0 AND CAST(list_sum(cs[((2*n)//8)+1:((3*n)//8)]) AS DOUBLE)/(((3*n)//8) - ((2*n)//8)) > tmean THEN 4 ELSE 0 END)
+             + (CASE WHEN (((4*n)//8) - ((3*n)//8)) > 0 AND CAST(list_sum(cs[((3*n)//8)+1:((4*n)//8)]) AS DOUBLE)/(((4*n)//8) - ((3*n)//8)) > tmean THEN 8 ELSE 0 END)
+             + (CASE WHEN (((5*n)//8) - ((4*n)//8)) > 0 AND CAST(list_sum(cs[((4*n)//8)+1:((5*n)//8)]) AS DOUBLE)/(((5*n)//8) - ((4*n)//8)) > tmean THEN 16 ELSE 0 END)
+             + (CASE WHEN (((6*n)//8) - ((5*n)//8)) > 0 AND CAST(list_sum(cs[((5*n)//8)+1:((6*n)//8)]) AS DOUBLE)/(((6*n)//8) - ((5*n)//8)) > tmean THEN 32 ELSE 0 END)
+             + (CASE WHEN (((7*n)//8) - ((6*n)//8)) > 0 AND CAST(list_sum(cs[((6*n)//8)+1:((7*n)//8)]) AS DOUBLE)/(((7*n)//8) - ((6*n)//8)) > tmean THEN 64 ELSE 0 END)
+             + (CASE WHEN (((8*n)//8) - ((7*n)//8)) > 0 AND CAST(list_sum(cs[((7*n)//8)+1:((8*n)//8)]) AS DOUBLE)/(((8*n)//8) - ((7*n)//8)) > tmean THEN 128 ELSE 0 END) AS BIGINT) AS phash
+      FROM base
+      UNION ALL
+      SELECT doc_id, CAST(0 AS BIGINT) FROM codes WHERE len(cs) = 0
+    )
+    SELECT phash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+    FROM hashed GROUP BY phash
+"""
+
+
+@query("multimodal_phash_dedup", oracle=_PHASH_ORACLE)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup bucketing over binary payloads: aHash
+    fingerprints (slice-mean threshold bits, packed) computed in an
+    Arrow-batched ``mapInPandas`` stage, then bucket dedup by hash —
+    the image-dedup pipeline shape (decode → tiny-grid hash → bucket
+    join), with the codec stubbed as byte slices (multimodal.py).
+
+    The hash stage is embarrassingly parallel and emits 8 bytes per
+    media row; the dedup groupBy shuffles hashes, never payloads. The
+    oracle rebuilds the identical bits from code points (ASCII payload
+    => code point == byte), so the whole binary pipeline is
+    value-checked, not rows-only.
+    """
+    from tpctools_spark.multimodal import perceptual_hash
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    hashed = perceptual_hash(docs)
+    return hashed.groupBy("phash").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id, 'text/plain' AS media_type,
+           CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
+           substring(sha256(text || '64x64'), 1, 16) AS payload_out
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/transcode plumbing: 1:1 Arrow-batched payload transform
+    with decoder-owned geometry (stub codec emits the digest a real
+    resample would transform; multimodal.resize_media). One narrow
+    mapInPandas stage, no shuffle — the bytes cross the Python
+    boundary once per batch.
+    """
+    from tpctools_spark.multimodal import resize_media
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+    )
+    return resize_media(docs, 64, 64)
