@@ -351,3 +351,50 @@ def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc"),
         )
     )
+
+
+@query(
+    "scalar_try_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN (o_orderkey - 7) % 50 = 0 THEN NULL
+                ELSE o_totalprice / ((o_orderkey - 7) % 50) END AS safe_ratio,
+           TRY_CAST(CASE WHEN o_orderkey % 11 = 0 THEN 'oops'
+                         ELSE CAST(o_custkey AS VARCHAR) END AS BIGINT)
+             AS parsed_key,
+           CASE WHEN o_orderkey % 2 = 0
+                THEN NULL
+                ELSE o_orderkey * 2 END AS guarded_double
+    FROM orders
+    WHERE o_orderkey <= 2000
+    """,
+)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant scalar surface: ``try_divide`` / ``try_cast`` /
+    ``try_multiply`` — NULL instead of a job-killing exception under
+    ANSI mode. The posture dirty-data pipelines need: Spark 4 ships
+    ANSI on by default, where a single divide-by-zero or bad cast in
+    100 TB aborts the stage unless the try_* family absorbs it.
+
+    Division by a planted zero, a planted unparseable key, and a
+    guarded multiply (NULL branch exercises try semantics without
+    overflow non-determinism). All codegen'd; the oracle mirrors with
+    CASE/TRY_CAST — NULLs land in identical rows.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.try_divide(
+            F.col("o_totalprice"), (F.col("o_orderkey") - 7) % 50
+        ).alias("safe_ratio"),
+        F.try_to_number(
+            F.when(F.col("o_orderkey") % 11 == 0, F.lit("oops")).otherwise(
+                F.col("o_custkey").cast("string")
+            ),
+            F.lit("999999999999"),
+        ).cast("bigint").alias("parsed_key"),
+        F.when(
+            F.col("o_orderkey") % 2 != 0,
+            F.try_multiply(F.col("o_orderkey"), F.lit(2)),
+        ).alias("guarded_double"),
+    )

@@ -311,3 +311,74 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_files = max(1, math.ceil(frag.count() / 100_000))
     frag.repartition(n_files).write.mode("overwrite").parquet(compact_path)
     return spark.read.parquet(compact_path)
+
+
+@query(
+    "scan_csv_quarantine",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id, n_chars FROM documents
+    )
+    SELECT
+      (SELECT COUNT(*) FROM src WHERE doc_id % 10 <> 3) AS n_clean,
+      (SELECT COUNT(*) FROM src WHERE doc_id % 10 = 3)  AS n_quarantined,
+      (SELECT CAST(SUM(n_chars) AS BIGINT) FROM src
+        WHERE doc_id % 10 <> 3)                          AS clean_chars
+    """,
+)
+def scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record quarantine scan: PERMISSIVE CSV parsing routes
+    rows that don't fit the schema into ``_corrupt_record`` instead of
+    failing the job — the ingestion posture for dirty data at scale
+    (one bad row in 100 TB must not kill the pipeline, and quarantined
+    rows must be countable/reprocessable, not silently dropped).
+
+    The fixture plants corruption deterministically (every doc_id
+    ending in 3 writes a non-numeric n_chars field), round-trips
+    through CSV, and reports clean/quarantined splits plus a checksum
+    over the clean rows. The corrupt-column pattern works identically
+    on a 1000-executor cluster: parsing is per-row, the quarantine
+    split is a filter, no driver involvement.
+    """
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out = _scratch_dir("quarantine")
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    dirty = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.when(F.col("doc_id") % 10 == 3, F.lit("corrupted!"))
+        .otherwise(F.col("n_chars").cast("string"))
+        .alias("n_chars"),
+    )
+    path = os.path.join(out, "dirty_csv")
+    dirty.write.mode("overwrite").option("header", "false").csv(path)
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_chars", LongType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()  # SPARK-21610: corrupt-record column needs the raw row retained
+    )
+    clean = back.filter(F.col("_corrupt_record").isNull())
+    bad = back.filter(F.col("_corrupt_record").isNotNull())
+    return (
+        clean.agg(
+            F.count(F.lit(1)).alias("n_clean"),
+            F.sum("n_chars").alias("clean_chars"),
+        )
+        .crossJoin(F.broadcast(bad.agg(F.count(F.lit(1)).alias("n_quarantined"))))
+        .select("n_clean", "n_quarantined", "clean_chars")
+    )
