@@ -87,3 +87,58 @@ def test_triangle_count_positive_and_stable(spark):
     )
     assert n1 > 0
     assert n1 == n2  # partitioning-invariant
+
+
+def test_funnel_window_no_per_user_sort(spark):
+    from tpctools_spark.registry import spark_queries
+
+    df = spark_queries()["events_funnel_window"](spark, SF)
+    plan = _plan(df)
+    # the timed funnel is chained conditional aggs — a Window/sort here
+    # would mean it regressed to a sequential per-user scan.
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_novelty_two_aggregate_passes(spark):
+    from tpctools_spark.registry import spark_queries
+
+    df = spark_queries()["text_novelty_ratio"](spark, SF)
+    plan = _plan(df)
+    # gram->first_doc agg + postings rejoin + per-doc agg: bounded
+    # exchange count, no cartesian anything.
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phash_shuffles_hashes_not_payloads(spark):
+    from tpctools_spark.registry import spark_queries
+
+    df = spark_queries()["multimodal_phash_dedup"](spark, SF)
+    plan = _plan(df)
+    assert "MapInPandas" in plan
+    # the dedup groupBy must aggregate AFTER the hash stage: the only
+    # exchange carries (phash, partial agg), never payload bytes.
+    after = plan.split("MapInPandas")[0]  # toString prints top-down
+    assert "Exchange" in after
+
+
+def test_try_arithmetic_stays_codegen(spark):
+    from tpctools_spark.registry import spark_queries
+
+    df = spark_queries()["scalar_try_arithmetic"](spark, SF)
+    plan = _plan(df)
+    # executedPlan().toString() marks codegen stages as "*(n)"
+    assert "*(1)" in plan
+    assert "Python" not in plan  # no UDF fallback
+    assert "PushedFilters: [IsNotNull(o_orderkey), LessThanOrEqual" in plan
+
+
+def test_asof_tolerance_single_exchange(spark):
+    from tpctools_spark.registry import spark_queries
+
+    df = spark_queries()["join_asof_tolerance"](spark, SF)
+    plan = _plan(df)
+    # union+window formulation: one hash exchange on user_id, no join.
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
