@@ -564,3 +564,14 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_count"), F.asc("user_id"))
         .limit(20)
     )
+
+
+# NOTE: Spark 4's transformWithStateInPandas (arbitrary-state v2, the
+# successor to applyInPandasWithState) is present in this PySpark build
+# but NON-FUNCTIONAL in this container: its state-server protocol
+# requires google.protobuf, which is not installed (verified: the TWS
+# driver worker crashes with ImportError on pyspark.sql.streaming.proto
+# at init). Custom stateful processing is therefore covered by
+# ``stream_custom_state_gap`` (applyInPandasWithState, fully supported);
+# a real deployment with protobuf swaps APIs without changing the
+# state-per-key design.
