@@ -370,3 +370,49 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(unix_micros(ts) - unix_micros(err_ts)) div 1000000"),
         ).alias("lag_seconds"),
     )
+
+
+@query(
+    "join_lateral_topn",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, t.acctbal
+    FROM nation n,
+         LATERAL (
+           SELECT c.c_custkey,
+                  (CAST(floor(c.c_acctbal * 100) AS DOUBLE) / 100) AS acctbal
+           FROM customer c
+           WHERE c.c_nationkey = n.n_nationkey
+           ORDER BY c.c_acctbal DESC, c.c_custkey
+           LIMIT 2
+         ) t
+    """,
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join: the top-2 customers by balance FOR EACH
+    nation — the "top-N per group via lateral subquery" SQL idiom.
+
+    Expressed through the raw-SQL surface (``spark.sql`` supports
+    LATERAL correlated subqueries since 3.2); Catalyst decorrelates the
+    LIMIT-per-group into a ranked window under the hood — the same
+    physical plan a hand-written row_number filter gets, so there is no
+    per-nation re-execution of the inner query (the naive lateral
+    interpretation, quadratic at scale). The fixture has 25 nations ×
+    customer table; at 100 TB the decorrelated window shuffles
+    customers once on the join key.
+    """
+    table(spark, sf_dir, "nation").createOrReplaceTempView("_lat_nation")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.acctbal
+        FROM _lat_nation n,
+             LATERAL (
+               SELECT c.c_custkey,
+                      CAST(floor(c.c_acctbal * 100) AS DOUBLE) / 100 AS acctbal
+               FROM _lat_customer c
+               WHERE c.c_nationkey = n.n_nationkey
+               ORDER BY c.c_acctbal DESC, c.c_custkey
+               LIMIT 2
+             ) t
+        """
+    )

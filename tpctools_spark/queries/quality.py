@@ -292,3 +292,59 @@ def quality_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("benford_p"),
         )
     )
+
+
+@query(
+    "quality_observe_metrics",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) FILTER (o_totalprice <= 0) AS n_nonpositive,
+           COUNT(*) FILTER (o_orderdate IS NULL) AS n_null_dates,
+           CAST(COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT)
+             AS n_urgent
+    FROM orders
+    """,
+)
+def quality_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-extra-pass data-quality counters via the Observation API:
+    metrics are accumulated DURING a job's normal scan (here a noop
+    write of the orders table), not by a second aggregation pass — at
+    100 TB this is the difference between free quality telemetry and
+    doubling the pipeline's I/O.
+
+    ``df.observe(...)`` attaches named aggregate expressions to the
+    plan; the listener delivers their values when the action completes.
+    The observed values come back as one bounded driver-side row
+    (the same bounded-state pattern as the k-means centroids) and are
+    re-emitted as a DataFrame so the oracle can value-check that
+    observation == a real aggregation pass.
+    """
+    from pyspark.sql import Observation
+
+    o = table(spark, sf_dir, "orders")
+    obs = Observation("quality")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("o_totalprice") <= 0).alias("n_nonpositive"),
+        F.count_if(F.col("o_orderdate").isNull()).alias("n_null_dates"),
+        # DISTINCT aggregates are rejected in observed metrics (they
+        # need an expand/shuffle; observation is map-side only) — use
+        # approx_count_distinct there; here a plain conditional count.
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+    )
+    # The "real work" the metrics piggyback on — a full pass that would
+    # run anyway (write, transform, etc.); noop keeps it I/O-free here.
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get  # blocks until the action above delivered the metrics
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_nonpositive"],
+                m["n_null_dates"],
+                m["n_urgent"],
+            )
+        ],
+        "n_rows BIGINT, n_nonpositive BIGINT, n_null_dates BIGINT, n_urgent BIGINT",
+    )

@@ -631,3 +631,61 @@ def text_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         novel.alias("n_novel"),
         trunc_digits(novel.cast("double") / F.count(F.lit(1)), 4).alias("novelty"),
     )
+
+
+@query(
+    "text_repetition_ratio",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, gram FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                 range(1, greatest(len(w) - 1, 1)),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+              FROM documents)
+      ) WHERE gram IS NOT NULL
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_grams,
+             COUNT(DISTINCT gram) AS n_distinct
+      FROM grams GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, n_distinct,
+           (CAST(floor(CAST(n_grams - n_distinct AS DOUBLE) / n_grams * 10000)
+                 AS DOUBLE) / 10000) AS rep_ratio,
+           (CAST(n_grams - n_distinct AS DOUBLE) / n_grams > 0.30) AS flag_repetitive
+    FROM per_doc
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: the fraction of a doc's word-3-grams
+    that are repeats of an earlier gram IN THE SAME DOC — the Gopher
+    repetition signal that catches keyword-stuffed spam and
+    generation-loop text, which length/stopword quality gates miss.
+
+    Unlike the corpus-level novelty/dedup family this needs no join at
+    all: occurrences and distinct counts aggregate per doc in one
+    exploded pass (count distinct is doc-local, so the expand stays
+    inside each doc's rows). Flag threshold 30% duplicated grams.
+    """
+    from tpctools_spark.queries.dedup import _shingles_rx
+
+    docs = table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(_shingles_rx()).alias("gram")
+    )
+    per_doc = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.countDistinct("gram").alias("n_distinct"),
+    )
+    dup_frac = (F.col("n_grams") - F.col("n_distinct")).cast("double") / F.col(
+        "n_grams"
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        trunc_digits(dup_frac, 4).alias("rep_ratio"),
+        (dup_frac > 0.30).alias("flag_repetitive"),
+    )
