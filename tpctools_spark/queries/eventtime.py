@@ -682,3 +682,66 @@ def events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("welch_t"),
     )
+
+
+@query(
+    "window_session_native",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             -- session_window is half-open [start, last+gap): an event at
+             -- exactly last+gap starts a NEW session, hence >= not >
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS session_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows via the NATIVE ``session_window`` aggregation —
+    Spark's built-in merging session operator (the same operator the
+    streaming engine uses), in batch mode: one groupBy, sessions merged
+    inside the aggregation, no window-function stack at all.
+
+    Contrast with ``window_session`` (the lag/running-sum formulation,
+    two stacked windows): the native operator needs only the groupBy
+    shuffle and merges overlapping [ts, ts+gap) intervals as aggregate
+    state — fewer sorts at scale, and the session END comes out as
+    last_event + gap by definition (mirrored in the oracle).
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(money(F.col("value"))).cast("double"), 2).alias(
+                "session_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
