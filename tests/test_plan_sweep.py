@@ -1,0 +1,87 @@
+"""Blanket physical-plan sweep over the WHOLE registry.
+
+Two invariants that must hold for every registered query, forever:
+
+1. No ``CartesianProduct`` anywhere — an unkeyed join of two
+   multi-row relations is never acceptable at scale.
+2. ``BroadcastNestedLoopJoin`` only where the build side is a
+   constant-size relation by construction (one-row aggregates, probe
+   vectors, scalar brackets, centroid sets) — the explicit allowlist
+   below. A new query that introduces a BNLJ must either justify
+   itself onto this list or re-shape into a keyed join.
+
+Planning-only (no jobs run): executedPlan().toString() forces physical
+planning but not execution, so the sweep covers ~260 queries in about
+a minute. Side-effecting queries (streams, sinks, bucketed-table
+builders) are skipped — their plan shapes are asserted by their own
+dedicated tests.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tpctools_spark.registry import spark_queries
+
+SF = "/root/testdata/sf0.001"
+
+# Queries whose construction writes/streams — covered by dedicated tests.
+_SIDE_EFFECTING_PREFIXES = (
+    "stream_",
+    "sink_",
+    "scan_csv",
+    "scan_json",
+    "scan_binary",
+    "scan_schema",
+    "corpus_upsert",
+    "join_bucketed",
+    "join_dpp_partitioned",
+    "join_bloom_pruned",
+    "join_range_bucketed",
+    "quality_observe",
+    "quality_expectations",
+    "generate_table",
+    "layout_zorder",
+    "sample_",
+    "reshape_",
+)
+
+# BNLJ is acceptable ONLY when the broadcast side is constant-size by
+# construction (one row, a probe vector, K centroids, scalar brackets).
+_BNLJ_ALLOWED = {
+    "agg_approx_topk",
+    "agg_hll_sketch_union",
+    "events_ab_ttest",
+    "graph_pagerank_power",
+    "mining_basket_lift",
+    "pipeline_mix_weights",
+    "quality_benford_digits",
+    "sim_cosine_topk",
+    "sim_cosine_topk_ivf",
+    "sim_cosine_topk_quantized",
+    "sim_knn_join",
+    "text_bigram_lm",
+    "tpcds_q14_cross_channel_intersect",
+    "tpcds_q23_frequent_best",
+    "tpcds_q9_quantity_brackets",
+    "tpch_q11_important_stock",
+    "tpch_q22_global_sales_opportunity",
+}
+
+_SWEPT = [
+    n
+    for n in sorted(spark_queries())
+    if not any(n.startswith(p) for p in _SIDE_EFFECTING_PREFIXES)
+]
+
+
+@pytest.mark.parametrize("name", _SWEPT)
+def test_no_cartesian_and_bnlj_allowlisted(spark, name):
+    df = spark_queries()[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian join"
+    if "BroadcastNestedLoopJoin" in plan:
+        assert name in _BNLJ_ALLOWED, (
+            f"{name}: new BroadcastNestedLoopJoin — constant-size build side? "
+            "add to allowlist with justification or re-shape to a keyed join"
+        )
