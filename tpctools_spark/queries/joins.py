@@ -416,3 +416,72 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) t
         """
     )
+
+
+@query(
+    "join_full_outer_reconcile",
+    oracle="""
+    WITH snap_a AS (
+      SELECT doc_id, n_chars FROM documents WHERE doc_id % 7 <> 0
+    ),
+    snap_b AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN n_chars + 10 ELSE n_chars END
+               AS n_chars
+      FROM documents WHERE doc_id % 11 <> 0
+    )
+    SELECT
+      CASE WHEN a.doc_id IS NULL THEN 'only_right'
+           WHEN b.doc_id IS NULL THEN 'only_left'
+           WHEN a.n_chars <> b.n_chars THEN 'changed'
+           ELSE 'unchanged' END AS recon_status,
+      COUNT(*) AS n_docs,
+      CAST(MIN(COALESCE(a.doc_id, b.doc_id)) AS BIGINT) AS min_doc
+    FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
+    GROUP BY 1
+    """,
+)
+def join_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-snapshot reconciliation via FULL OUTER join: classify every
+    key as only-left / only-right / changed / unchanged — the data-sync
+    diff that validates a migration or an incremental pipeline against
+    its source (deterministically planted drift: every 7th doc missing
+    left, every 11th missing right, every 5th mutated).
+
+    FULL OUTER cannot broadcast (both sides must surface their
+    unmatched rows), so this is the one join type that always
+    shuffle-joins on the key — worth demonstrating precisely because
+    the planner's usual broadcast escape hatch is off the table; the
+    classification is a post-join projection and the output is
+    status-grained, so the shuffle is the whole cost.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    a = d.filter(F.col("doc_id") % 7 != 0).alias("a")
+    b = (
+        d.filter(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 5 == 0, F.col("n_chars") + 10)
+            .otherwise(F.col("n_chars"))
+            .alias("n_chars"),
+        )
+        .alias("b")
+    )
+    joined = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+    status = (
+        F.when(F.col("a.doc_id").isNull(), F.lit("only_right"))
+        .when(F.col("b.doc_id").isNull(), F.lit("only_left"))
+        .when(F.col("a.n_chars") != F.col("b.n_chars"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            status.alias("recon_status"),
+            F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("key"),
+        )
+        .groupBy("recon_status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("key").alias("min_doc"),
+        )
+    )
