@@ -398,3 +398,60 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_multiply(F.col("o_orderkey"), F.lit(2)),
         ).alias("guarded_double"),
     )
+
+
+@query(
+    "scalar_variant_json",
+    oracle="""
+    WITH built AS (
+      SELECT doc_id,
+             '{"meta": {"lang": "' || lang || '", "src": "' || source
+               || '"}, "chars": ' || n_chars
+               || ', "tags": [' || (doc_id % 3) || ', ' || (doc_id % 7) || ']}'
+               AS js
+      FROM documents
+    )
+    SELECT json_extract_string(js, '$.meta.lang') AS lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(json_extract(js, '$.chars') AS BIGINT)) AS BIGINT)
+             AS total_chars,
+           CAST(SUM(CAST(json_extract(js, '$.tags[1]') AS BIGINT)) AS BIGINT)
+             AS tag_sum
+    FROM built
+    GROUP BY 1
+    """,
+)
+def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured data via the VARIANT type (Spark 4):
+    ``parse_json`` once into a binary variant column, then typed
+    ``variant_get`` path extraction — the engine's answer to JSON
+    columns at scale (parse once, extract many, ~order-of-magnitude
+    over re-parsing strings per access, and the parquet writer can
+    shred variants into columns).
+
+    JSON is constructed deterministically from fixture columns (nested
+    object + array), so DuckDB's string-JSON twin sees identical
+    documents; all extraction is codegen'd, zero Python.
+    """
+    d = table(spark, sf_dir, "documents")
+    js = F.concat(
+        F.lit('{"meta": {"lang": "'), F.col("lang"),
+        F.lit('", "src": "'), F.col("source"),
+        F.lit('"}, "chars": '), F.col("n_chars").cast("string"),
+        F.lit(', "tags": ['), (F.col("doc_id") % 3).cast("string"),
+        F.lit(", "), (F.col("doc_id") % 7).cast("string"), F.lit("]}"),
+    )
+    v = d.select(F.parse_json(js).alias("v"))
+    return (
+        v.select(
+            F.expr("variant_get(v, '$.meta.lang', 'string')").alias("lang"),
+            F.expr("variant_get(v, '$.chars', 'bigint')").alias("chars"),
+            F.expr("variant_get(v, '$.tags[1]', 'bigint')").alias("tag1"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("chars").alias("total_chars"),
+            F.sum("tag1").alias("tag_sum"),
+        )
+    )

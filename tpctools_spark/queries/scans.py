@@ -382,3 +382,56 @@ def scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(bad.agg(F.count(F.lit(1)).alias("n_quarantined"))))
         .select("n_clean", "n_quarantined", "clean_chars")
     )
+
+
+@query(
+    "scan_xml_typed",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def scan_xml_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed XML scan (Spark 4 native XML source): round-trip the
+    documents metadata through XML and read it back with an explicit
+    schema and rowTag — the enterprise-feed ingestion path, completing
+    the format matrix (csv / json / parquet / orc / text / binary /
+    xml).
+
+    The oracle aggregates the source table: the typed XML round trip
+    must be lossless. Explicit schema on read — like every scan in
+    this engine, no inference job.
+    """
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out = _scratch_dir("xml")
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = os.path.join(out, "docs_xml")
+    d.write.mode("overwrite").format("xml").option("rowTag", "doc").save(path)
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    back = (
+        spark.read.format("xml")
+        .schema(schema)
+        .option("rowTag", "doc")
+        .load(path)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+    )
