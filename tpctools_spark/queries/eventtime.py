@@ -745,3 +745,57 @@ def window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+@query(
+    "events_sequence_pattern",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           len(seq) AS n_events,
+           len(seq) - len(regexp_replace(seq, 'vc*p', '', 'g'))
+             AS matched_len,
+           (len(seq) - len(regexp_replace(seq, 'vc*p', '', 'g')) > 0)
+             AS converted
+    FROM seqs
+    """,
+)
+def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over event streams (MATCH_RECOGNIZE
+    lite): each user's ordered event types collapse to a symbol string
+    and a regex finds behavioural motifs — here ``v c* p`` (a view,
+    any clicks, then a purchase, with no other event between). The
+    trick that turns sequential pattern queries into one aggregation
+    plus codegen'd regex — no self-joins, no UDAF, no per-user loop.
+
+    The symbol string is per-user bounded (sessions/day-slices at real
+    scale) and built with an ORDER-deterministic aggregation; matched
+    character mass comes from length-delta after regex removal — all
+    engine-exact operations.
+    """
+    ev = table(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("s"))
+                    )
+                ),
+                lambda r: r.getField("s"),
+            ),
+            "",
+        ).alias("seq")
+    )
+    matched = F.length("seq") - F.length(F.regexp_replace("seq", "vc*p", ""))
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("long").alias("n_events"),
+        matched.cast("long").alias("matched_len"),
+        (matched > 0).alias("converted"),
+    )

@@ -348,3 +348,58 @@ def quality_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows BIGINT, n_nonpositive BIGINT, n_null_dates BIGINT, n_urgent BIGINT",
     )
+
+
+@query(
+    "quality_profile_columns",
+    oracle="""
+    SELECT 'lang' AS column_name, COUNT(*) AS n_rows,
+           COUNT(*) FILTER (lang IS NULL) AS n_null,
+           COUNT(*) FILTER (trim(COALESCE(lang, '')) = '') AS n_blank,
+           COUNT(DISTINCT lang) AS n_distinct
+    FROM documents
+    UNION ALL
+    SELECT 'source', COUNT(*),
+           COUNT(*) FILTER (source IS NULL),
+           COUNT(*) FILTER (trim(COALESCE(source, '')) = ''),
+           COUNT(DISTINCT source)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', COUNT(*),
+           COUNT(*) FILTER (n_chars IS NULL),
+           0,
+           COUNT(DISTINCT n_chars)
+    FROM documents
+    """,
+)
+def quality_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column completeness/cardinality profile (the Deequ/Great-
+    Expectations profiling shape): one row per column with null, blank,
+    and distinct counts — the first thing run against any new 100 TB
+    feed.
+
+    ONE scan: all per-column metrics are conditional aggregates in a
+    single pass (count-distincts expand inside one aggregation), then
+    the wide row unpivots to the per-column report. Never one scan per
+    column — at scale that multiplies I/O by the column count.
+    """
+    d = table(spark, sf_dir, "documents")
+    blank = lambda c: F.count_if(F.trim(F.coalesce(F.col(c), F.lit(""))) == "")  # noqa: E731
+    wide = d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("lang").isNull()).alias("lang_null"),
+        blank("lang").alias("lang_blank"),
+        F.countDistinct("lang").alias("lang_distinct"),
+        F.count_if(F.col("source").isNull()).alias("source_null"),
+        blank("source").alias("source_blank"),
+        F.countDistinct("source").alias("source_distinct"),
+        F.count_if(F.col("n_chars").isNull()).alias("n_chars_null"),
+        F.countDistinct("n_chars").alias("n_chars_distinct"),
+    )
+    return wide.selectExpr(
+        """stack(3,
+             'lang',    n_rows, lang_null,    lang_blank,   lang_distinct,
+             'source',  n_rows, source_null,  source_blank, source_distinct,
+             'n_chars', n_rows, n_chars_null, CAST(0 AS BIGINT), n_chars_distinct
+           ) AS (column_name, n_rows, n_null, n_blank, n_distinct)"""
+    )

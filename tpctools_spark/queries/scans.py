@@ -435,3 +435,43 @@ def scan_xml_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.min("doc_id").alias("min_doc"),
     )
+
+
+@query(
+    "scan_file_metadata",
+    oracle="""
+    SELECT 'documents.parquet' AS file_name,
+           COUNT(*) AS n_rows,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-provenance scan via the ``_metadata`` hidden column: every
+    file-source row carries its physical origin (file path, size,
+    modification time) for free — the lineage/debugging primitive
+    (which input file produced this bad row?) and the incremental-
+    processing primitive (process only files newer than the last
+    watermark) at any scale, with zero extra I/O.
+
+    Groups by source file name; the fixture is one file per table, so
+    the oracle pins the expected name while rows/min/max prove the
+    metadata rows carry the full data alongside.
+    """
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return (
+        d.select(
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+                "file_name"
+            ),
+            "doc_id",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
