@@ -248,3 +248,54 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum(money(F.col("amount"))).cast("double"), 2).alias("total"),
     )
+
+
+@query(
+    "reshape_incremental_agg",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def reshape_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a pre-aggregated state table
+    (the historical 90%) merged with a new delta batch (the fresh 10%)
+    by combining MERGEABLE partials — count adds, decimal sums add —
+    instead of re-aggregating history. The materialized-view /
+    foreachBatch-upsert pattern: at 100 TB the nightly refresh touches
+    only the delta, and the oracle proves merged-incremental ==
+    full-recompute exactly (decimal partials are order- and
+    split-independent).
+
+    The split is deterministic (orderkey residue); both paths are
+    aggregates + one keyed union-agg — the merge itself is the same
+    map-side-combinable shape as the original aggregation.
+    """
+    o = table(spark, sf_dir, "orders")
+    hist = o.filter(F.col("o_orderkey") % 10 != 0)
+    delta = o.filter(F.col("o_orderkey") % 10 == 0)
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(money(F.col("o_totalprice"))).alias("_sum_dec"),
+        )
+
+    merged = (
+        partials(hist)
+        .unionByName(partials(delta))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("_sum_dec").alias("_sum_dec"),
+        )
+    )
+    return merged.select(
+        "o_custkey",
+        "n_orders",
+        F.round(F.col("_sum_dec").cast("double"), 2).alias("total_spent"),
+    )
