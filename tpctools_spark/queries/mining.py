@@ -846,3 +846,118 @@ def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _RATE_KEEP)
         .select("event_id", "user_id", "ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# mining_bpe_merge_rounds — 3 rounds of actual BPE merge training
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_oracle() -> str:
+    """DuckDB twin: the same 3 merge rounds as chained CTEs."""
+    parts = ["""
+    tok0 AS (
+      SELECT array_to_string(
+               [c for c in string_split_regex(w, '') if c <> ''], ' ') AS tok
+      FROM (
+        SELECT unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents
+      ) WHERE regexp_matches(w, '^[a-z]+$')
+    )"""]
+    for t in range(_BPE_ROUNDS):
+        parts.append(f"""
+    pairs{t} AS (
+      SELECT unnest(list_transform(
+               range(1, len(a)),
+               i -> a[CAST(i AS INT)] || ' ' || a[CAST(i + 1 AS INT)])) AS pair
+      FROM (SELECT string_split(tok, ' ') AS a FROM tok{t})
+    ),
+    top{t} AS (
+      SELECT pair, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM pairs{t} GROUP BY pair
+      ORDER BY freq DESC, pair ASC LIMIT 1
+    ),
+    tok{t + 1} AS (
+      SELECT trim(replace(' ' || tok || ' ',
+                          ' ' || p.pair || ' ',
+                          ' ' || replace(p.pair, ' ', '') || ' ')) AS tok
+      FROM tok{t}, top{t} p
+    )""")
+    selects = " UNION ALL ".join(
+        f"SELECT {t + 1} AS round, pair, freq FROM top{t}"
+        for t in range(_BPE_ROUNDS)
+    )
+    return (
+        "WITH " + ",".join(parts) + f" SELECT * FROM ({selects}) "
+        "ORDER BY round"
+    )
+
+
+@query("mining_bpe_merge_rounds", oracle=_bpe_oracle())
+def mining_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, first 3 merge rounds, fully relational:
+    count adjacent symbol pairs → adopt the most frequent pair as a
+    merge → rewrite the corpus with the fused symbol → repeat. Exactly
+    the algorithm (greedy pair fusion) every production tokenizer's
+    training loop runs; here each round is one map-side-combinable
+    pair count plus one corpus-wide projection — the corpus passes per
+    merge that BPE fundamentally costs, and nothing more (no shuffle of
+    the corpus itself; only the alphabet²-sized pair counts shuffle).
+
+    Each round materializes the rewritten corpus (cache) and the
+    single winning (pair, freq) row lands driver-side — one scalar pair
+    per round, the same bounded-driver-state pattern as the k-means
+    centroids; the corpus itself never leaves the cluster. Tie-break:
+    (freq DESC, pair ASC) — deterministic in both engines, so the
+    learned merges match bit-for-bit. Output: the three merges with
+    their frequencies.
+    """
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w")
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+    tok = words.select(
+        F.array_join(
+            F.filter(F.split("w", ""), lambda c: c != ""), " "
+        ).alias("tok")
+    ).cache()
+    caches = [tok]
+    learned = []
+    for t in range(_BPE_ROUNDS):
+        pairs = tok.select(
+            F.explode(
+                # sequence(1, 0) counts DOWN in Spark — guard the
+                # single-symbol words (1-char words, fully merged words)
+                F.expr(
+                    "CASE WHEN size(split(tok, ' ')) >= 2 THEN"
+                    " transform(sequence(1, size(split(tok, ' ')) - 1),"
+                    " i -> concat(element_at(split(tok, ' '), i), ' ',"
+                    "             element_at(split(tok, ' '), i + 1)))"
+                    " ELSE array() END"
+                )
+            ).alias("pair")
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("pair"))
+            .limit(1)
+            .collect()[0]
+        )
+        learned.append((t + 1, top.pair, top.freq))
+        tok = tok.select(
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("tok"), F.lit(" ")),
+                    F.lit(f" {top.pair} "),
+                    F.lit(" " + top.pair.replace(" ", "") + " "),
+                )
+            ).alias("tok")
+        ).cache()
+        caches.append(tok)
+    out = spark.createDataFrame(learned, "round INT, pair STRING, freq BIGINT")
+    for c in caches:
+        c.unpersist()
+    return out
