@@ -455,3 +455,66 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tag1").alias("tag_sum"),
         )
     )
+
+
+@query(
+    "scalar_collation_group",
+    oracle="""
+    WITH cased AS (
+      SELECT CASE doc_id % 3
+               WHEN 0 THEN upper(source)
+               WHEN 1 THEN upper(substr(source, 1, 1)) || substr(source, 2)
+               ELSE source END AS s
+      FROM documents
+    )
+    SELECT lower(s) AS source_ci,
+           COUNT(*) AS n_docs,
+           MIN(s) AS first_variant,
+           COUNT(DISTINCT s) AS n_case_variants
+    FROM cased
+    GROUP BY lower(s)
+    """,
+)
+def scalar_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collations): case variants of
+    the same source name collapse into one group under UTF8_LCASE —
+    engine-level case-insensitive semantics instead of scattering
+    lower() through every predicate and join (and unlike lower(), a
+    collation also drives comparisons, sorts, and join keys through
+    the same rule set).
+
+    Case noise is planted deterministically; the emitted group key is
+    normalized (the collated group's representative is first-seen and
+    partition-dependent, so it must never be output raw — min() over
+    the variants is the deterministic witness). For ASCII data
+    UTF8_LCASE folding coincides with lower(), which is what lets
+    DuckDB mirror the grouping exactly.
+    """
+    d = table(spark, sf_dir, "documents")
+    s = (
+        F.when(F.col("doc_id") % 3 == 0, F.upper("source"))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.upper(F.substring("source", 1, 1)), F.expr("substr(source, 2)")
+            ),
+        )
+        .otherwise(F.col("source"))
+    )
+    cased = d.select(s.alias("s"))
+    return (
+        cased.groupBy(F.expr("collate(s, 'UTF8_LCASE')").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("min(collate(s, 'UTF8_BINARY'))").alias("first_variant"),
+            F.countDistinct(F.expr("collate(s, 'UTF8_BINARY')")).alias(
+                "n_case_variants"
+            ),
+        )
+        .select(
+            F.lower(F.col("k").cast("string")).alias("source_ci"),
+            "n_docs",
+            "first_variant",
+            "n_case_variants",
+        )
+    )

@@ -450,3 +450,70 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+@query(
+    "sim_ivf_recall",
+    oracle=f"""
+    WITH {_SQL_PREP}, {_SQL_CENT}, probe AS (
+      SELECT e AS pe, {_SQL_DOT.format(a='e', b='e')} AS p_sq FROM prep
+      WHERE vec_id = {PROBE_VEC_ID}
+    ), brute AS (
+      SELECT vec_id,
+             {_SQL_DOT.format(a='e', b='pe')}
+               / (sqrt({_SQL_DOT.format(a='e', b='e')}) * sqrt(p_sq)) AS cos_raw
+      FROM prep, probe
+      WHERE vec_id <> {PROBE_VEC_ID}
+      ORDER BY cos_raw DESC, vec_id LIMIT {TOP_K}
+    ), cellscore AS (
+      SELECT cell,
+             {_SQL_DOT.format(a='centroid', b='pe')}
+               / (sqrt({_SQL_DOT.format(a='centroid', b='centroid')})
+                  * sqrt({_SQL_DOT.format(a='pe', b='pe')})) AS cell_cos
+      FROM cent, probe
+    ), top_cells AS (
+      SELECT cell FROM cellscore ORDER BY cell_cos DESC, cell LIMIT 3
+    ), ivf AS (
+      SELECT p.vec_id,
+             {_SQL_DOT.format(a='p.e', b='pe')}
+               / (sqrt({_SQL_DOT.format(a='p.e', b='p.e')}) * sqrt(p_sq)) AS cos_raw
+      FROM prep p JOIN top_cells t ON p.label = t.cell, probe
+      WHERE p.vec_id <> {PROBE_VEC_ID}
+      ORDER BY cos_raw DESC, vec_id LIMIT {TOP_K}
+    )
+    SELECT {TOP_K} AS k,
+           (SELECT COUNT(*) FROM brute b JOIN ivf i ON b.vec_id = i.vec_id)
+             AS n_hits,
+           (CAST((SELECT COUNT(*) FROM brute b JOIN ivf i
+                   ON b.vec_id = i.vec_id) AS DOUBLE) / {TOP_K})
+             AS recall_at_k
+    """,
+)
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@k of the IVF (nprobe=3) index
+    against the brute-force ground truth for the standard probe — the
+    number that decides whether an approximate index is shippable, and
+    the eval every index change must re-run.
+
+    Composes the two existing retrieval pipelines (one corpus scan
+    each, cell pruning on the IVF side) and joins their top-k id sets;
+    the output is a single (k, hits, recall) row. At 100 TB the brute
+    side runs on a sampled probe set only — the structure (two
+    retrievals + id-set intersection) is unchanged.
+    """
+    brute = (
+        sim_cosine_topk(spark, sf_dir)
+        .select(F.col("vec_id").alias("b_id"))
+    )
+    ivf = (
+        sim_cosine_topk_ivf(spark, sf_dir)
+        .select(F.col("vec_id").alias("i_id"))
+    )
+    hits = brute.join(ivf, brute.b_id == ivf.i_id).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return hits.select(
+        F.lit(TOP_K).alias("k"),
+        "n_hits",
+        (F.col("n_hits").cast("double") / TOP_K).alias("recall_at_k"),
+    )
