@@ -961,3 +961,75 @@ def mining_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in caches:
         c.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# join_scd2_lookup — temporal point-in-interval join against the SCD2 dim
+
+
+@query(
+    "join_scd2_lookup",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), seg AS (
+      SELECT user_id, ts, event_type,
+             CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS version
+      FROM ordered
+    ), hist0 AS (
+      SELECT user_id, version, event_type AS state, MIN(ts) AS valid_from
+      FROM seg GROUP BY user_id, version, event_type
+    ), hist AS (
+      SELECT user_id, version, state, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+               AS valid_to
+      FROM hist0
+    ), probes AS (
+      SELECT event_id, user_id, ts - INTERVAL 1 HOUR AS probe_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, h.state AS state_1h_before
+    FROM probes p
+    LEFT JOIN hist h
+      ON p.user_id = h.user_id
+     AND p.probe_ts >= h.valid_from
+     AND (h.valid_to IS NULL OR p.probe_ts < h.valid_to)
+    """,
+)
+def join_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal point-in-interval lookup against the SCD2 dimension:
+    what state was each purchasing user in ONE HOUR BEFORE the
+    purchase? The as-at dimension join every warehouse runs against
+    versioned dims (price catalogs, account tiers) — equi on the
+    entity key, interval containment as a residual.
+
+    The history side is version-grained (a few rows per user — the
+    compressed intervals, not the events), so the fan-out per probe is
+    bounded by version count; probes before the entity's first
+    interval survive as NULL state (left join). At 100 TB both sides
+    shuffle once on the entity key; a broadcast works when the dim's
+    current snapshot is small enough.
+    """
+    hist = reshape_scd2_history(spark, sf_dir).select(
+        F.col("user_id").alias("h_user"), "state", "valid_from", "valid_to"
+    )
+    ev = table(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("probe_ts"),
+    )
+    return probes.join(
+        hist,
+        (probes.user_id == hist.h_user)
+        & (F.col("probe_ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("probe_ts") < F.col("valid_to"))),
+        "left",
+    ).select("event_id", "user_id", F.col("state").alias("state_1h_before"))
