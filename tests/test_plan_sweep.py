@@ -58,6 +58,7 @@ _BNLJ_ALLOWED = {
     "quality_benford_digits",
     "sim_cosine_topk",
     "sim_cosine_topk_ivf",
+    "sim_ivf_recall",  # composes the two probe-broadcast retrievals
     "sim_cosine_topk_quantized",
     "sim_knn_join",
     "text_bigram_lm",
