@@ -102,6 +102,13 @@ def graph_pagerank_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") * 2 + 1).alias("src"),
         (F.col("l_partkey") * 2).alias("dst"),
     )
+    # NOT cached, measured on purpose: the edge list appears once per
+    # round in the nested plan, but materializing ~1M rows to the
+    # in-memory columnar cache costs MORE than re-running the cheap
+    # scan+distinct+union thrice (A/B same-process at sf0.1: plain
+    # ~3.0s vs cached ~5.5-7.4s warm). With a high round count or an
+    # expensive edge derivation the trade flips — re-measure, don't
+    # assume.
     edges = fwd.unionByName(rev)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
