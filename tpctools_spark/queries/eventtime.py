@@ -799,3 +799,55 @@ def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         matched.cast("long").alias("matched_len"),
         (matched > 0).alias("converted"),
     )
+
+
+@query(
+    "events_decay_score",
+    oracle="""
+    WITH anchor AS (SELECT MAX(ts) AS now_ts FROM events),
+    terms AS (
+      SELECT e.user_id,
+             CAST(floor(e.value * pow(2.0,
+                    -(CAST(epoch_us(a.now_ts) - epoch_us(e.ts) AS DOUBLE)
+                      / 86400000000.0) / 7.0) * 1000000) AS BIGINT)
+               AS term_micro
+      FROM events e CROSS JOIN anchor a
+    )
+    SELECT user_id,
+           CAST(SUM(term_micro) AS BIGINT) AS score_micro,
+           COUNT(*) AS n_events
+    FROM terms GROUP BY user_id
+    """,
+)
+def events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement score: each event contributes
+    value·2^(−age/half-life) with a 7-day half-life — the standard
+    freshness-decayed ranking signal (recommendations, lead scoring,
+    trending feeds).
+
+    Deliberately the NON-recursive decay form: every term depends only
+    on its own row plus one corpus-wide anchor (MAX(ts), a one-row
+    broadcast), so the score is a plain SUM — map-side combinable,
+    order-independent, no sequential scan per user (recursive EWMA
+    needs one; this formulation is why production scoring pipelines
+    prefer wall-clock decay). Terms are floor-quantized to integer
+    micro-units before summing, so the aggregate is exact and
+    engine/partitioning-invariant despite the float pow().
+    """
+    ev = table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("now_ts"))
+    age_days = (
+        F.unix_micros(F.col("now_ts")) - F.unix_micros(F.col("ts"))
+    ).cast("double") / 86_400_000_000.0
+    term = F.floor(
+        F.col("value") * F.pow(F.lit(2.0), -age_days / 7.0) * 1_000_000
+    ).cast("bigint")
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .select("user_id", term.alias("term_micro"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("term_micro").alias("score_micro"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -689,3 +689,101 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc_digits(dup_frac, 4).alias("rep_ratio"),
         (dup_frac > 0.30).alias("flag_repetitive"),
     )
+
+
+@query(
+    "text_collocations_pmi",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, w, idx FROM (
+        SELECT doc_id, unnest(a) AS w, unnest(range(1, len(a) + 1)) AS idx
+        FROM (
+          SELECT doc_id, string_split(lower(trim(text)), ' ') AS a
+          FROM documents
+        )
+      ) WHERE w <> ''
+    ),
+    bigrams AS (
+      SELECT l.w AS w1, r.w AS w2
+      FROM words l JOIN words r
+        ON l.doc_id = r.doc_id AND r.idx = l.idx + 1
+    ),
+    uni AS (
+      SELECT w, COUNT(*) AS c FROM words GROUP BY w
+    ),
+    bi AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY w1, w2
+    ),
+    tot AS (
+      SELECT (SELECT SUM(c) FROM uni) AS n_uni,
+             (SELECT SUM(c12) FROM bi) AS n_bi
+    )
+    SELECT b.w1, b.w2, CAST(b.c12 AS BIGINT) AS n_pair,
+           (CAST(floor(
+              ln((CAST(b.c12 AS DOUBLE) / t.n_bi)
+                 / ((CAST(u1.c AS DOUBLE) / t.n_uni)
+                    * (CAST(u2.c AS DOUBLE) / t.n_uni))) * 10000
+            ) AS DOUBLE) / 10000) AS pmi
+    FROM bi b
+    JOIN uni u1 ON b.w1 = u1.w
+    JOIN uni u2 ON b.w2 = u2.w
+    CROSS JOIN tot t
+    WHERE b.c12 >= 5
+    ORDER BY pmi DESC, b.w1, b.w2
+    LIMIT 25
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: word pairs
+    that co-occur far above chance (PMI = log P(w1,w2)/(P(w1)P(w2)),
+    min support 5) — the corpus-linguistics primitive behind phrase
+    detection and multi-word tokenizer entries.
+
+    Bigrams come from position-adjacent explode (posexplode + self
+    shift, doc-local); unigram and bigram counts map-side combine; the
+    PMI projection joins two vocabulary-sized count tables (broadcast)
+    plus a one-row total. Top-25 by truncated PMI with full lexical
+    tie-break — deterministic in both engines.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), " ")).alias("idx", "w"),
+    ).filter(F.col("w") != "")
+    nxt = words.select(
+        F.col("doc_id").alias("r_doc"),
+        (F.col("idx") - 1).alias("r_idx"),
+        F.col("w").alias("w2"),
+    )
+    bigrams = words.join(
+        nxt,
+        (words.doc_id == nxt.r_doc) & (words.idx == nxt.r_idx),
+    ).select(F.col("w").alias("w1"), "w2")
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    tot = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
+        bi.agg(F.sum("c12").alias("n_bi"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log(
+        (F.col("c12").cast("double") / F.col("n_bi"))
+        / (
+            (F.col("c1").cast("double") / F.col("n_uni"))
+            * (F.col("c2").cast("double") / F.col("n_uni"))
+        )
+    )
+    return (
+        bi.filter(F.col("c12") >= 5)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").alias("n_pair"),
+            trunc_digits(pmi, 4).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(25)
+    )
