@@ -851,3 +851,80 @@ def events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@query(
+    "events_interval_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) IS NULL
+                    OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS island
+      FROM marked
+    ),
+    merged AS (
+      SELECT user_id, island, MIN(s) AS ms, MAX(e) AS me
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_active_periods,
+           CAST(SUM(me - ms) // 1000000 AS BIGINT) AS covered_seconds
+    FROM merged GROUP BY user_id
+    """,
+)
+def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage: each event opens a 10-minute activity
+    interval; overlapping intervals merge and the output is each
+    user's number of distinct active periods and total covered time —
+    the uptime/presence metric (machine activity, meeting coverage,
+    sensor liveness) that naive SUM-of-durations double-counts.
+
+    Gaps-and-islands over intervals: a running MAX of interval ends
+    (one window), island ids from a running sum of fresh-start flags
+    (same exchange), then two stacked aggregations on the same key.
+    All integer epoch arithmetic — exact in both engines; one shuffle
+    on user_id total.
+    """
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + 600_000_000).alias("e"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("s", "e")
+    prior_max = F.max("e").over(
+        wo.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.withColumn(
+        "new_island",
+        F.when(prior_max.isNull() | (F.col("s") > prior_max), 1).otherwise(0),
+    )
+    islands = marked.withColumn(
+        "island",
+        F.sum("new_island").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_active_periods"),
+        F.expr("sum(me - ms) div 1000000").alias("covered_seconds"),
+    )
