@@ -52,6 +52,7 @@ _BNLJ_ALLOWED = {
     "agg_approx_topk",
     "agg_hll_sketch_union",
     "events_ab_ttest",
+    "events_dau_wau",  # calendar-sized day spine broadcast into the 7-day range join
     "events_decay_score",  # one-row MAX(ts) anchor broadcast
     "text_collocations_pmi",  # one-row corpus-totals broadcast
     "graph_pagerank_power",

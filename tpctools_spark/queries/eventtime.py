@@ -928,3 +928,63 @@ def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_active_periods"),
         F.expr("sum(me - ms) div 1000000").alias("covered_seconds"),
     )
+
+
+@query(
+    "events_dau_wau",
+    oracle="""
+    WITH day_users AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM day_users),
+    dau AS (
+      SELECT day, COUNT(*) AS dau FROM day_users GROUP BY day
+    ),
+    wau AS (
+      SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+      FROM days d JOIN day_users u
+        ON u.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day
+    )
+    SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, wau.wau,
+           (CAST(floor(CAST(dau.dau AS DOUBLE) / wau.wau * 10000) AS DOUBLE)
+             / 10000) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+    """,
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the engagement
+    ratio every product dashboard leads with, and a COUNT(DISTINCT)
+    over a sliding window, which no window function computes directly
+    (distinct state can't live in a frame buffer).
+
+    The scalable shape: collapse events to distinct (day, user) first
+    — the only pass over raw data, map-side combinable — then the
+    7-day window is a bounded range join against the day spine
+    (|days| × window fan-out, calendar-sized, broadcast-eligible)
+    followed by an ordinary distinct count. Raw events are never
+    joined or windowed.
+    """
+    ev = table(spark, sf_dir, "events")
+    day_users = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = day_users.select("day").distinct()
+    dau = day_users.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        days.alias("d")
+        .join(
+            day_users.alias("u"),
+            F.col("u.day").between(F.date_sub(F.col("d.day"), 6), F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        F.col("day").cast("string").alias("day"),
+        "dau",
+        "wau",
+        trunc_digits(F.col("dau").cast("double") / F.col("wau"), 4).alias(
+            "stickiness"
+        ),
+    )

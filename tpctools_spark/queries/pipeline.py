@@ -492,3 +492,50 @@ def pipeline_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy("shuffle_pos")
         .limit(500)
     )
+
+
+@query(
+    "pipeline_source_report",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           COUNT(*) FILTER (n_chars BETWEEN 100 AND 400) AS n_quality_len,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(*) - COUNT(DISTINCT md5(lower(trim(text)))) AS n_exact_dups
+    FROM documents
+    GROUP BY source
+    """,
+)
+def pipeline_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: volume, token mass, quality-length
+    rate, language spread, and exact-duplicate count for every
+    ingestion source — the one-page report that decides which feeds
+    earn a place in the training mix (and the artifact dataset
+    documentation standards ask for).
+
+    ONE scan, one groupBy: every metric is an aggregate over the same
+    pass, including the dup count (rows minus distinct content
+    digests — the digest is computed in the scan projection, so dedup
+    accounting costs a hash, not a second job).
+    """
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "source",
+            "lang",
+            "n_chars",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            F.md5(F.lower(F.trim("text"))).alias("digest"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.count_if(F.col("n_chars").between(100, 400)).alias("n_quality_len"),
+            F.countDistinct("lang").alias("n_langs"),
+            (F.count(F.lit(1)) - F.countDistinct("digest")).alias("n_exact_dups"),
+        )
+    )
