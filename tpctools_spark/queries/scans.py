@@ -475,3 +475,53 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+@query(
+    "scan_python_datasource",
+    oracle="""
+    WITH feed AS (
+      SELECT rid AS reading_id,
+             ((rid * 654435747) % 1000000007) % 16 AS sensor_id,
+             CAST(((rid * 654435747) % 1000000007) % 10000 AS DOUBLE) / 100.0
+               AS reading
+      FROM (SELECT unnest(range(0, 1000)) AS rid)
+    )
+    SELECT sensor_id, COUNT(*) AS n_readings,
+           ROUND(CAST(SUM(CAST(reading AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS total_reading
+    FROM feed GROUP BY sensor_id
+    """,
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Spark 4 Python DataSource API: a
+    partitioned synthetic sensor feed registered as a real
+    ``spark.read.format(...)`` source (tpctools_spark/sources.py) —
+    the pure-Python extension point for connectors the built-in menu
+    doesn't cover.
+
+    Each of the 4 InputPartitions is read task-side as a pure function
+    of (partition, offset) — nothing flows through the driver, and the
+    same reader maps shards/offset ranges on a real feed. Rows are
+    deterministic integer arithmetic, so DuckDB rebuilds the identical
+    feed from a range() and the whole connector is value-checked.
+    """
+    from tpctools_spark.sources import SensorFeedSource
+
+    try:
+        spark.dataSource.register(SensorFeedSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+    feed = (
+        spark.read.format("sensor_feed")
+        .option("partitions", "4")
+        .option("rowsperpartition", "250")
+        .option("sensors", "16")
+        .load()
+    )
+    return feed.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).alias("n_readings"),
+        F.round(F.sum(F.col("reading").cast("decimal(12,2)")).cast("double"), 2).alias(
+            "total_reading"
+        ),
+    )
