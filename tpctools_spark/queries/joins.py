@@ -485,3 +485,80 @@ def join_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("key").alias("min_doc"),
         )
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_id, user_id, ts, event_type,
+             LAST_VALUE(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_id,
+             LAST_VALUE(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+             FIRST_VALUE(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_id,
+             FIRST_VALUE(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CASE
+             WHEN prev_id IS NULL THEN next_id
+             WHEN next_id IS NULL THEN prev_id
+             WHEN epoch_us(ts) - epoch_us(prev_ts)
+                  <= epoch_us(next_ts) - epoch_us(ts) THEN prev_id
+             ELSE next_id
+           END AS nearest_error_id
+    FROM ordered WHERE event_type = 'purchase'
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas ``merge_asof(direction=
+    'nearest')``): each purchase matches its closest error event in
+    EITHER direction, ties to the earlier one — the sensor-alignment
+    semantics when causality doesn't pin the direction.
+
+    Same single user_id exchange as the backward as-of: one window
+    sort serves BOTH carries (last-error-before via an unbounded-
+    preceding frame, first-error-after via unbounded-following), and
+    nearest is a projection over the two candidates. Completes the
+    as-of family: backward (join_asof_event), backward-with-tolerance
+    (join_asof_tolerance), nearest.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    before = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    after = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    is_err = F.col("event_type") == "error"
+    carried = (
+        ev.withColumn(
+            "prev_id",
+            F.last(F.when(is_err, F.col("event_id")), ignorenulls=True).over(before),
+        )
+        .withColumn(
+            "prev_ts", F.last(F.when(is_err, F.col("ts")), ignorenulls=True).over(before)
+        )
+        .withColumn(
+            "next_id",
+            F.first(F.when(is_err, F.col("event_id")), ignorenulls=True).over(after),
+        )
+        .withColumn(
+            "next_ts", F.first(F.when(is_err, F.col("ts")), ignorenulls=True).over(after)
+        )
+    )
+    prev_gap = F.unix_micros("ts") - F.unix_micros("prev_ts")
+    next_gap = F.unix_micros("next_ts") - F.unix_micros("ts")
+    nearest = (
+        F.when(F.col("prev_id").isNull(), F.col("next_id"))
+        .when(F.col("next_id").isNull(), F.col("prev_id"))
+        .when(prev_gap <= next_gap, F.col("prev_id"))
+        .otherwise(F.col("next_id"))
+    )
+    return carried.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", nearest.alias("nearest_error_id")
+    )
