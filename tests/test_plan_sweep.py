@@ -65,6 +65,7 @@ _BNLJ_ALLOWED = {
     "sim_cosine_topk_quantized",
     "sim_knn_join",
     "text_bigram_lm",
+    "text_bm25_search",  # one-row (N, avgdl) corpus-stats broadcast
     "tpcds_q14_cross_channel_intersect",
     "tpcds_q23_frequent_best",
     "tpcds_q9_quantity_brackets",

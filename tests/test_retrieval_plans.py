@@ -1,0 +1,68 @@
+"""Physical-plan assertions for the retrieval/span ops.
+
+Locks the scale shapes: BM25 must broadcast its constant-size sides
+and keep top-k as TakeOrderedAndProject; PQ must broadcast the
+codebook and LUT (never pairing corpus rows with corpus rows); the
+repeated-span dedup must contain NO join at all — its whole point is
+replacing the postings self-join with two linear window passes.
+"""
+
+from __future__ import annotations
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    df.collect()
+    s = df._jdf.queryExecution().executedPlan().toString()
+    return s.split("+- == Initial Plan ==")[0]
+
+
+def test_bm25_broadcasts_and_topk(spark):
+    from tpctools_spark.registry import spark_queries
+
+    df = spark_queries()["text_bm25_search"](spark, SF)
+    plan = _plan(df)
+    # df (|terms| rows) rides a broadcast hash join; the one-row
+    # (N, avgdl) stats relation is the only nested-loop site.
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+    # global top-k never materializes a full sort.
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pq_codebook_and_lut_broadcast(spark):
+    from tpctools_spark.registry import spark_queries
+
+    df = spark_queries()["sim_pq_topk"](spark, SF)
+    plan = _plan(df)
+    # encode join (corpus x codebook) and score join (codes x LUT)
+    # must both be broadcast-keyed — no shuffle sized by M*K, and
+    # never a corpus-with-corpus pair join.
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_repeated_spans_has_no_join(spark):
+    from tpctools_spark.registry import spark_queries
+
+    df = spark_queries()["dedup_repeated_spans"](spark, SF)
+    plan = _plan(df)
+    # The defining property vs Jaccard pair generation: duplicate-gram
+    # detection is a WINDOW COUNT (linear), not a postings self-join
+    # (quadratic in document frequency). Any join here is a regression.
+    assert "Join" not in plan
+    assert plan.count("Window") >= 2  # gram-count pass + per-doc lag pass
+
+
+def test_bfs_is_keyed_joins_only(spark):
+    from tpctools_spark.registry import spark_queries
+
+    df = spark_queries()["graph_bfs_distance"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan

@@ -37,4 +37,5 @@ from tpctools_spark.queries import (  # noqa: F401
     quality,
     mining,
     graph,
+    retrieval,
 )

@@ -203,3 +203,118 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wedges.join(closer, ["x", "z"]).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_bfs_distance
+
+_BFS_ROUNDS = 3
+_BFS_INF = 1 << 30  # unreached sentinel (integer, exact in both engines)
+_BFS_SEED_MAX = 20  # seeds: part-side nodes 2·partkey ≤ 20 (partkeys 1-10)
+
+
+def _bfs_sql() -> str:
+    """DuckDB twin: the same 3 relaxation rounds, unrolled as CTEs."""
+    rounds = []
+    prev = "d0"
+    for t in range(1, _BFS_ROUNDS + 1):
+        rounds.append(f"""
+    p{t} AS (
+      SELECT e.dst AS node, MIN({prev}.d) + 1 AS nd
+      FROM edges e JOIN {prev} ON e.src = {prev}.node
+      WHERE {prev}.d < {_BFS_INF}
+      GROUP BY e.dst
+    ),
+    d{t} AS (
+      SELECT n.node, LEAST(n.d, COALESCE(p{t}.nd, {_BFS_INF})) AS d
+      FROM {prev} n LEFT JOIN p{t} ON n.node = p{t}.node
+    )""")
+        prev = f"d{t}"
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    edges AS (
+      SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM pairs
+      UNION ALL
+      SELECT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    d0 AS (
+      SELECT node,
+             CASE WHEN node % 2 = 0 AND node <= {_BFS_SEED_MAX}
+                  THEN 0 ELSE {_BFS_INF} END AS d
+      FROM nodes
+    ),{",".join(rounds)}
+    SELECT d AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(node) AS BIGINT) AS sum_node
+    FROM {prev} WHERE d < {_BFS_INF}
+    GROUP BY d
+    """
+
+
+@query("graph_bfs_distance", oracle=_bfs_sql())
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance (3 fixed relaxation rounds) over
+    the same part↔supplier bipartite graph as `graph_pagerank_power`.
+
+    Each round is one Pregel superstep: frontier (nodes with a finite
+    distance) joins edges on the source key, MIN(d)+1 per destination,
+    then element-wise LEAST against the previous labels — distances
+    are monotone non-increasing integers, so every round is
+    bit-deterministic and partitioning-invariant. The WHERE d < INF
+    frontier filter keeps each round's join sized by the reached set,
+    not the node set — on a 100 TB graph the early rounds touch only
+    the expanding ball around the seeds. Fixed round count = static
+    3-round DAG, no driver-side state (contrast with
+    `dedup_cluster_components`, which needs a convergence witness
+    because component diameters are data-dependent; BFS to depth k is
+    depth-bounded by construction). Output is the per-distance node
+    census (count + id-sum) — compact at any scale.
+
+    Edge list deliberately not cached — same measured trade as
+    PageRank (see the NOT-cached note there): 3 cheap re-derivations
+    beat one columnar materialization at this round count.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    edges = pairs.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).unionByName(
+        pairs.select(
+            (F.col("l_suppkey") * 2 + 1).alias("src"),
+            (F.col("l_partkey") * 2).alias("dst"),
+        )
+    )
+    nodes = edges.select("src").distinct().select(F.col("src").alias("node"))
+    labels = nodes.select(
+        "node",
+        F.when(
+            (F.col("node") % 2 == 0) & (F.col("node") <= _BFS_SEED_MAX), 0
+        )
+        .otherwise(_BFS_INF)
+        .cast("bigint")
+        .alias("d"),
+    )
+    for _ in range(_BFS_ROUNDS):
+        prop = (
+            edges.join(
+                labels.filter(F.col("d") < _BFS_INF),
+                edges.src == F.col("node"),
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.min("d") + 1).alias("nd"))
+        )
+        labels = labels.join(prop, "node", "left").select(
+            "node",
+            F.least(F.col("d"), F.coalesce("nd", F.lit(_BFS_INF))).alias("d"),
+        )
+    return (
+        labels.filter(F.col("d") < _BFS_INF)
+        .groupBy(F.col("d").alias("dist"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("node").cast("bigint").alias("sum_node"),
+        )
+    )

@@ -1,0 +1,422 @@
+"""Retrieval / training-corpus ops: BM25 search, product-quantization
+ANN, and exact repeated-substring span dedup — §2.B.10 extensions.
+
+Three operators a 100 TB training-data pipeline runs constantly:
+
+- ``text_bm25_search`` — lexical top-k retrieval with BM25 scoring
+  (the classic probabilistic ranking function; Robertson & Zaragoza
+  2009). The inverted structure is implicit: term postings are a
+  filtered explode, document frequencies a map-side-combinable agg,
+  and the corpus-level constants (N, avgdl) a one-row broadcast.
+- ``sim_pq_topk`` — product-quantization ANN (Jégou et al. 2011):
+  vectors are split into M subspaces, each encoded as the id of its
+  nearest codebook centroid, and queries score candidates through a
+  per-query lookup table of subspace distances (asymmetric distance
+  computation). The corpus is scanned once over 1-byte-per-subspace
+  codes — at 100 TB the difference between an in-memory scan and a
+  spill.
+- ``dedup_repeated_spans`` — exact substring-level dedup in the style
+  of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+  Models Better"): find W-token windows occurring more than once in
+  the corpus, then merge per-document overlapping duplicate windows
+  into maximal spans. Unlike pair-generation dedup (Jaccard/MinHash),
+  this NEVER self-joins postings — the hot path is one count per gram
+  plus one per-document window pass, both linear in corpus tokens, so
+  a boilerplate sentence shared by 10⁶ docs costs 10⁶ rows, not 10¹².
+
+Determinism: every score that crosses the engine boundary is either
+exact integer arithmetic (PQ distances, span token counts) or a
+truncated-then-decimal-summed double (BM25 — per-term scores are
+truncated to 6 digits and summed as DECIMAL so the ordering of the
+per-term addition can't flip the hash; see `_util.trunc_digits`).
+
+Reference scope: the reference engine (``/root/reference/src/lib.rs``)
+only generates/converts this corpus; retrieval over it is [ext] scope
+per SURVEY.md §2.B.10 (BASELINE.json LLM-pipeline extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tpctools_spark.catalog import table
+from tpctools_spark.queries._util import sql_trunc_digits, trunc_digits
+from tpctools_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# text_bm25_search
+
+_BM25_TERMS = ("merge", "stream", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+@query(
+    "text_bm25_search",
+    oracle=f"""
+    WITH docs0 AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM docs0
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, UNNEST(w) AS term FROM docs0)
+      WHERE term IN ('merge', 'stream', 'window')
+      GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), per_term AS (
+      SELECT tf.doc_id,
+             CAST({sql_trunc_digits(
+                 "ln((CAST(stats.n_docs AS DOUBLE) - df.df + 0.5)"
+                 " / (df.df + 0.5) + 1.0)"
+                 f" * (tf.tf * ({_BM25_K1} + 1.0))"
+                 f" / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}"
+                 f"    + {_BM25_B} * dl.dl / stats.avgdl))", 6)}
+               AS DECIMAL(18,6)) AS s
+      FROM tf
+      JOIN df ON tf.term = df.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+    ), scored AS (
+      SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score_raw
+      FROM per_term GROUP BY doc_id
+    )
+    SELECT doc_id, {sql_trunc_digits("score_raw", 4)} AS bm25,
+           ROW_NUMBER() OVER (ORDER BY score_raw DESC, doc_id) AS rank
+    FROM scored
+    ORDER BY score_raw DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k lexical search for a fixed conjunctive term set.
+
+    Plan shape (the scalable inverted-index dataflow, no index build):
+    one corpus scan explodes tokens and keeps only query terms — the
+    filter runs BEFORE the explode output shuffles, so shuffle bytes
+    are O(matching postings), not O(corpus tokens). Document
+    frequencies and corpus stats (N, avgdl) are tiny aggregates of
+    that same postings table; both reach the scoring join as
+    broadcasts (df: |terms| rows; stats: one row — BNLJ-allowlisted).
+    Per-doc length joins in on doc_id, the one real shuffle key.
+
+    Cross-engine FP note: ln() is the only non-IEEE-exact operation in
+    the formula (both engines use correctly-rounded libm; a 1-ulp
+    divergence would need the result to sit within 1e-16 of a 1e-6
+    truncation boundary — negligible, and the per-term DECIMAL sum
+    removes all addition-order sensitivity, the actual hash killer).
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("w")
+    )
+    dl = docs.select("doc_id", F.size("w").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode("w").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+        + 1.0
+    )
+    tf_part = (F.col("tf") * (_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    per_term = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            trunc_digits(idf * tf_part, 6).cast("decimal(18,6)").alias("s"),
+        )
+    )
+    scored = per_term.groupBy("doc_id").agg(
+        F.sum("s").cast("double").alias("score_raw")
+    )
+    w = Window.orderBy(F.col("score_raw").desc(), "doc_id")
+    return (
+        scored.orderBy(F.col("score_raw").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+        .select(
+            "doc_id",
+            trunc_digits(F.col("score_raw"), 4).alias("bm25"),
+            F.row_number().over(w).alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_pq_topk
+
+_PQ_M = 4  # subspaces (64-dim vectors → 16 dims each)
+_PQ_SUBDIM = 16
+_PQ_K = 16  # centroids per subspace codebook
+_PQ_PROBE = 42
+_PQ_TOPK = 10
+_PQ_FX = 1000  # fixed-point scale: round(x·1000) → exact integer L2
+
+
+def _pq_sql() -> str:
+    sub_slices = ", ".join(str(s) for s in range(_PQ_M))
+    return f"""
+    WITH fx AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {_PQ_FX}) AS BIGINT)) AS q
+      FROM embeddings
+    ), subs AS (
+      SELECT vec_id, label, s,
+             q[s * {_PQ_SUBDIM} + 1 : (s + 1) * {_PQ_SUBDIM}] AS sv
+      FROM fx, (SELECT UNNEST([{sub_slices}]) AS s)
+    ), cb AS (
+      SELECT s, vec_id AS c, sv AS csv FROM subs WHERE vec_id < {_PQ_K}
+    ), dists AS (
+      SELECT subs.vec_id, subs.label, subs.s, cb.c,
+             list_sum(list_transform(list_zip(subs.sv, cb.csv),
+                      t -> (t[1] - t[2]) * (t[1] - t[2]))) AS d
+      FROM subs JOIN cb ON subs.s = cb.s
+    ), enc AS (
+      SELECT vec_id, label, s, c AS code FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY vec_id, s ORDER BY d, c) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ), lut AS (
+      SELECT cb.s, cb.c,
+             list_sum(list_transform(list_zip(p.sv, cb.csv),
+                      t -> (t[1] - t[2]) * (t[1] - t[2]))) AS ld
+      FROM (SELECT s, sv FROM subs WHERE vec_id = {_PQ_PROBE}) p
+      JOIN cb ON p.s = cb.s
+    ), scored AS (
+      SELECT enc.vec_id, enc.label,
+             CAST(SUM(lut.ld) AS BIGINT) AS pq_dist
+      FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.c
+      WHERE enc.vec_id <> {_PQ_PROBE}
+      GROUP BY enc.vec_id, enc.label
+    )
+    SELECT vec_id, label, pq_dist,
+           ROW_NUMBER() OVER (ORDER BY pq_dist, vec_id) AS rank
+    FROM scored
+    ORDER BY pq_dist, vec_id
+    LIMIT {_PQ_TOPK}
+    """
+
+
+@query("sim_pq_topk", oracle=_pq_sql())
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-k: encode each vector as M=4 subspace
+    codes, score a probe through an asymmetric-distance lookup table.
+
+    Codebooks here are data-derived but deterministic — the subvectors
+    of the first K vec_ids serve as centroids (codebook *training* is
+    k-means, demonstrated separately in ``kmeans_embeddings``; using
+    seeded medoids keeps this op's full encode→LUT→scan pipeline
+    value-checkable in SQL). All distances are fixed-point integer
+    arithmetic (round(x·1000) per coordinate, ≤ (2·10³·√16)² per
+    subspace ≪ 2⁶³), so encoding and ranking are bit-deterministic.
+
+    Scale shape: the codebook (M·K = 64 rows) and the LUT (64 rows)
+    are constant-size broadcasts — the corpus is scanned once to
+    encode (explode to M rows/vec, broadcast-join the codebook,
+    min-struct per (vec, subspace)) and once more, as codes only, to
+    score through the LUT. Nothing ever pairs corpus rows with corpus
+    rows; both aggregations are map-side-combinable on vec_id. At
+    100 TB the scored relation carries 4 bytes of code per subspace
+    instead of 64 floats — the whole point of PQ.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    fx = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * _PQ_FX).cast("bigint"),
+        ).alias("q"),
+    )
+    subs = fx.select(
+        "vec_id",
+        "label",
+        F.explode(F.array(*[F.lit(s) for s in range(_PQ_M)])).alias("s"),
+        "q",
+    ).select(
+        "vec_id",
+        "label",
+        "s",
+        F.expr(f"slice(q, s * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})").alias("sv"),
+    )
+    cb = subs.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("s").alias("cs"), F.col("vec_id").alias("c"), F.col("sv").alias("csv")
+    )
+
+    def sq_l2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    enc = (
+        subs.join(F.broadcast(cb), subs.s == cb.cs)
+        .select(
+            "vec_id", "label", "s", "c", sq_l2(F.col("sv"), F.col("csv")).alias("d")
+        )
+        .groupBy("vec_id", "label", "s")
+        .agg(F.min(F.struct("d", "c")).alias("m"))
+        .select("vec_id", "label", "s", F.col("m.c").alias("code"))
+    )
+    probe = subs.filter(F.col("vec_id") == _PQ_PROBE).select(
+        F.col("s").alias("ps"), F.col("sv").alias("psv")
+    )
+    lut = (
+        cb.join(F.broadcast(probe), cb.cs == probe.ps)
+        .select(
+            F.col("cs").alias("ls"),
+            F.col("c").alias("lc"),
+            sq_l2(F.col("psv"), F.col("csv")).alias("ld"),
+        )
+    )
+    scored = (
+        enc.filter(F.col("vec_id") != _PQ_PROBE)
+        .join(
+            F.broadcast(lut),
+            (enc.s == lut.ls) & (enc.code == lut.lc),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum("ld").cast("bigint").alias("pq_dist"))
+    )
+    w = Window.orderBy("pq_dist", "vec_id")
+    return (
+        scored.orderBy("pq_dist", "vec_id")
+        .limit(_PQ_TOPK)
+        .select(
+            "vec_id", "label", "pq_dist", F.row_number().over(w).alias("rank")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_repeated_spans
+
+_SPAN_W = 5  # window length in tokens (Lee et al. use 50 BPE tokens)
+
+
+@query(
+    "dedup_repeated_spans",
+    oracle=f"""
+    WITH docs0 AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+    ), posting AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, pos,
+             array_to_string(w[pos:pos + {_SPAN_W} - 1], ' ') AS gram
+      FROM (
+        SELECT doc_id, w,
+               UNNEST(range(1, greatest(len(w) - {_SPAN_W} + 1, 0) + 1)) AS pos
+        FROM docs0
+      )
+    ), dup AS (
+      SELECT * FROM (
+        SELECT doc_id, n_tokens, pos,
+               COUNT(*) OVER (PARTITION BY gram) AS occurrences
+        FROM posting
+      ) WHERE occurrences >= 2
+    ), deltas AS (
+      SELECT doc_id, n_tokens,
+             pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS delta
+      FROM dup
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_grams,
+           CAST(SUM(CASE WHEN delta IS NULL OR delta > {_SPAN_W}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+           CAST(SUM(LEAST(COALESCE(delta, {_SPAN_W}), {_SPAN_W})) AS BIGINT)
+             AS dup_tokens,
+           {sql_trunc_digits(
+               f"CAST(SUM(LEAST(COALESCE(delta, {_SPAN_W}), {_SPAN_W}))"
+               " AS DOUBLE) / MAX(n_tokens)", 4)} AS dup_ratio
+    FROM deltas
+    GROUP BY doc_id
+    """,
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring spans per document (Lee et al. 2022
+    style): every {_SPAN_W}-token window that occurs ≥2 times anywhere
+    in the corpus is a duplicate gram; per document, overlapping /
+    adjacent duplicate windows merge into maximal spans. Emits, per
+    affected doc, the duplicate-gram count, merged-span count, total
+    duplicated tokens and the duplicated-token ratio — the numbers a
+    span-removal pass needs.
+
+    Two-shuffle linear dataflow, no pair generation: (1) a count per
+    gram (window over the gram key — each posting row is touched once,
+    so a gram in 10⁶ docs costs 10⁶ rows, never 10¹²; contrast with
+    the df-capped postings SELF-join that Jaccard pair generation
+    needs, `dedup.py:_shared_gram_counts`); (2) a per-document
+    position sort for interval merging. Both keys (gram, doc_id) are
+    natural shuffle keys at any scale.
+
+    The interval merge is one LAG: with fixed window length W and
+    positions sorted, span starts are exactly the grams whose gap to
+    the previous duplicate gram exceeds W, and each gram adds
+    min(gap, W) newly-covered tokens — integer arithmetic, so the
+    per-doc totals are bit-identical across engines.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("w")
+    )
+    posting = docs.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        F.explode(
+            F.when(
+                F.size("w") >= _SPAN_W,
+                F.sequence(F.lit(1), F.size("w") - (_SPAN_W - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("pos"),
+        "w",
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "pos",
+        F.concat_ws(" ", F.expr(f"slice(w, pos, {_SPAN_W})")).alias("gram"),
+    )
+    wg = Window.partitionBy("gram")
+    dup = posting.select(
+        "doc_id", "n_tokens", "pos", F.count(F.lit(1)).over(wg).alias("occ")
+    ).filter(F.col("occ") >= 2)
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    deltas = dup.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("pos") - F.lag("pos").over(wd)).alias("delta"),
+    )
+    covered = F.least(F.coalesce(F.col("delta"), F.lit(_SPAN_W)), F.lit(_SPAN_W))
+    return deltas.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_grams"),
+        F.sum(
+            F.when(
+                F.col("delta").isNull() | (F.col("delta") > _SPAN_W), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_spans"),
+        F.sum(covered).cast("bigint").alias("dup_tokens"),
+        trunc_digits(
+            F.sum(covered).cast("double") / F.max("n_tokens"), 4
+        ).alias("dup_ratio"),
+    )
