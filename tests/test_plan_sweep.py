@@ -50,6 +50,7 @@ _SIDE_EFFECTING_PREFIXES = (
 # construction (one row, a probe vector, K centroids, scalar brackets).
 _BNLJ_ALLOWED = {
     "agg_approx_topk",
+    "agg_bitmap_overlap",  # event-type-vocabulary² pair spine (t_a < t_b self-join)
     "agg_hll_sketch_union",
     "events_ab_ttest",
     "events_dau_wau",  # calendar-sized day spine broadcast into the 7-day range join

@@ -66,3 +66,20 @@ def test_bfs_is_keyed_joins_only(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashAggregate" in plan
+
+
+def test_bitmap_overlap_merges_sketch_state_only(spark):
+    from tpctools_spark.registry import spark_queries
+
+    df = spark_queries()["agg_bitmap_overlap"](spark, SF)
+    plan = _plan(df)
+    # Raw (user) rows collapse to bitmaps exactly once; every later
+    # stage (pair expansion, union merge, size joins) must operate on
+    # bitmap/aggregate state — i.e. exactly one scan of the events
+    # parquet in the whole plan.
+    assert plan.count("Scan parquet") + plan.count("FileScan parquet") >= 1
+    import re
+    assert len(re.findall(r"events\.parquet", plan)) <= 2  # shared via exchange reuse
+    # pair spine and size tables ride broadcasts; no cartesian.
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -699,3 +699,115 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("ALL").alias("o_orderstatus"), "n_distinct")
     )
     return per_status.unionByName(merged)
+
+
+@query(
+    "agg_bitmap_overlap",
+    oracle="""
+    WITH tu AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), sizes AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM tu GROUP BY 1
+    ), ov AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT ov.type_a, ov.type_b, sa.n AS n_a, sb.n AS n_b, ov.n_overlap,
+           (CAST(floor(CAST(ov.n_overlap AS DOUBLE)
+                 / (sa.n + sb.n - ov.n_overlap) * 10000) AS DOUBLE) / 10000)
+             AS jaccard
+    FROM ov
+    JOIN sizes sa ON ov.type_a = sa.event_type
+    JOIN sizes sb ON ov.type_b = sb.event_type
+    WHERE ov.n_overlap > 0
+    """,
+)
+def agg_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise audience overlap (and Jaccard) between every
+    pair of event types, computed ENTIRELY from mergeable bitmap
+    state — no row-level user set ever crosses a pair boundary.
+
+    Why this shape at 100 TB: the naive overlap query self-joins the
+    (type, user) set on user_id — a shuffle sized by users × types
+    that reruns from raw data for every new pair. Here users collapse
+    once into per-(type, bucket) 32K-bit bitmaps (map-side combinable,
+    fixed-size shuffle rows); pair overlap then needs only bitmap
+    algebra: |A∪B| via ``bitmap_or_agg`` over each pair's buckets and
+    |A∩B| = |A| + |B| − |A∪B| (inclusion-exclusion — Spark has no
+    scalar bitmap AND, and with mergeable ORs it isn't needed). The
+    pair expansion multiplies the BITMAP table (|types|·buckets rows),
+    never the user rows — same state that `agg_bitmap_distinct` keeps
+    for exact distinct counts, reused for set algebra: the segment
+    audience-overlap matrix from sketch state alone.
+
+    The DuckDB oracle computes the same overlaps by the direct
+    distinct self-join — values must agree exactly (bitmaps are exact,
+    unlike HLL/theta sketches).
+    """
+    ev = table(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bkt")
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm")
+    )
+    sizes = per_bucket.groupBy("event_type").agg(
+        F.expr("sum(bitmap_count(bm))").cast("bigint").alias("n")
+    )
+    types = per_bucket.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    # Each pair pulls in both member types' bucket bitmaps. Two equi
+    # broadcast joins (one per pair role) instead of one OR-predicate
+    # join — the disjunction would plan as a nested loop; as equi legs
+    # both sides stay BroadcastHashJoin.
+    legs = per_bucket.join(
+        F.broadcast(pairs), F.col("event_type") == F.col("type_a")
+    ).select("type_a", "type_b", "bkt", "bm").unionByName(
+        per_bucket.join(
+            F.broadcast(pairs), F.col("event_type") == F.col("type_b")
+        ).select("type_a", "type_b", "bkt", "bm")
+    )
+    union_counts = (
+        legs.groupBy("type_a", "type_b", "bkt")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .groupBy("type_a", "type_b")
+        .agg(F.expr("sum(bitmap_count(bm))").cast("bigint").alias("n_union"))
+    )
+    joined = (
+        union_counts.join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_a"),
+                                     F.col("n").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_b"),
+                                     F.col("n").alias("n_b"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            (F.col("n_a") + F.col("n_b") - F.col("n_union")).alias("n_overlap"),
+            "n_union",
+        )
+    )
+    return joined.filter(F.col("n_overlap") > 0).select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_overlap",
+        trunc_digits(
+            F.col("n_overlap").cast("double") / F.col("n_union"), 4
+        ).alias("jaccard"),
+    )
