@@ -53,3 +53,22 @@ def test_decode_raises_for_real_media_types(spark):
 
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG", "image/png")
+
+
+def test_audio_segment_fanout_covers_all_bytes(spark):
+    from tpctools_spark.multimodal import AUDIO_SEGMENT_SAMPLES, segment_audio
+
+    docs = _docs(spark).drop("media_type")
+    sizes = {r.doc_id: r.n for r in docs.selectExpr(
+        "doc_id", "length(payload) AS n").collect()}
+    out = segment_audio(docs).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, segs in per_doc.items():
+        n = sizes[doc_id]
+        expect = (n + AUDIO_SEGMENT_SAMPLES - 1) // AUDIO_SEGMENT_SAMPLES
+        assert len(segs) == expect
+        # segments tile the payload exactly: all full-size but the last
+        assert sum(s.n_samples for s in segs) == n
+        assert all(s.peak >= 64 or s.energy >= 0 for s in segs)

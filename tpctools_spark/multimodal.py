@@ -217,3 +217,54 @@ def perceptual_hash(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out, columns=["doc_id", "phash"])
 
     return df.mapInPandas(run, PHASH_SCHEMA)
+
+
+AUDIO_SEGMENT_SAMPLES = 100  # stub "sample rate": 100 bytes = one segment
+AUDIO_SEGMENT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("segment_index", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("energy", LongType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+
+def segment_audio(df: DataFrame) -> DataFrame:
+    """Audio-segmentation plumbing: one waveform row fans out to one
+    row per fixed-length segment, each carrying integer signal stats.
+
+    The audio pattern at 100 TB: a decoder (ffmpeg/soundfile in a real
+    build) emits per-window features — here the stub treats the payload
+    bytes as unsigned 8-bit PCM at AUDIO_SEGMENT_SAMPLES samples per
+    segment and computes exact integer energy Σ(b−64)² and peak
+    amplitude per segment (ASCII payloads keep byte == code point, so
+    SQL reproduces both). Output cardinality is decoder-controlled —
+    ceil(n_bytes / segment) rows per doc — the same fan-out contract as
+    ``sample_frames``.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                for i in range(0, (len(data) + AUDIO_SEGMENT_SAMPLES - 1)
+                               // AUDIO_SEGMENT_SAMPLES):
+                    seg = data[i * AUDIO_SEGMENT_SAMPLES:
+                               (i + 1) * AUDIO_SEGMENT_SAMPLES]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "segment_index": i,
+                            "n_samples": len(seg),
+                            "energy": sum((b - 64) * (b - 64) for b in seg),
+                            "peak": max(seg),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_SEGMENT_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, AUDIO_SEGMENT_SCHEMA)

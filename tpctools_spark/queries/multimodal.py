@@ -245,3 +245,46 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("text/plain").alias("media_type"),
     )
     return resize_media(docs, 64, 64)
+
+
+@query(
+    "multimodal_audio_segment",
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS segment_index,
+           CAST(octet_length(encode(seg)) AS BIGINT) AS n_samples,
+           CAST(list_sum([(unicode(c) - 64) * (unicode(c) - 64)
+                          for c in string_split_regex(seg, '')])
+                AS BIGINT) AS energy,
+           CAST(list_max([unicode(c)
+                          for c in string_split_regex(seg, '')])
+                AS BIGINT) AS peak
+    FROM (
+      SELECT doc_id, i, substring(text, CAST(i * 100 AS INTEGER) + 1, 100) AS seg
+      FROM (SELECT doc_id, text, octet_length(encode(text)) AS n
+            FROM documents),
+           (SELECT unnest(range(100)) AS i)
+      WHERE i * 100 < n
+    )
+    """,
+)
+def multimodal_audio_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality through the binary pipeline: waveform payloads
+    segmented into fixed 100-sample windows with exact integer energy
+    and peak per segment (stub PCM decoder — see
+    ``tpctools_spark.multimodal.segment_audio``). Completes the
+    modality matrix: image (decode/resize/phash), video
+    (frame_sample), audio (this).
+
+    Oracle: ASCII fixture text makes each byte window a substring and
+    byte == code point, so segment energy/peak have exact SQL twins.
+    The range(100) spine in the oracle caps segments per doc at 100 —
+    fixture docs are ≤ a few hundred bytes, far under the cap (the
+    Spark side has no cap; a longer payload would emit more rows).
+    """
+    from tpctools_spark.multimodal import segment_audio
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return segment_audio(docs)
