@@ -299,3 +299,63 @@ def reshape_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.round(F.col("_sum_dec").cast("double"), 2).alias("total_spent"),
     )
+
+
+@query(
+    "reshape_cdc_compact",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops
+      FROM events
+    )
+    SELECT user_id, event_id AS last_event_id, event_type AS last_op,
+           value AS last_value, epoch_us(ts) AS last_ts_us, n_ops
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def reshape_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture log compaction with delete tombstones: the
+    event stream is a keyed change log (every row upserts its user's
+    state; ``error`` rows are tombstones), and compaction materializes
+    the current snapshot — latest surviving row per key, keys whose
+    final op is a tombstone disappear entirely.
+
+    This is the other half of the lakehouse pair: `corpus_upsert` is
+    MERGE (base ⋈ batch), this is log→snapshot (no base table at all —
+    the log IS the source of truth, the Kafka-compacted-topic /
+    Debezium-feed shape). One hash exchange on the key serves both the
+    row_number and the per-key op count (shared window partition);
+    ties broken by event_id so replays are deterministic. At 100 TB
+    compaction runs per key-range partition and the shuffle carries
+    each key's rows once — no driver state, no iteration.
+
+    Timestamps are emitted as epoch microseconds (bigint) so the value
+    hash is timezone-independent under any driver session.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wc = Window.partitionBy("user_id")
+    ranked = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        "ts",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).cast("bigint").alias("n_ops"),
+    )
+    return ranked.filter(
+        (F.col("rn") == 1) & (F.col("event_type") != "error")
+    ).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_op"),
+        F.col("value").alias("last_value"),
+        F.unix_micros("ts").alias("last_ts_us"),
+        "n_ops",
+    )

@@ -172,10 +172,11 @@ _PQ_TOPK = 10
 _PQ_FX = 1000  # fixed-point scale: round(x·1000) → exact integer L2
 
 
-def _pq_sql() -> str:
+def _pq_cte() -> str:
+    """The shared PQ CTE chain (fixed-point corpus → codes → LUT →
+    ADC scores) — used by both the top-k oracle and the recall eval."""
     sub_slices = ", ".join(str(s) for s in range(_PQ_M))
-    return f"""
-    WITH fx AS (
+    return f"""fx AS (
       SELECT vec_id, label,
              list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) * {_PQ_FX}) AS BIGINT)) AS q
@@ -209,7 +210,12 @@ def _pq_sql() -> str:
       FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.c
       WHERE enc.vec_id <> {_PQ_PROBE}
       GROUP BY enc.vec_id, enc.label
-    )
+    )"""
+
+
+def _pq_sql() -> str:
+    return f"""
+    WITH {_pq_cte()}
     SELECT vec_id, label, pq_dist,
            ROW_NUMBER() OVER (ORDER BY pq_dist, vec_id) AS rank
     FROM scored
@@ -419,4 +425,76 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc_digits(
             F.sum(covered).cast("double") / F.max("n_tokens"), 4
         ).alias("dup_ratio"),
+    )
+
+
+def _pq_recall_sql() -> str:
+    return f"""
+    WITH {_pq_cte()}, pq AS (
+      SELECT vec_id FROM scored ORDER BY pq_dist, vec_id LIMIT {_PQ_TOPK}
+    ), exact AS (
+      SELECT f.vec_id,
+             list_sum(list_transform(list_zip(f.q, p.pq2),
+                      t -> (t[1] - t[2]) * (t[1] - t[2]))) AS d
+      FROM fx f, (SELECT q AS pq2 FROM fx WHERE vec_id = {_PQ_PROBE}) p
+      WHERE f.vec_id <> {_PQ_PROBE}
+      ORDER BY d, vec_id LIMIT {_PQ_TOPK}
+    )
+    SELECT {_PQ_TOPK} AS k,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM pq JOIN exact ON pq.vec_id = exact.vec_id) AS n_hits,
+           (CAST((SELECT COUNT(*) FROM pq JOIN exact
+                   ON pq.vec_id = exact.vec_id) AS DOUBLE) / {_PQ_TOPK})
+             AS recall_at_k
+    """
+
+
+@query("sim_pq_recall", oracle=_pq_recall_sql())
+def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index quality: recall@k of the ADC top-k against the exact
+    fixed-point L2 ground truth for the standard probe — the eval that
+    gates any codebook/M/K change before it ships (same contract as
+    `sim_ivf_recall` for the IVF index).
+
+    Both sides are integer arithmetic over one corpus scan each; the
+    output is a single (k, hits, recall) row, so the whole comparison
+    is two top-k pipelines plus a 10-row id intersection. At 100 TB
+    the exact side runs over a sampled probe set only — structure
+    unchanged.
+    """
+    pq_ids = sim_pq_topk(spark, sf_dir).select(F.col("vec_id").alias("p_id"))
+    emb = table(spark, sf_dir, "embeddings")
+    fx = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * _PQ_FX).cast("bigint"),
+        ).alias("q"),
+    )
+    probe = fx.filter(F.col("vec_id") == _PQ_PROBE).select(
+        F.col("q").alias("pq2")
+    )
+
+    def sq_l2_full(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    exact = (
+        fx.filter(F.col("vec_id") != _PQ_PROBE)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", sq_l2_full(F.col("q"), F.col("pq2")).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(_PQ_TOPK)
+        .select(F.col("vec_id").alias("e_id"))
+    )
+    hits = pq_ids.join(exact, pq_ids.p_id == exact.e_id).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    return hits.select(
+        F.lit(_PQ_TOPK).alias("k"),
+        "n_hits",
+        (F.col("n_hits").cast("double") / _PQ_TOPK).alias("recall_at_k"),
     )
