@@ -90,6 +90,15 @@ HEADLINE = [
     "text_rake_keyphrases",
     "join_asof_tolerance",
     "dedup_url_canonical",
+    # Round-7 group: retrieval (BM25, PQ), span-level dedup, BFS,
+    # bitmap set algebra, audio fan-out, CDC compaction.
+    "text_bm25_search",
+    "sim_pq_topk",
+    "dedup_repeated_spans",
+    "graph_bfs_distance",
+    "agg_bitmap_overlap",
+    "multimodal_audio_segment",
+    "reshape_cdc_compact",
 ]
 
 # Driver-facing compact line keys: the stdout tail capture is ~2000

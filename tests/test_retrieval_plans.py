@@ -83,3 +83,31 @@ def test_bitmap_overlap_merges_sketch_state_only(spark):
     # pair spine and size tables ride broadcasts; no cartesian.
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_repeated_spans_invariants(spark):
+    """Span accounting must be internally consistent on real data."""
+    from tpctools_spark.registry import spark_queries
+
+    rows = spark_queries()["dedup_repeated_spans"](spark, SF).collect()
+    assert rows, "fixture corpus has duplicate 5-gram spans by construction"
+    for r in rows:
+        # every duplicate gram covers at most W new tokens; every span
+        # needs at least one gram; coverage can't exceed the document.
+        assert 1 <= r.n_spans <= r.n_dup_grams
+        assert r.n_spans * 5 <= r.dup_tokens or r.n_spans == r.n_dup_grams
+        assert r.dup_tokens <= r.n_dup_grams * 5
+        assert 0.0 <= r.dup_ratio <= 1.0
+
+
+def test_pq_recall_bounds(spark):
+    from tpctools_spark.registry import spark_queries
+
+    row = spark_queries()["sim_pq_recall"](spark, SF).collect()[0]
+    assert row.k == 10
+    assert 0 <= row.n_hits <= 10
+    # Seeded-medoid codebooks give modest recall (measured 2/10 at
+    # sf0.001) — the eval op's job is to REPORT that number, and the
+    # oracle already value-checks it exactly. Assert only that the
+    # index isn't totally broken (some overlap with ground truth).
+    assert row.n_hits >= 1
