@@ -60,6 +60,7 @@ _BNLJ_ALLOWED = {
     "mining_basket_lift",
     "pipeline_mix_weights",
     "quality_benford_digits",
+    "quality_ks_test",  # one-row (n1, n2) cohort-totals broadcast
     "sim_cosine_topk",
     "sim_cosine_topk_ivf",
     "sim_ivf_recall",  # composes the two probe-broadcast retrievals

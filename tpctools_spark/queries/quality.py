@@ -403,3 +403,204 @@ def quality_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
              'n_chars', n_rows, n_chars_null, CAST(0 AS BIGINT), n_chars_distinct
            ) AS (column_name, n_rows, n_null, n_blank, n_distinct)"""
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_ks_test
+
+_KS_A = "click"
+_KS_B = "purchase"
+# Reject at α=0.05: D > 1.358·sqrt((n1+n2)/(n1·n2)). Squaring both
+# sides and clearing denominators gives the integer test
+# ds² · 10⁴ > 18442 · (n1+n2) · n1 · n2  (1.358² = 1.8442 exactly at
+# 4 decimals), where ds = max |c1·n2 − c2·n1| is the integer-scaled
+# KS statistic — no sqrt, no FP comparison anywhere near the boundary.
+_KS_CRIT_X10K = 18442
+
+
+@query(
+    "quality_ks_test",
+    oracle=f"""
+    WITH src AS (
+      SELECT value,
+             CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END AS f1,
+             CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END AS f2
+      FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+    ), per_value AS (
+      SELECT value, SUM(f1) AS s1, SUM(f2) AS s2
+      FROM src GROUP BY value
+    ), cdf AS (
+      SELECT SUM(s1) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+             SUM(s2) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+      FROM per_value
+    ), tot AS (
+      SELECT CAST(COUNT(*) FILTER (f1 = 1) AS BIGINT) AS n1,
+             CAST(COUNT(*) FILTER (f2 = 1) AS BIGINT) AS n2
+      FROM src
+    )
+    SELECT tot.n1, tot.n2,
+           CAST(MAX(abs(cdf.c1 * tot.n2 - cdf.c2 * tot.n1)) AS BIGINT)
+             AS d_scaled,
+           (CAST(floor(CAST(MAX(abs(cdf.c1 * tot.n2 - cdf.c2 * tot.n1))
+                  AS DOUBLE) / (tot.n1 * tot.n2) * 1000000) AS DOUBLE)
+              / 1000000) AS d_stat,
+           (MAX(abs(cdf.c1 * tot.n2 - cdf.c2 * tot.n1))
+              * MAX(abs(cdf.c1 * tot.n2 - cdf.c2 * tot.n1)) * 10000
+            > {_KS_CRIT_X10K} * (tot.n1 + tot.n2) * tot.n1 * tot.n2)
+             AS reject_05
+    FROM cdf, tot
+    GROUP BY tot.n1, tot.n2
+    """,
+)
+def quality_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov test between two event
+    cohorts' value distributions — the distribution-shift gate that
+    needs no binning choices (unlike the PSI screens).
+
+    The statistic is computed in pure integers: per distinct value,
+    cumulative counts c1/c2 (one ordered window over the pre-aggregated
+    distinct-value table — never the raw rows), and
+    ds = max |c1·n2 − c2·n1|, so D = ds/(n1·n2) with the α=0.05
+    decision made by integer cross-multiplication (see _KS_CRIT_X10K) —
+    bit-identical across engines, no sqrt near a boundary. The global
+    window rides the distinct-value relation (map-side-combined first);
+    at 100 TB you'd quantize values to a fixed grid first, which only
+    shrinks that relation — same plan.
+    """
+    from pyspark.sql.window import Window
+
+    src = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(_KS_A, _KS_B))
+        .select(
+            "value",
+            F.when(F.col("event_type") == _KS_A, 1).otherwise(0).alias("f1"),
+            F.when(F.col("event_type") == _KS_B, 1).otherwise(0).alias("f2"),
+        )
+    )
+    per_value = src.groupBy("value").agg(
+        F.sum("f1").alias("s1"), F.sum("f2").alias("s2")
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = per_value.select(
+        F.sum("s1").over(w).alias("c1"), F.sum("s2").over(w).alias("c2")
+    )
+    tot = src.agg(
+        F.sum("f1").cast("bigint").alias("n1"),
+        F.sum("f2").cast("bigint").alias("n2"),
+    )
+    ds = F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")))
+    return (
+        cdf.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            ds.cast("bigint").alias("d_scaled"),
+            trunc_digits(
+                ds.cast("double") / (F.col("n1") * F.col("n2")), 6
+            ).alias("d_stat"),
+            (
+                ds * ds * 10000
+                > _KS_CRIT_X10K
+                * (F.col("n1") + F.col("n2"))
+                * F.col("n1")
+                * F.col("n2")
+            ).alias("reject_05"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality_cusum_changepoint
+
+_CUSUM_K_CENTS = 6000  # reference level: slightly above the ~50.0 mean
+_CUSUM_H_CENTS = 20000  # alarm threshold
+
+
+@query(
+    "quality_cusum_changepoint",
+    oracle=f"""
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) - {_CUSUM_K_CENTS} AS y
+      FROM events
+    ), p AS (
+      SELECT user_id, ts, event_id,
+             SUM(y) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt
+      FROM x
+    ), s AS (
+      SELECT user_id, ts,
+             pt - LEAST(MIN(pt) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS st
+      FROM p
+    )
+    SELECT user_id,
+           CAST(MAX(st) AS BIGINT) AS max_cusum_cents,
+           CAST(SUM(CASE WHEN st > {_CUSUM_H_CENTS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_over,
+           CAST(MIN(CASE WHEN st > {_CUSUM_H_CENTS} THEN epoch_us(ts) END)
+                AS BIGINT) AS first_alarm_us
+    FROM s
+    GROUP BY user_id
+    HAVING MAX(st) > {_CUSUM_H_CENTS}
+    """,
+)
+def quality_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point detection per user: alarm when the
+    cumulative excess over a reference level k crosses threshold h —
+    the sequential drift detector (Page 1954) behind burst/fraud
+    screens.
+
+    The textbook recursion S_t = max(0, S_{{t-1}} + x_t − k) looks
+    inherently sequential, but it has a closed window form:
+    S_t = P_t − min(0, min_{{j≤t}} P_j) with P the plain cumulative sum
+    of (x_t − k) — so the whole detector is two ordered windows over
+    one user_id exchange, no iteration, no UDF. Values are exact cents
+    (2-decimal doubles ×100), so every S_t is a bit-identical integer
+    in both engines. Output: per alarming user, the peak statistic,
+    samples over threshold, and the first alarm time (epoch µs).
+    """
+    from pyspark.sql.window import Window
+
+    x = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.round(F.col("value") * 100).cast("bigint") - _CUSUM_K_CENTS).alias(
+            "y"
+        ),
+    )
+    wp = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    p = x.select(
+        "user_id", "ts", "event_id", F.sum("y").over(wp).alias("pt")
+    )
+    wm = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    s = p.select(
+        "user_id",
+        "ts",
+        (
+            F.col("pt") - F.least(F.min("pt").over(wm), F.lit(0).cast("bigint"))
+        ).alias("st"),
+    )
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.max("st").cast("bigint").alias("max_cusum_cents"),
+            F.sum(F.when(F.col("st") > _CUSUM_H_CENTS, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_over"),
+            F.min(
+                F.when(F.col("st") > _CUSUM_H_CENTS, F.unix_micros("ts"))
+            )
+            .cast("bigint")
+            .alias("first_alarm_us"),
+        )
+        .filter(F.col("max_cusum_cents") > _CUSUM_H_CENTS)
+    )
