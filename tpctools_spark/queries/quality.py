@@ -604,3 +604,89 @@ def quality_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("max_cusum_cents") > _CUSUM_H_CENTS)
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_autocorr_lag1
+
+_AC_MIN_N = 10
+
+
+@query(
+    "quality_autocorr_lag1",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS x,
+             LEAD(CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+      FROM events
+    ), m AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs WHERE y IS NOT NULL
+      GROUP BY user_id
+      HAVING COUNT(*) >= {_AC_MIN_N}
+    )
+    SELECT user_id, n,
+           (CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+              / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1000000)
+              AS DOUBLE) / 1000000) AS r_lag1
+    FROM m
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def quality_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 serial correlation of each user's event-value series —
+    the independence screen behind bot/replay detection (human streams
+    decorrelate; scripted ones don't).
+
+    Consecutive pairs come from one LEAD over the per-user order (one
+    key exchange, deterministic tie-break by event_id); everything
+    after is the sufficient-statistics pattern: six exact integer
+    moments per user (values in cents), then Pearson r as one
+    projection. The variance terms n·Σx²−(Σx)² stay under 2⁵³, so the
+    int→double conversions are exact and each sqrt/divide is a single
+    correctly-rounded IEEE op — bit-identical across engines, same
+    trick as `events_ab_ttest`. At 100 TB: one shuffle, user-bounded
+    window state, map-side-combinable moment agg.
+    """
+    from pyspark.sql.window import Window
+
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = table(spark, sf_dir, "events").select(
+        "user_id", cents.alias("x"), F.lead(cents).over(w).alias("y")
+    ).filter(F.col("y").isNotNull())
+    m = (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        )
+        .filter(F.col("n") >= _AC_MIN_N)
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        m.filter((varx > 0) & (vary > 0))
+        .select(
+            "user_id",
+            "n",
+            trunc_digits(
+                num.cast("double")
+                / (F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double"))),
+                6,
+            ).alias("r_lag1"),
+        )
+    )
