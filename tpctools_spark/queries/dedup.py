@@ -1266,3 +1266,190 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("keep_doc_id"),
         (F.count(F.lit(1)) - 1).alias("n_dups"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_band_eval — LSH operating-point tuning
+
+_BAND_SHAPES = [(8, 4), (4, 8)]  # (bands, rows_per_band), both = 32 hashes
+_BAND_EST_MIN = N_MINHASH // 2  # "estimated duplicate": ≥ half slots agree
+
+
+def _sql_minhash_sig_cte() -> str:
+    """Programmatic twin of the signature pipeline (same constants as
+    `_minhash_signatures`), reusable by any band shape."""
+    mins = ",\n             ".join(
+        f"MIN((h1 * {_MINHASH_A[i]} + h2 * {_MINHASH_B[i]}) % {_HP}) AS mh_{i}"
+        for i in range(N_MINHASH)
+    )
+    return f"""toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               ELSE [] END) AS s
+      FROM toks
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) % {_HP} AS h1,
+             CAST(('0x' || substring(md5(s), 17, 15)) AS BIGINT) % {_HP} AS h2
+      FROM sh
+    ), sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM hashed GROUP BY doc_id
+    )"""
+
+
+def _sql_fold(idxs: list[int]) -> str:
+    expr = f"mh_{idxs[0]}"
+    for i in idxs[1:]:
+        expr = f"(({expr}) % {_HP}) * 131 + mh_{i}"
+    return expr
+
+
+def _band_eval_sql() -> str:
+    siglist = ", ".join(f"mh_{i}" for i in range(N_MINHASH))
+    agree = (
+        "list_sum(list_transform(range(1, 33), "
+        "i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))"
+    )
+    shapes = []
+    for nb, rpb in _BAND_SHAPES:
+        band_rows = "\n      UNION ALL\n      ".join(
+            f"SELECT doc_id, {b} AS band, "
+            f"{_sql_fold(list(range(b * rpb, (b + 1) * rpb)))} AS bucket "
+            f"FROM sig"
+            for b in range(nb)
+        )
+        shapes.append(f"""
+    SELECT {nb} AS n_bands, {rpb} AS rows_per_band,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN {agree} >= {_BAND_EST_MIN}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_est_dup,
+           (CAST(floor(CAST(SUM(CASE WHEN {agree} >= {_BAND_EST_MIN}
+                    THEN 1 ELSE 0 END) AS DOUBLE)
+                 / greatest(COUNT(*), 1) * 10000) AS DOUBLE) / 10000)
+             AS precision_proxy
+    FROM (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM (
+      {band_rows}
+      ) a JOIN (
+      {band_rows}
+      ) b ON a.band = b.band AND a.bucket = b.bucket
+           AND a.doc_id < b.doc_id
+    ) cand
+    JOIN sigl sa ON sa.doc_id = cand.doc_a
+    JOIN sigl sb ON sb.doc_id = cand.doc_b""")
+    union = "\n    UNION ALL\n".join(shapes)
+    return f"""
+    WITH {_sql_minhash_sig_cte()}, sigl AS (
+      SELECT doc_id, [{siglist}] AS sig FROM sig
+    )
+    {union}
+    """
+
+
+@query("dedup_minhash_band_eval", oracle=_band_eval_sql())
+def dedup_minhash_band_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH operating-point tuning: the SAME 32-hash minhash signatures
+    banded two ways — 8 bands × 4 rows (high recall, more candidates)
+    vs 4 bands × 8 rows (high precision, fewer) — with, per shape, the
+    candidate-pair count and the share whose signature agreement
+    estimates Jaccard ≥ 0.5. This is the S-curve measurement that
+    decides a production band shape BEFORE committing a 100 TB pass;
+    the cheap proxy (signature agreement, already computed) stands in
+    for exact rescoring, which `dedup_minhash` does downstream.
+
+    One signature build feeds both shapes (the expensive shingle→hash
+    reduction is shared; banding is a projection); each shape's
+    candidate generation is the standard band-bucket self-join —
+    bounded by bucket occupancy, never all-pairs. Everything is
+    arithmetic-hash integer state, so both engines agree exactly.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sigs = _minhash_signatures(docs).cache()
+    sig_el = lambda i: F.element_at("signature", i + 1)  # noqa: E731
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("sa"), F.col("sb"), lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    shapes = []
+    for nb, rpb in _BAND_SHAPES:
+        bands = sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            _fold_bucket(
+                                [sig_el(i) for i in range(b * rpb, (b + 1) * rpb)]
+                            ).alias("bucket"),
+                        )
+                        for b in range(nb)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc_id", "bb.band", "bb.bucket")
+        a = bands.select(
+            F.col("doc_id").alias("doc_a"), "band", "bucket"
+        )
+        b = bands.select(
+            F.col("doc_id").alias("doc_b"), "band", "bucket"
+        )
+        cand = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        scored = (
+            cand.join(
+                sigs.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("signature").alias("sa"),
+                ),
+                "doc_a",
+            )
+            .join(
+                sigs.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("signature").alias("sb"),
+                ),
+                "doc_b",
+            )
+            .select(agree.alias("n_agree"))
+        )
+        shapes.append(
+            scored.agg(
+                F.lit(nb).alias("n_bands"),
+                F.lit(rpb).alias("rows_per_band"),
+                F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+                F.sum(
+                    F.when(F.col("n_agree") >= _BAND_EST_MIN, 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_est_dup"),
+                trunc_digits(
+                    F.sum(
+                        F.when(F.col("n_agree") >= _BAND_EST_MIN, 1).otherwise(
+                            0
+                        )
+                    ).cast("double")
+                    / F.greatest(F.count(F.lit(1)), F.lit(1)),
+                    4,
+                ).alias("precision_proxy"),
+            )
+        )
+        # select order: lit columns first then aggs — agg() puts
+        # grouping-less literals as aggregate expressions, fine.
+    out = shapes[0].unionByName(shapes[1])
+    return out.select(
+        "n_bands", "rows_per_band", "n_candidates", "n_est_dup", "precision_proxy"
+    )

@@ -575,3 +575,53 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ``stream_custom_state_gap`` (applyInPandasWithState, fully supported);
 # a real deployment with protobuf swaps APIs without changing the
 # state-per-key design.
+
+
+@query(
+    "stream_cdc_compact",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops
+      FROM events
+    )
+    SELECT user_id, event_id AS last_event_id, event_type AS last_op,
+           value AS last_value, epoch_us(ts) AS last_ts_us, n_ops
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def stream_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``reshape_cdc_compact``: the change log arrives
+    as a stream and the compacted snapshot is maintained continuously —
+    latest surviving row per key, tombstones (`error`) suppressing keys.
+
+    State per key is ONE struct + a count: ``max_by`` over the packed
+    (ts, event_id) order key is a declarative aggregate, so every
+    micro-batch folds its rows into the running per-key maximum — the
+    Kafka-compacted-topic materialization without a custom stateful
+    operator. The tombstone filter runs on the aggregate stream, so
+    deleted keys never reach the sink. Drained with ``availableNow``
+    the snapshot is bit-equal to the batch window formulation (same
+    deterministic (ts, event_id) tie-break).
+    """
+    ev = _stream_events(spark, sf_dir)
+    last = F.expr(
+        "max_by(struct(event_id, event_type, value, unix_micros(ts) AS ts_us),"
+        " struct(ts, event_id))"
+    )
+    snap = (
+        ev.groupBy("user_id")
+        .agg(last.alias("last"), F.count(F.lit(1)).cast("bigint").alias("n_ops"))
+        .filter(F.col("last.event_type") != "error")
+        .select(
+            "user_id",
+            F.col("last.event_id").alias("last_event_id"),
+            F.col("last.event_type").alias("last_op"),
+            F.col("last.value").alias("last_value"),
+            F.col("last.ts_us").alias("last_ts_us"),
+            "n_ops",
+        )
+    )
+    return _drain_to_memory(snap, "complete")
