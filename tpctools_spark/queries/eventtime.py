@@ -988,3 +988,65 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+@query(
+    "events_type_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id, event_type
+    ), t AS (
+      SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM c GROUP BY user_id
+    ), terms AS (
+      SELECT c.user_id, t.total, t.n_types,
+             CAST((CAST(floor(-(CAST(c.cnt AS DOUBLE) / t.total)
+                    * ln(CAST(c.cnt AS DOUBLE) / t.total) * 1000000)
+                    AS DOUBLE) / 1000000) AS DECIMAL(18,6)) AS term
+      FROM c JOIN t USING (user_id)
+    )
+    SELECT user_id, n_types, total AS n_events,
+           CAST(SUM(term) AS DOUBLE) AS entropy_nats
+    FROM terms
+    GROUP BY user_id, n_types, total
+    """,
+)
+def events_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the behavioral
+    diversity screen (a bot replaying one action scores 0; a uniform
+    5-type mix scores ln 5 ≈ 1.609).
+
+    Two map-side-combinable aggregations (counts per (user, type),
+    totals per user) and one projection per term; each −p·ln p term is
+    truncated to 6 digits and summed as DECIMAL so the ≤5-term
+    addition order can't flip the hash — the same cross-engine pattern
+    as the PSI and bigram-LM scores. No windows, no joins beyond the
+    user-keyed rejoin; at 100 TB both aggs partial-combine before the
+    one shuffle.
+    """
+    c = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    t = c.groupBy("user_id").agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    p = F.col("cnt").cast("double") / F.col("total")
+    terms = c.join(t, "user_id").select(
+        "user_id",
+        "total",
+        "n_types",
+        trunc_digits(-p * F.log(p), 6).cast("decimal(18,6)").alias("term"),
+    )
+    return terms.groupBy("user_id", "n_types", "total").agg(
+        F.sum("term").cast("double").alias("entropy_nats")
+    ).select(
+        "user_id",
+        "n_types",
+        F.col("total").alias("n_events"),
+        "entropy_nats",
+    )

@@ -254,3 +254,44 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.sum("m").over(running).cast("bigint").alias("distinct_users"),
     )
+
+
+@query(
+    "window_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           (CAST(floor(quantile_cont(value, 0.5) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) * 100) AS DOUBLE)
+            / 100) AS med5
+    FROM events
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median over each user's last five events — the
+    robust smoother that a mean-based rolling window can't give you
+    (one spiked value drags a mean for the whole frame; the median
+    shrugs it off).
+
+    ``percentile`` runs as a true window aggregate over a ROWS frame
+    (fully ordered by (ts, event_id), so frame membership is
+    deterministic under ties); Spark's interpolated ``percentile`` is
+    bit-equal to DuckDB's ``quantile_cont`` — same interpolation, same
+    IEEE ops — the equivalence `quality_outlier_iqr` already relies
+    on. One user_id exchange, frame state bounded at 5 rows per
+    position: the plan a time-series store would pick.
+    """
+    from tpctools_spark.queries._util import trunc_digits
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        trunc_digits(F.expr("percentile(value, 0.5)").over(w), 2).alias(
+            "med5"
+        ),
+    )
