@@ -51,6 +51,7 @@ _SIDE_EFFECTING_PREFIXES = (
 _BNLJ_ALLOWED = {
     "agg_approx_topk",
     "agg_bitmap_overlap",  # event-type-vocabulary² pair spine (t_a < t_b self-join)
+    "agg_rfm_segments",  # one-row anchor-date + quartile-cutoff broadcasts
     "agg_hll_sketch_union",
     "events_ab_ttest",
     "events_dau_wau",  # calendar-sized day spine broadcast into the 7-day range join

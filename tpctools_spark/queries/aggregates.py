@@ -811,3 +811,170 @@ def agg_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_overlap").cast("double") / F.col("n_union"), 4
         ).alias("jaccard"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS flag,
+             l_extendedprice AS v,
+             CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem
+    ), ordered AS (
+      SELECT flag, v, wt,
+             SUM(wt) OVER (PARTITION BY flag ORDER BY v, wt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(wt) OVER (PARTITION BY flag) AS tw
+      FROM w
+    )
+    SELECT flag, MIN(v) AS weighted_median, CAST(MIN(tw) AS BIGINT) AS total_weight
+    FROM ordered
+    WHERE cw * 2 >= tw
+    GROUP BY flag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the aggregate
+    Spark has no built-in for (``percentile`` is unweighted), built
+    from its windowed definition: order values within the group, take
+    the first whose running weight reaches half the total.
+
+    One key exchange serves both windows (running weight and group
+    total share the partition); the crossing point is found by a
+    filter + MIN rather than any per-group loop, and the ≥-half test
+    is integer cross-multiplication (cw·2 ≥ tw) — no FP at the
+    boundary. Weights are exact integers (l_quantity); the median
+    VALUE passes through untouched, so the hash can't drift. At
+    100 TB this is the plan a warehouse picks for weighted quantiles:
+    sort within group key, single pass.
+    """
+    from pyspark.sql.window import Window
+
+    w = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    wr = (
+        Window.partitionBy("flag")
+        .orderBy("v", "wt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt_tot = Window.partitionBy("flag")
+    ordered = w.select(
+        "flag",
+        "v",
+        F.sum("wt").over(wr).alias("cw"),
+        F.sum("wt").over(wt_tot).alias("tw"),
+    )
+    return (
+        ordered.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("v").alias("weighted_median"),
+            F.min("tw").cast("bigint").alias("total_weight"),
+        )
+    )
+
+
+@query(
+    "agg_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                  (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders))
+               AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ), cuts AS (
+      SELECT quantile_cont(recency_days, 0.25) AS r1,
+             quantile_cont(recency_days, 0.50) AS r2,
+             quantile_cont(recency_days, 0.75) AS r3,
+             quantile_cont(frequency, 0.25) AS f1,
+             quantile_cont(frequency, 0.50) AS f2,
+             quantile_cont(frequency, 0.75) AS f3,
+             quantile_cont(monetary, 0.25) AS m1,
+             quantile_cont(monetary, 0.50) AS m2,
+             quantile_cont(monetary, 0.75) AS m3
+      FROM base
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           (CASE WHEN recency_days <= r1 THEN 4 WHEN recency_days <= r2 THEN 3
+                 WHEN recency_days <= r3 THEN 2 ELSE 1 END) AS r_score,
+           (CASE WHEN frequency <= f1 THEN 1 WHEN frequency <= f2 THEN 2
+                 WHEN frequency <= f3 THEN 3 ELSE 4 END) AS f_score,
+           (CASE WHEN monetary <= m1 THEN 1 WHEN monetary <= m2 THEN 2
+                 WHEN monetary <= m3 THEN 3 ELSE 4 END) AS m_score
+    FROM base, cuts
+    """,
+)
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quartile scores) — the classic marketing-analytics derivation.
+
+    Scale shape: the tempting formulation is three global ``ntile(4)``
+    windows, but a global ntile is a full sort into ONE partition — a
+    non-starter at 100 TB. Instead the quartile CUT-POINTS are computed
+    once (exact interpolated percentiles over the per-customer
+    aggregate — a one-row relation) and broadcast back; scoring is then
+    a stateless projection, embarrassingly parallel. The anchor date
+    (global max order date) rides the same one-row broadcast. Exact
+    decimal money sums and integer day/count metrics keep every
+    boundary comparison bit-identical in both engines.
+    """
+    o = table(spark, sf_dir, "orders")
+    anchor = o.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("anchor_date")
+    )
+    base = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(money(F.col("o_totalprice"))).alias("_mdec"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("anchor_date", "last_order")
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            F.round(F.col("_mdec").cast("double"), 2).alias("monetary"),
+        )
+    )
+    cuts = base.agg(
+        *[
+            F.expr(f"percentile({c}, {q})").alias(f"{c[0]}{i}")
+            for c in ("recency_days", "frequency", "monetary")
+            for i, q in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+    r = F.col("recency_days")
+    f_ = F.col("frequency")
+    m = F.col("monetary")
+    return base.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.when(r <= F.col("r1"), 4)
+        .when(r <= F.col("r2"), 3)
+        .when(r <= F.col("r3"), 2)
+        .otherwise(1)
+        .alias("r_score"),
+        F.when(f_ <= F.col("f1"), 1)
+        .when(f_ <= F.col("f2"), 2)
+        .when(f_ <= F.col("f3"), 3)
+        .otherwise(4)
+        .alias("f_score"),
+        F.when(m <= F.col("m1"), 1)
+        .when(m <= F.col("m2"), 2)
+        .when(m <= F.col("m3"), 3)
+        .otherwise(4)
+        .alias("m_score"),
+    )
