@@ -1050,3 +1050,94 @@ def events_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").alias("n_events"),
         "entropy_nats",
     )
+
+
+@query(
+    "events_value_concentration",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT x,
+             ROW_NUMBER() OVER (ORDER BY x DESC, user_id) AS rn,
+             SUM(x) OVER (ORDER BY x DESC, user_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cx
+      FROM per_user
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+      FROM per_user
+    )
+    SELECT tot.n AS n_users,
+           CAST(MIN(CASE WHEN cx * 5 >= tot.s * 4 THEN rn END) AS BIGINT)
+             AS users_for_80pct,
+           (CAST(floor(CAST(MIN(CASE WHEN cx * 5 >= tot.s * 4 THEN rn END)
+              AS DOUBLE) / tot.n * 10000) AS DOUBLE) / 10000)
+             AS share_of_users,
+           (CAST(floor(CAST(2 * SUM((tot.n - rn + 1) * x) - (tot.n + 1) * tot.s
+              AS DOUBLE) / (tot.n * tot.s) * 1000000) AS DOUBLE) / 1000000)
+             AS gini
+    FROM ranked, tot
+    GROUP BY tot.n, tot.s
+    """,
+)
+def events_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-concentration profile of the user base: how few users
+    produce 80% of total event value (the Pareto point) plus the exact
+    Gini coefficient — the two numbers behind every whale-risk /
+    concentration dashboard.
+
+    All in exact integers until the final divisions: per-user totals
+    in cents, one descending rank + running sum over the per-user
+    AGGREGATE (user-count-sized, never raw events), the 80% crossing
+    by integer cross-multiplication (cx·5 ≥ s·4), and Gini from the
+    rank identity G = (2·Σ iₐ·xₐ − (n+1)·Σx)/(n·Σx) using ascending
+    index iₐ = n − rn + 1 — no second sort. The one-row (n, s) totals
+    ride a broadcast. At 100 TB the global order runs over n_users
+    rows (already aggregated); beyond that you'd bucket by value range
+    first — same numbers, two passes.
+    """
+    from pyspark.sql.window import Window
+
+    per_user = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    w = Window.orderBy(F.col("x").desc(), "user_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_user.select(
+        "x",
+        F.row_number().over(w).alias("rn"),
+        F.sum("x").over(wc).alias("cx"),
+    )
+    tot = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    j = ranked.crossJoin(F.broadcast(tot))
+    eighty = F.min(
+        F.when(F.col("cx") * 5 >= F.col("s") * 4, F.col("rn"))
+    )
+    gini_num = 2 * F.sum(
+        (F.col("n") - F.col("rn") + 1) * F.col("x")
+    ) - (F.col("n") + 1) * F.col("s")
+    return j.groupBy("n", "s").agg(
+        eighty.cast("bigint").alias("users_for_80pct"),
+        trunc_digits(eighty.cast("double") / F.col("n"), 4).alias(
+            "share_of_users"
+        ),
+        trunc_digits(
+            gini_num.cast("double") / (F.col("n") * F.col("s")), 6
+        ).alias("gini"),
+    ).select(
+        F.col("n").alias("n_users"),
+        "users_for_80pct",
+        "share_of_users",
+        "gini",
+    )

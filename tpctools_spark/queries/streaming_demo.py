@@ -625,3 +625,57 @@ def stream_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain_to_memory(snap, "complete")
+
+
+@query(
+    "stream_python_datasource",
+    oracle="""
+    WITH feed AS (
+      SELECT rid AS reading_id,
+             ((rid * 654435747) % 1000000007) % 16 AS sensor_id,
+             CAST(((rid * 654435747) % 1000000007) % 10000 AS DOUBLE) / 100.0
+               AS reading
+      FROM (SELECT unnest(range(0, 1000)) AS rid)
+    )
+    SELECT sensor_id, COUNT(*) AS n_readings,
+           ROUND(CAST(SUM(CAST(reading AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS total_reading
+    FROM feed GROUP BY sensor_id
+    """,
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING connector via the Spark 4 Python DataSource
+    API: the deterministic sensor feed exposed through the
+    offset-range stream contract (initialOffset → latestOffset →
+    partitions(start, end) → read → commit) that a Kafka-like Python
+    connector implements — the streaming half of
+    `scan_python_datasource`'s extension point.
+
+    10 micro-batches × 100 readings drain under ``availableNow`` into
+    a complete-mode per-sensor aggregate; rows are the same pure
+    function of reading id as the batch source, so the drained stream
+    is value-equal to the batch feed prefix and DuckDB rebuilds it
+    from a range(). Offsets advance batch-at-a-time with no driver
+    data — a real connector maps them to partition/offset ranges the
+    same way.
+    """
+    from tpctools_spark.sources import SensorStreamSource
+
+    try:
+        spark.dataSource.register(SensorStreamSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+    feed = (
+        spark.readStream.format("sensor_feed_stream")
+        .option("rowsperbatch", "100")
+        .option("batches", "10")
+        .option("sensors", "16")
+        .load()
+    )
+    agg = feed.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).alias("n_readings"),
+        F.round(
+            F.sum(F.col("reading").cast("decimal(12,2)")).cast("double"), 2
+        ).alias("total_reading"),
+    )
+    return _drain_to_memory(agg, "complete")

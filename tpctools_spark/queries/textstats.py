@@ -787,3 +787,98 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# text_source_divergence
+
+_JS_SRC_A = "src0"
+_JS_SRC_B = "src1"
+
+
+@query(
+    "text_source_divergence",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, UNNEST(string_split(lower(trim(text)), ' ')) AS w
+      FROM documents WHERE source IN ('{_JS_SRC_A}', '{_JS_SRC_B}')
+    ), counts AS (
+      SELECT w,
+             CAST(SUM(CASE WHEN source = '{_JS_SRC_A}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN source = '{_JS_SRC_B}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM toks GROUP BY w
+    ), tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM counts
+    ), probs AS (
+      SELECT (CAST(c1 + 1 AS DOUBLE) / (n1 + v)) AS p,
+             (CAST(c2 + 1 AS DOUBLE) / (n2 + v)) AS q,
+             tot.v AS v
+      FROM counts, tot
+    ), terms AS (
+      SELECT v,
+             CAST((CAST(floor((0.5 * p * ln(p / ((p + q) * 0.5))
+                    + 0.5 * q * ln(q / ((p + q) * 0.5))) * 1000000)
+                    AS DOUBLE) / 1000000) AS DECIMAL(18,6)) AS term
+      FROM probs
+    )
+    SELECT '{_JS_SRC_A}' AS source_a, '{_JS_SRC_B}' AS source_b,
+           v AS vocab_size, CAST(SUM(term) AS DOUBLE) AS js_nats
+    FROM terms GROUP BY v
+    """,
+)
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between two sources' unigram
+    distributions — the symmetric, bounded corpus-comparison metric
+    (0 = identical mixes, ln 2 = disjoint) used to decide whether a
+    new crawl slice actually adds distributional novelty. Complements
+    the PSI screens, which bin NUMERIC columns; this compares the
+    text itself.
+
+    Laplace-smoothed over the union vocabulary so neither side's
+    missing terms blow up the logs; each JS term is truncated to 6
+    digits and decimal-summed (the addition-order-proof pattern), so
+    both engines hash identically. Dataflow: one token count per
+    (term, side) — map-side combinable — a one-row totals broadcast,
+    and a vocabulary-sized term table; nothing scales with document
+    count beyond the first aggregation.
+    """
+    toks = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("source").isin(_JS_SRC_A, _JS_SRC_B))
+        .select(
+            "source",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w"),
+        )
+    )
+    counts = toks.groupBy("w").agg(
+        F.sum(F.when(F.col("source") == _JS_SRC_A, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("source") == _JS_SRC_B, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    tot = counts.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    p = (F.col("c1") + 1).cast("double") / (F.col("n1") + F.col("v"))
+    q = (F.col("c2") + 1).cast("double") / (F.col("n2") + F.col("v"))
+    m = (p + q) * 0.5
+    term = 0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        "v", trunc_digits(term, 6).cast("decimal(18,6)").alias("term")
+    )
+    return terms.groupBy("v").agg(
+        F.sum("term").cast("double").alias("js_nats")
+    ).select(
+        F.lit(_JS_SRC_A).alias("source_a"),
+        F.lit(_JS_SRC_B).alias("source_b"),
+        F.col("v").alias("vocab_size"),
+        "js_nats",
+    )

@@ -17,7 +17,12 @@ same way; filter pushdown arrives via ``pushFilters`` in newer APIs.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 SENSOR_SCHEMA = "reading_id BIGINT, sensor_id BIGINT, reading DOUBLE"
 
@@ -56,3 +61,61 @@ class SensorFeedSource(DataSource):
 
     def reader(self, schema) -> SensorFeedReader:
         return SensorFeedReader(self.options)
+
+
+class SensorStreamReader(DataSourceStreamReader):
+    """Streaming reader for the same deterministic feed: each
+    micro-batch is one offset step emitting ``rowsperbatch`` readings,
+    up to ``batches`` total — the offset-range contract (initialOffset
+    → latestOffset → partitions(start, end) → read) that a real
+    Kafka-like Python connector implements. Rows are the SAME pure
+    function of global reading id as the batch reader, so a drained
+    stream equals the batch feed prefix exactly.
+    """
+
+    def __init__(self, options):
+        self._rows_per_batch = int(options.get("rowsperbatch", "100"))
+        self._n_batches = int(options.get("batches", "10"))
+        self._n_sensors = int(options.get("sensors", "16"))
+
+    def initialOffset(self):
+        return {"batch": 0}
+
+    def latestOffset(self):
+        return {"batch": self._n_batches}
+
+    def partitions(self, start, end):
+        return [
+            InputPartition((b, b + 1))
+            for b in range(start["batch"], end["batch"])
+        ]
+
+    def read(self, partition):
+        lo, hi = partition.value
+        for b in range(lo, hi):
+            base = b * self._rows_per_batch
+            for off in range(self._rows_per_batch):
+                rid = base + off
+                h = (rid * _A) % _P
+                yield (rid, h % self._n_sensors, float(h % 10_000) / 100.0)
+
+    def commit(self, end):
+        pass
+
+    def stop(self):
+        pass
+
+
+class SensorStreamSource(DataSource):
+    """``spark.readStream.format("sensor_feed_stream")`` after
+    ``spark.dataSource.register(SensorStreamSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sensor_feed_stream"
+
+    def schema(self) -> str:
+        return SENSOR_SCHEMA
+
+    def streamReader(self, schema):
+        return SensorStreamReader(self.options)
