@@ -539,3 +539,91 @@ def pipeline_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - F.countDistinct("digest")).alias("n_exact_dups"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_interleave_stride
+
+# Integer mixture weights per source and their LCM: the stride key
+# r·(L/w) is an exact integer, so the interleave order is a pure
+# function of (source, within-source rank) — reproducible on any
+# engine, any partitioning, any day.
+_STRIDE_WEIGHTS = {"src0": 3, "src1": 2, "src2": 1}
+_STRIDE_LCM = 6
+_STRIDE_TAKE = 60
+
+
+@query(
+    "pipeline_interleave_stride",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS r,
+             CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2 ELSE 1 END AS w
+      FROM documents WHERE source IN ('src0', 'src1', 'src2')
+    ), keyed AS (
+      SELECT doc_id, source, r,
+             r * ({_STRIDE_LCM} / w) AS stride_key
+      FROM ranked
+    )
+    SELECT doc_id, source, CAST(r AS BIGINT) AS source_rank,
+           CAST(stride_key AS BIGINT) AS stride_key,
+           ROW_NUMBER() OVER (ORDER BY stride_key, source, doc_id) AS position
+    FROM keyed
+    ORDER BY stride_key, source, doc_id
+    LIMIT {_STRIDE_TAKE}
+    """,
+)
+def pipeline_interleave_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional corpus interleave by stride scheduling: the
+    deterministic "data-loader order" that mixes sources 3:2:1 WITHOUT
+    random sampling — source s's r-th document is scheduled at virtual
+    time r/wₛ, realized as the exact integer key r·(LCM/wₛ), so over
+    any prefix each source's share converges to its weight and the
+    order is bit-reproducible (the property `pipeline_mix_weights`
+    only *samples* toward).
+
+    Dataflow: one per-source rank window (shuffle keyed by source),
+    one projection for the stride key; the global order materializes
+    only for the inspected prefix (TakeOrderedAndProject) — at 100 TB
+    the key IS the sort column you hand to repartitionByRange, and no
+    global sort ever runs on the driver. Stride scheduling is the
+    Waldspurger '95 scheduler trick applied to corpus mixing.
+    """
+    w_expr = (
+        F.when(F.col("source") == "src0", F.lit(_STRIDE_WEIGHTS["src0"]))
+        .when(F.col("source") == "src1", F.lit(_STRIDE_WEIGHTS["src1"]))
+        .otherwise(F.lit(_STRIDE_WEIGHTS["src2"]))
+    )
+    wr = Window.partitionBy("source").orderBy("doc_id")
+    ranked = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("source").isin(*_STRIDE_WEIGHTS))
+        .select("doc_id", "source")
+        .select(
+            "doc_id",
+            "source",
+            F.row_number().over(wr).alias("r"),
+            w_expr.alias("w"),
+        )
+    )
+    keyed = ranked.select(
+        "doc_id",
+        "source",
+        F.col("r").cast("bigint").alias("source_rank"),
+        (F.col("r") * (_STRIDE_LCM / F.col("w")).cast("bigint"))
+        .cast("bigint")
+        .alias("stride_key"),
+    )
+    wo = Window.orderBy("stride_key", "source", "doc_id")
+    return (
+        keyed.orderBy("stride_key", "source", "doc_id")
+        .limit(_STRIDE_TAKE)
+        .select(
+            "doc_id",
+            "source",
+            "source_rank",
+            "stride_key",
+            F.row_number().over(wo).alias("position"),
+        )
+    )
