@@ -1033,3 +1033,136 @@ def join_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("valid_to").isNull() | (F.col("probe_ts") < F.col("valid_to"))),
         "left",
     ).select("event_id", "user_id", F.col("state").alias("state_1h_before"))
+
+
+# ---------------------------------------------------------------------------
+# join_temporal_align
+
+_TA_INF_US = 1 << 62  # open-ended validity sentinel (exact integer)
+
+
+@query(
+    "join_temporal_align",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), seg AS (
+      SELECT user_id, ts, event_type,
+             CAST(SUM(chg) OVER wo AS BIGINT) AS version,
+             CAST(SUM(new_session) OVER wo AS BIGINT) AS sid
+      FROM ordered
+      WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), hist AS (
+      SELECT user_id, version, MIN(event_type) AS state,
+             MIN(epoch_us(ts)) AS vf,
+             COALESCE(lead(MIN(epoch_us(ts))) OVER (
+               PARTITION BY user_id ORDER BY version), {_TA_INF_US}) AS vt
+      FROM seg GROUP BY user_id, version
+    ), sessions AS (
+      SELECT user_id, sid,
+             MIN(epoch_us(ts)) AS ss, MAX(epoch_us(ts)) + 1 AS se
+      FROM seg GROUP BY user_id, sid
+    )
+    SELECT s.user_id, s.sid AS session_id, h.version, h.state,
+           CAST(LEAST(s.se, h.vt) - GREATEST(s.ss, h.vf) AS BIGINT)
+             AS overlap_us
+    FROM sessions s JOIN hist h
+      ON s.user_id = h.user_id
+     AND LEAST(s.se, h.vt) - GREATEST(s.ss, h.vf) > 0
+    """,
+)
+def join_temporal_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal ALIGN join: intersect each user's session intervals
+    (30-minute gap islands) with their SCD2 state-validity intervals,
+    emitting the exact overlap duration per (session, version) pair —
+    the temporal-database operation behind "which dimension version
+    was live during this activity period, and for how long".
+
+    Both interval sets derive from ONE shared window pass (change
+    points and session breaks ride the same (user, ts, event_id)
+    ordering — one exchange, two running sums), then the align itself
+    is an equi join on the entity key with the overlap inequality as a
+    residual — never an unkeyed range join. Sessions are half-open
+    [start, last+1µs) so single-event sessions still align with their
+    containing version; open-ended current versions use an integer
+    sentinel. All arithmetic is epoch-microsecond integers: exact,
+    timezone-independent, hash-stable.
+    """
+    ev = table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = wo.rowsBetween(Window.unboundedPreceding, 0)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("event_type").over(wo).isNull()
+            | (F.lag("event_type").over(wo) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+        F.when(
+            F.lag("ts").over(wo).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wo))
+                >= 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    seg = flagged.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("chg").over(wcum).cast("bigint").alias("version"),
+        F.sum("new_session").over(wcum).cast("bigint").alias("sid"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    hist = (
+        seg.groupBy("user_id", "version")
+        .agg(
+            F.min("event_type").alias("state"),
+            F.min(F.unix_micros("ts")).alias("vf"),
+        )
+        .select(
+            "user_id",
+            "version",
+            "state",
+            "vf",
+            F.coalesce(
+                F.lead("vf").over(wv), F.lit(_TA_INF_US).cast("bigint")
+            ).alias("vt"),
+        )
+    )
+    sessions = seg.groupBy("user_id", "sid").agg(
+        F.min(F.unix_micros("ts")).alias("ss"),
+        (F.max(F.unix_micros("ts")) + 1).alias("se"),
+    )
+    s = sessions.alias("s")
+    h = hist.alias("h")
+    overlap = F.least(F.col("s.se"), F.col("h.vt")) - F.greatest(
+        F.col("s.ss"), F.col("h.vf")
+    )
+    return (
+        s.join(h, (F.col("s.user_id") == F.col("h.user_id")) & (overlap > 0))
+        .select(
+            F.col("s.user_id").alias("user_id"),
+            F.col("s.sid").alias("session_id"),
+            F.col("h.version").alias("version"),
+            F.col("h.state").alias("state"),
+            overlap.cast("bigint").alias("overlap_us"),
+        )
+    )
