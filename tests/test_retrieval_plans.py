@@ -111,3 +111,22 @@ def test_pq_recall_bounds(spark):
     # oracle already value-checks it exactly. Assert only that the
     # index isn't totally broken (some overlap with ground truth).
     assert row.n_hits >= 1
+
+
+def test_hilbert_matches_reference_and_is_shuffle_free(spark):
+    """The generated SQL must BE the canonical xy2d — checked against
+    the driver-side Python reference on real rows — and the address
+    projection must plan with zero exchanges."""
+    from tpctools_spark.queries.mining import hilbert_xy2d_py
+    from tpctools_spark.registry import spark_queries
+
+    df = spark_queries()["layout_hilbert_address"](spark, SF)
+    rows = df.collect()
+    assert rows
+    for r in rows[:200]:
+        assert r.haddr == hilbert_xy2d_py(r.x, r.y), (r.x, r.y)
+    # curve property: consecutive addresses are grid neighbors, so the
+    # full 256x256 address range is a bijection — spot-check bounds.
+    assert all(0 <= r.haddr < 65536 for r in rows)
+    plan = _plan(df)
+    assert "Exchange" not in plan

@@ -1166,3 +1166,121 @@ def join_temporal_align(spark: SparkSession, sf_dir: str) -> DataFrame:
             overlap.cast("bigint").alias("overlap_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# layout_hilbert_address
+
+_H_ORDER = 8  # 8-bit coordinates → 256×256 grid, address < 65536
+_H_N = 1 << _H_ORDER
+
+
+def _hilbert_round_exprs(s: int, xor_fmt: str) -> tuple[str, str, str]:
+    """One xy2d round (canonical Wikipedia formulation, grid n=256):
+    returns (x', y', d') SQL expressions over columns x, y, d.
+    ``xor_fmt`` renders integer XOR (engine-specific syntax)."""
+    rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+    step = xor_fmt.format(a=f"(3 * {rx})", b=ry)
+    d_new = f"d + {s * s} * ({step})"
+    x_new = (
+        f"CASE WHEN {ry} = 0 THEN "
+        f"(CASE WHEN {rx} = 1 THEN {_H_N - 1} - y ELSE y END) "
+        f"ELSE x END"
+    )
+    y_new = (
+        f"CASE WHEN {ry} = 0 THEN "
+        f"(CASE WHEN {rx} = 1 THEN {_H_N - 1} - x ELSE x END) "
+        f"ELSE y END"
+    )
+    return x_new, y_new, d_new
+
+
+def hilbert_xy2d_py(x: int, y: int) -> int:
+    """Driver-side reference of the same canonical xy2d (used by the
+    faithfulness test, never in the dataflow)."""
+    d = 0
+    s = _H_N // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = _H_N - 1 - x
+                y = _H_N - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def _hilbert_sql() -> str:
+    ctes = [
+        f"""r0 AS (
+      SELECT event_id, user_id % {_H_N} AS x0,
+             CAST(floor(value) AS BIGINT) % {_H_N} AS y0,
+             user_id % {_H_N} AS x,
+             CAST(floor(value) AS BIGINT) % {_H_N} AS y,
+             CAST(0 AS BIGINT) AS d
+      FROM events
+    )"""
+    ]
+    prev = "r0"
+    for k, s in enumerate((1 << i for i in range(_H_ORDER - 1, -1, -1)), 1):
+        xn, yn, dn = _hilbert_round_exprs(s, "xor({a}, {b})")
+        ctes.append(f"""r{k} AS (
+      SELECT event_id, x0, y0, {xn} AS x, {yn} AS y, {dn} AS d
+      FROM {prev}
+    )""")
+        prev = f"r{k}"
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT event_id, x0 AS x, y0 AS y, CAST(d AS BIGINT) AS haddr,
+           CAST(d >> 10 AS BIGINT) AS file_bucket
+    FROM {prev}
+    """
+
+
+@query("layout_hilbert_address", oracle=_hilbert_sql())
+def layout_hilbert_address(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve addresses for the same two scan dimensions as
+    `layout_zorder_address` — the data-skipping layout with strictly
+    better locality than Z-order (every curve step is a grid neighbor,
+    so range-partitioned files get tighter per-file min/max rectangles;
+    Z-order jumps at power-of-two seams).
+
+    The canonical xy2d walk (8 reflect-rotate rounds for a 256×256
+    grid) is inherently sequential PER ROW but stateless ACROSS rows,
+    so it unrolls into 8 chained projections — one whole-stage-codegen
+    span, zero shuffles, and both engines run byte-identical generated
+    expressions (a driver-side Python reference pins the formulation
+    in pytest). The layout write, like Z-order, is
+    ``repartitionByRange("haddr")`` — one range exchange at any scale.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % _H_N).alias("x0"),
+        (F.floor("value").cast("bigint") % _H_N).alias("y0"),
+        (F.col("user_id") % _H_N).alias("x"),
+        (F.floor("value").cast("bigint") % _H_N).alias("y"),
+        F.lit(0).cast("bigint").alias("d"),
+    )
+    cur = ev
+    for s in (1 << i for i in range(_H_ORDER - 1, -1, -1)):
+        xn, yn, dn = _hilbert_round_exprs(s, "({a} ^ {b})")
+        cur = cur.select(
+            "event_id",
+            "x0",
+            "y0",
+            F.expr(xn).alias("x"),
+            F.expr(yn).alias("y"),
+            F.expr(dn).alias("d"),
+        )
+    return cur.select(
+        "event_id",
+        F.col("x0").alias("x"),
+        F.col("y0").alias("y"),
+        F.col("d").cast("bigint").alias("haddr"),
+        F.shiftright("d", 10).cast("bigint").alias("file_bucket"),
+    )
