@@ -35,3 +35,25 @@ def test_entry_flagship_runs(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert "l_returnflag" in df.columns
+
+
+def test_readme_inventory_table_matches_registry():
+    """The README verification map must list EVERY registered query with
+    the right check kind — regenerated wholesale when queries are added,
+    so drift (a missing row, a stale count) fails here, not in review."""
+    import re
+
+    from tpctools_spark.registry import oracle_queries, spark_queries
+
+    qs = spark_queries()
+    os_ = oracle_queries()
+    text = open("/root/repo/README.md").read()
+    rows = dict(
+        re.findall(r"^\| `([a-z0-9_]+)` \| (oracle|rows-only) \|", text, re.M)
+    )
+    missing = sorted(set(qs) - set(rows))
+    assert not missing, f"README table missing: {missing[:10]}"
+    for k in qs:
+        want = "oracle" if k in os_ else "rows-only"
+        assert rows[k] == want, (k, rows[k], want)
+    assert f"**{len(qs)} registered queries**" in text
