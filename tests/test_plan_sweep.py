@@ -72,6 +72,7 @@ _BNLJ_ALLOWED = {
     "sim_knn_join",
     "text_bigram_lm",
     "text_bm25_search",  # one-row (N, avgdl) corpus-stats broadcast
+    "text_hybrid_rrf",  # composes the bm25 + cosine probe-broadcast legs
     "tpcds_q14_cross_channel_intersect",
     "tpcds_q23_frequent_best",
     "tpcds_q9_quantity_brackets",

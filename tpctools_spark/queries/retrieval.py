@@ -53,10 +53,10 @@ _BM25_B = 0.75
 _BM25_TOPK = 20
 
 
-@query(
-    "text_bm25_search",
-    oracle=f"""
-    WITH docs0 AS (
+def _bm25_cte() -> str:
+    """BM25 CTE chain (tokenize → stats → tf/df → decimal-summed
+    scores) shared by the top-k oracle and the hybrid-RRF fusion."""
+    return f"""docs0 AS (
       SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
     ), dl AS (
       SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM docs0
@@ -87,7 +87,13 @@ _BM25_TOPK = 20
     ), scored AS (
       SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score_raw
       FROM per_term GROUP BY doc_id
-    )
+    )"""
+
+
+@query(
+    "text_bm25_search",
+    oracle=f"""
+    WITH {_bm25_cte()}
     SELECT doc_id, {sql_trunc_digits("score_raw", 4)} AS bm25,
            ROW_NUMBER() OVER (ORDER BY score_raw DESC, doc_id) AS rank
     FROM scored
@@ -497,4 +503,100 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_PQ_TOPK).alias("k"),
         "n_hits",
         (F.col("n_hits").cast("double") / _PQ_TOPK).alias("recall_at_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_hybrid_rrf
+
+_RRF_K = 60
+_RRF_TOPK = 10
+
+
+def _rrf_sql() -> str:
+    from tpctools_spark.queries.similarity import (
+        PROBE_VEC_ID,
+        TOP_K,
+        _SQL_DOT,
+    )
+
+    dot_ep = _SQL_DOT.format(a="e", b="pe")
+    dot_ee = _SQL_DOT.format(a="e", b="e")
+    return f"""
+    WITH {_bm25_cte()}, bm_ranked AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score_raw DESC, doc_id) AS rb
+      FROM scored ORDER BY score_raw DESC, doc_id LIMIT {_BM25_TOPK}
+    ), prep AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), probe AS (
+      SELECT e AS pe, {dot_ee} AS p_sq FROM prep
+      WHERE vec_id = {PROBE_VEC_ID}
+    ), cscored AS (
+      SELECT vec_id, {dot_ep} / (sqrt({dot_ee}) * sqrt(p_sq)) AS cos_raw
+      FROM prep, probe WHERE vec_id <> {PROBE_VEC_ID}
+    ), cos_ranked AS (
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY cos_raw DESC, vec_id) AS rc
+      FROM cscored ORDER BY cos_raw DESC, vec_id LIMIT {TOP_K}
+    ), fused AS (
+      SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id, b.rb, c.rc,
+             COALESCE(1.0 / ({_RRF_K} + b.rb), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + c.rc), 0.0) AS rrf_raw
+      FROM bm_ranked b FULL OUTER JOIN cos_ranked c ON b.doc_id = c.doc_id
+    )
+    SELECT doc_id, CAST(rb AS BIGINT) AS bm25_rank,
+           CAST(rc AS BIGINT) AS cos_rank,
+           {sql_trunc_digits("rrf_raw", 6)} AS rrf_score,
+           ROW_NUMBER() OVER (ORDER BY rrf_raw DESC, doc_id) AS rank
+    FROM fused
+    ORDER BY rrf_raw DESC, doc_id
+    LIMIT {_RRF_TOPK}
+    """
+
+
+@query("text_hybrid_rrf", oracle=_rrf_sql())
+def text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion: the BM25 lexical
+    top-k and the embedding-cosine top-k merge on document id with
+    score Σ 1/(k + rank) (k=60, Cormack et al. 2009) — the standard
+    way production search fuses sparse and dense rankers without score
+    calibration, since RRF consumes only RANKS.
+
+    Both legs are the existing oracle-checked retrievals composed
+    as-is; fusion is a full outer join of two ≤k-row ranked lists —
+    driver-free, broadcast-sized — and the RRF sum is two divisions in
+    a fixed expression order, so the hash is engine-stable. At 100 TB
+    each leg scales independently (inverted postings vs ANN index);
+    the fusion cost never grows past k+k rows.
+    """
+    from tpctools_spark.queries.similarity import sim_cosine_topk
+
+    bm = text_bm25_search(spark, sf_dir).select(
+        F.col("doc_id"), F.col("rank").alias("rb")
+    )
+    cos = sim_cosine_topk(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").alias("rc")
+    )
+    fused = bm.join(cos, "doc_id", "full_outer").select(
+        "doc_id",
+        "rb",
+        "rc",
+        (
+            F.coalesce(1.0 / (_RRF_K + F.col("rb")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("rc")), F.lit(0.0))
+        ).alias("rrf_raw"),
+    )
+    w = Window.orderBy(F.col("rrf_raw").desc(), "doc_id")
+    return (
+        fused.orderBy(F.col("rrf_raw").desc(), "doc_id")
+        .limit(_RRF_TOPK)
+        .select(
+            "doc_id",
+            F.col("rb").cast("bigint").alias("bm25_rank"),
+            F.col("rc").cast("bigint").alias("cos_rank"),
+            trunc_digits(F.col("rrf_raw"), 6).alias("rrf_score"),
+            F.row_number().over(w).alias("rank"),
+        )
     )
