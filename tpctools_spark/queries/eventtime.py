@@ -1141,3 +1141,65 @@ def events_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "share_of_users",
         "gini",
     )
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH carried AS (
+      SELECT event_id, event_type, value,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+      FROM events
+    )
+    SELECT COALESCE(channel, 'direct') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS attributed_value
+    FROM carried
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent preceding non-purchase event type (its "channel"); purchases
+    with no prior touch credit 'direct'. The output is the per-channel
+    conversion census — count and exact-decimal attributed value.
+
+    The carry is ONE window pass (last_value ignore-nulls over an
+    unbounded-preceding-to-1-preceding frame — the same scalable as-of
+    formulation as `join_asof_event`, never a join+filter), then a
+    tiny channel-keyed aggregate. One user_id exchange total; at
+    100 TB attribution over a year of events is exactly this plan with
+    more splits.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = ev.select(
+        "event_type",
+        "value",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("channel"),
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 2
+            ).alias("attributed_value"),
+        )
+    )

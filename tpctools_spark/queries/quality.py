@@ -690,3 +690,67 @@ def quality_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r_lag1"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_k_anonymity
+
+_KANON_K = 5
+
+
+@query(
+    "quality_k_anonymity",
+    oracle=f"""
+    WITH classes AS (
+      SELECT user_id % 50 AS user_bucket, event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_num,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM events
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN k < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_risky_classes,
+           CAST(SUM(CASE WHEN k < {_KANON_K} THEN k ELSE 0 END) AS BIGINT)
+             AS n_risky_rows,
+           CAST(MIN(k) AS BIGINT) AS min_k
+    FROM classes
+    """,
+)
+def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (coarsened
+    user bucket, event type, day): every equivalence class with fewer
+    than k={_KANON_K} rows is a re-identification risk — the privacy
+    screen run BEFORE a dataset leaves the pipeline, complementing
+    `pipeline_pii_scrub` (which removes direct identifiers; this
+    measures what the remaining quasi-identifiers still leak).
+
+    One map-side-combinable groupBy over the quasi-identifier tuple,
+    then a single-row census (classes, risky classes, affected rows,
+    worst k). Day numbers are integer epoch-day arithmetic — no
+    timezone/rendering dependence. At 100 TB the class table is the
+    only shuffled relation; generalization ladders (coarser buckets
+    until min_k ≥ k) just re-run this same aggregate per rung.
+    """
+    classes = (
+        table(spark, sf_dir, "events")
+        .select(
+            (F.col("user_id") % 50).alias("user_bucket"),
+            "event_type",
+            F.floor(F.unix_micros("ts") / 86_400_000_000)
+            .cast("bigint")
+            .alias("day_num"),
+        )
+        .groupBy("user_bucket", "event_type", "day_num")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    return classes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum(F.when(F.col("k") < _KANON_K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_risky_classes"),
+        F.sum(F.when(F.col("k") < _KANON_K, F.col("k")).otherwise(0))
+        .cast("bigint")
+        .alias("n_risky_rows"),
+        F.min("k").cast("bigint").alias("min_k"),
+    )
