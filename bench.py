@@ -99,6 +99,13 @@ HEADLINE = [
     "agg_bitmap_overlap",
     "multimodal_audio_segment",
     "reshape_cdc_compact",
+    "text_hybrid_rrf",
+    "layout_hilbert_address",
+    "quality_ks_test",
+    "quality_cusum_changepoint",
+    "events_value_concentration",
+    "dedup_minhash_band_eval",
+    "join_temporal_align",
 ]
 
 # Driver-facing compact line keys: the stdout tail capture is ~2000
