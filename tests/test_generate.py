@@ -117,3 +117,32 @@ def test_generate_writes_parquet(spark, tmp_path):
     assert spark.read.parquet(f"{out}/supplier.parquet").count() == int(
         ROWS_PER_SF["supplier"] * SCALE
     )
+
+
+def test_corpus_generator_partition_invariant(spark):
+    """The corpus generators must honor the same chunking contract as
+    the TPC generators: identical output for any partition count."""
+    from tpctools_spark.generate_corpus import (
+        gen_documents,
+        gen_embeddings,
+        gen_events,
+    )
+
+    for fn, key in [
+        (gen_documents, "doc_id"),
+        (gen_embeddings, "vec_id"),
+        (gen_events, "event_id"),
+    ]:
+        a = sorted(fn(spark, 200, parts=1).collect(), key=lambda r: r[0])
+        b = sorted(fn(spark, 200, parts=7).collect(), key=lambda r: r[0])
+        assert a == b, key
+
+
+def test_corpus_generator_plants_near_dups(spark):
+    from tpctools_spark.generate_corpus import gen_documents
+
+    rows = {r.doc_id: r.text for r in gen_documents(spark, 50).collect()}
+    for i in range(7, 50, 7):
+        # every 7th doc is its predecessor plus exactly one marker word
+        assert rows[i].startswith(rows[i - 1])
+        assert len(rows[i].split()) == len(rows[i - 1].split()) + 1

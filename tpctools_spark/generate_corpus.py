@@ -1,0 +1,134 @@
+"""Corpus-domain synthetic generator: documents / embeddings / events.
+
+The reference engine is, at its core, a partition-parallel deterministic
+data generator for the TPC schemas (``/root/reference/src/tpch.rs:50-77``,
+``src/tpcds.rs``). This module extends the same contract to the
+LLM-pipeline domain the new engine serves: every column is a pure
+function of the row id through one arithmetic hash family, so output is
+bit-identical for ANY partition count (the dbgen ``-C/-S`` chunking
+contract, property-tested like the TPC generators) and every value is
+re-derivable in ANSI SQL for the oracle gate.
+
+Built-in structure the downstream operators need to exercise:
+- documents: every 7th doc (id>0) is a NEAR-DUP of its predecessor
+  (same word sequence + one appended marker word) — planted positives
+  for the dedup family at any scale;
+- embeddings: label-clustered vectors (centroid(label) + bounded hash
+  noise) — planted geometry for ANN/kmeans;
+- events: hash-assigned users and session-like timestamp spread.
+
+Hash family: h(id, salt) = (id·A + salt·B + C) mod P with the repo's
+standard 2-universal constants — exact BIGINT arithmetic in both Spark
+and DuckDB (products stay far under 2⁶³).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_P = 1_000_000_007
+_A = 654_435_761
+_B = 2_654_435_789 % _P
+_C = 97
+
+# 31-word vocabulary (mirrors the driver fixture's density so word
+# n-gram operators see realistic collision rates).
+VOCAB = [
+    "the", "fast", "key", "order", "sort", "table", "scan", "merge",
+    "part", "window", "small", "hash", "join", "batch", "stream",
+    "spark", "group", "query", "row", "data", "slow", "filter",
+    "customer", "line", "value", "agg", "big", "a", "of", "and", "to",
+]
+
+EVENT_TYPES = ["view", "click", "purchase", "error", "signup"]
+_BASE_US = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z in epoch micros
+_SPAN_US = 7 * 24 * 3600 * 1_000_000  # one week
+
+
+def _h(i: Column, salt) -> Column:
+    """Arithmetic row hash — exact integers, SQL-replicable.
+
+    Both operands are forced to BIGINT before the products: sequence()
+    indices arrive as INT32 and silently wrap at p·B otherwise (the
+    same trap the DuckDB twin hits under strict overflow checking).
+    """
+    return (
+        i.cast("bigint") * _A + F.lit(salt).cast("bigint") * _B + _C
+    ) % _P
+
+
+def _sql_h(i: str, salt: str) -> str:
+    return (
+        f"(CAST({i} AS BIGINT) * {_A}"
+        f" + CAST({salt} AS BIGINT) * {_B} + {_C}) % {_P}"
+    )
+
+
+def gen_documents(spark: SparkSession, n_docs: int, parts: int = 8) -> DataFrame:
+    """documents(doc_id, source, lang, n_words, text) — near-dup pairs
+    planted at every id ≡ 0 (mod 7)."""
+    i = F.col("id")
+    # near-dup: content derives from base_id; copies append one marker
+    base = F.when((i % 7 == 0) & (i > 0), i - 1).otherwise(i)
+    n_words = (_h(base, 0) % 60 + 20).cast("int")
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    words = F.transform(
+        F.sequence(F.lit(1), n_words),
+        lambda p: F.element_at(vocab, (_h(base, p) % len(VOCAB) + 1).cast("int")),
+    )
+    text = F.when(
+        (i % 7 == 0) & (i > 0),
+        F.concat(
+            F.array_join(words, " "),
+            F.lit(" "),
+            F.element_at(vocab, (i % len(VOCAB) + 1).cast("int")),
+        ),
+    ).otherwise(F.array_join(words, " "))
+    return spark.range(0, n_docs, 1, parts).select(
+        i.alias("doc_id"),
+        F.concat(F.lit("src"), (i % 20).cast("string")).alias("source"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("es")),
+            (_h(i, 7) % 4 + 1).cast("int"),
+        ).alias("lang"),
+        F.size(F.split(text, " ")).cast("bigint").alias("n_words"),
+        text.alias("text"),
+    )
+
+
+def gen_embeddings(
+    spark: SparkSession, n_vecs: int, dim: int = 16, parts: int = 8
+) -> DataFrame:
+    """embeddings(vec_id, label, embedding) — label-clustered: component
+    j = centroid(label, j) + noise, all values exact k/1000 doubles."""
+    i = F.col("id")
+    label = (i % 10).cast("int")
+    emb = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda j: (
+            ((label * 1000 + j * 37) % 997 - 498).cast("double") / 1000.0
+            + ((_h(i, j) % 401 - 200)).cast("double") / 1000.0
+        ),
+    )
+    return spark.range(0, n_vecs, 1, parts).select(
+        i.alias("vec_id"), label.alias("label"), emb.alias("embedding")
+    )
+
+
+def gen_events(spark: SparkSession, n_events: int, parts: int = 8) -> DataFrame:
+    """events(event_id, user_id, ts_us, event_type, value_cents) —
+    timestamps emitted as epoch micros (timezone-proof by construction;
+    wrap with ``timestamp_micros`` for a typed column)."""
+    i = F.col("id")
+    n_users = 500
+    types = F.array(*[F.lit(t) for t in EVENT_TYPES])
+    return spark.range(0, n_events, 1, parts).select(
+        i.alias("event_id"),
+        (_h(i, 1) % n_users).alias("user_id"),
+        (F.lit(_BASE_US) + _h(i, 2) % _SPAN_US).alias("ts_us"),
+        F.element_at(types, (_h(i, 3) % len(EVENT_TYPES) + 1).cast("int")).alias(
+            "event_type"
+        ),
+        (_h(i, 4) % 30_000).alias("value_cents"),
+    )

@@ -38,4 +38,5 @@ from tpctools_spark.queries import (  # noqa: F401
     mining,
     graph,
     retrieval,
+    corpusgen,
 )
