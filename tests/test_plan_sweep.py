@@ -61,6 +61,7 @@ _BNLJ_ALLOWED = {
     "text_collocations_pmi",  # one-row corpus-totals broadcast
     "graph_pagerank_power",
     "mining_basket_lift",
+    "pipeline_curriculum_order",  # one-row quartile-cutpoint broadcast
     "pipeline_mix_weights",
     "quality_benford_digits",
     "quality_ks_test",  # one-row (n1, n2) cohort-totals broadcast

@@ -978,3 +978,73 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(4)
         .alias("m_score"),
     )
+
+
+@query(
+    "agg_kmv_sketch",
+    oracle="""
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             (user_id * 654435761 + 97) % 1000000007 AS h
+      FROM events
+    ), ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS r
+      FROM hashed
+    ), kept AS (
+      SELECT event_type, COUNT(*) AS n_kept, MAX(h) AS kth
+      FROM ranked WHERE r <= 16 GROUP BY event_type
+    )
+    SELECT event_type, n_kept,
+           CASE WHEN n_kept < 16 THEN CAST(n_kept AS DOUBLE)
+                ELSE CAST(floor(15.0 * 1000000007 / kth * 100) AS DOUBLE) / 100
+           END AS est_distinct
+    FROM kept
+    """,
+)
+def agg_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch: estimate NDV(user_id) per
+    event_type from only the k=16 smallest hash values.
+
+    The sketch the reference-era engines reach for when HLL's fixed
+    registers don't suffice: KMV supports set algebra (union = merge
+    min-heaps, intersection via Jaccard on the combined k-sample) and
+    its state is k hashes — mergeable map-side, constant memory per
+    group. Estimator: (k-1)·P/h_k (the kth smallest of n uniform
+    hashes on [0,P] sits near k·P/n). Deterministic by construction —
+    the hash is the repo's arithmetic 2-universal family, so DuckDB
+    re-derives identical sketches and the ORACLE CHECKS THE ESTIMATE
+    EXACTLY, not within tolerance.
+
+    Scale: distinct-then-window shuffles (event_type, h) pairs once;
+    the row_number window partitions by group key (no global sort).
+    At 100 TB swap the exact DISTINCT for the same agg over partial
+    per-partition top-k (Spark's partial aggregation already bounds
+    map-side state to k values per group).
+    """
+    from pyspark.sql.window import Window
+
+    k = 16
+    p = 1_000_000_007
+    h = (F.col("user_id") * 654_435_761 + 97) % p
+    d = (
+        table(spark, sf_dir, "events")
+        .select("event_type", h.alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    kept = (
+        d.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("kth"))
+    )
+    return kept.select(
+        "event_type",
+        "n_kept",
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+        .otherwise(
+            trunc_digits(F.lit(float(k - 1)) * p / F.col("kth"), 2)
+        )
+        .alias("est_distinct"),
+    )

@@ -1203,3 +1203,62 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("attributed_value"),
         )
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type, event_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, event_type, n,
+           CAST(floor(CAST(n AS DOUBLE)
+                / SUM(n) OVER (PARTITION BY prev_type) * 10000) AS DOUBLE)
+             / 10000 AS prob
+    FROM pairs
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams.
+
+    The behavioral-model primitive downstream of sessionization: for
+    each observed (previous event type → event type) pair, the count
+    and the row-normalized transition probability. Feeds next-event
+    prediction, anomaly scoring (improbable transitions), and synthetic
+    journey generation.
+
+    Scale: one window shuffle keyed by user_id (the natural event-log
+    partitioning) produces the lag pairs; the matrix itself is
+    |types|² rows — tiny — so the normalizing window over prev_type is
+    over an already-aggregated frame, not the raw log. No driver-side
+    state; probability division is the only double op, truncated to 4
+    digits for cross-engine determinism.
+    """
+    seq = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wnorm = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "event_type",
+        "n",
+        trunc_digits(
+            F.col("n").cast("double") / F.sum("n").over(wnorm), 4
+        ).alias("prob"),
+    )

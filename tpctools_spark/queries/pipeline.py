@@ -627,3 +627,81 @@ def pipeline_interleave_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(wo).alias("position"),
         )
     )
+
+
+@query(
+    "pipeline_curriculum_order",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             ((n_chars - len(string_split(text, ' ')) + 1) * 1000)
+               // len(string_split(text, ' ')) AS diff_milli
+      FROM documents
+    ), cuts AS (
+      SELECT quantile_cont(diff_milli, 0.25) AS c1,
+             quantile_cont(diff_milli, 0.50) AS c2,
+             quantile_cont(diff_milli, 0.75) AS c3
+      FROM scored
+    ), staged AS (
+      SELECT doc_id, diff_milli,
+             CASE WHEN diff_milli <= c1 THEN 1
+                  WHEN diff_milli <= c2 THEN 2
+                  WHEN diff_milli <= c3 THEN 3
+                  ELSE 4 END AS stage,
+             (doc_id * 654435761 + 97) % 1000000007 AS shuffle_key
+      FROM scored, cuts
+    )
+    SELECT doc_id, diff_milli, stage,
+           CAST(ROW_NUMBER() OVER (PARTITION BY stage
+                                   ORDER BY shuffle_key, doc_id) AS BIGINT)
+             AS stage_rank
+    FROM staged
+    """,
+)
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: easy→hard stages with in-stage shuffle.
+
+    The training-order primitive: score each document's difficulty
+    (mean word length, in exact integer milli-units so no FP enters the
+    bucketing), cut the corpus into 4 stages at the score quartiles,
+    and assign a deterministic pseudo-random rank within each stage —
+    curriculum across stages, decorrelated order within a stage.
+
+    Scale: the quartile cutpoints are a 3-value aggregate broadcast to
+    every row (the same broadcast-cutpoint shape as agg_rfm_segments —
+    no sort of the full corpus to find quantiles); in-stage ranking
+    partitions the window by stage, and at 100 TB the stage count rises
+    with the data (stage = finer score bins) to keep window partitions
+    bounded, leaving the plan unchanged.
+    """
+    diff = F.expr(
+        "((n_chars - size(split(text, ' ')) + 1) * 1000)"
+        " div size(split(text, ' '))"
+    )
+    scored = table(spark, sf_dir, "documents").select(
+        "doc_id", diff.alias("diff_milli")
+    )
+    cuts = scored.agg(
+        F.expr("percentile(diff_milli, 0.25)").alias("c1"),
+        F.expr("percentile(diff_milli, 0.50)").alias("c2"),
+        F.expr("percentile(diff_milli, 0.75)").alias("c3"),
+    )
+    staged = scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "diff_milli",
+        F.when(F.col("diff_milli") <= F.col("c1"), 1)
+        .when(F.col("diff_milli") <= F.col("c2"), 2)
+        .when(F.col("diff_milli") <= F.col("c3"), 3)
+        .otherwise(4)
+        .alias("stage"),
+        ((F.col("doc_id") * 654_435_761 + 97) % 1_000_000_007).alias(
+            "shuffle_key"
+        ),
+    )
+    w = Window.partitionBy("stage").orderBy("shuffle_key", "doc_id")
+    return staged.select(
+        "doc_id",
+        "diff_milli",
+        "stage",
+        F.row_number().over(w).cast("bigint").alias("stage_rank"),
+    )

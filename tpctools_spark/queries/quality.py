@@ -754,3 +754,114 @@ def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_risky_rows"),
         F.min("k").cast("bigint").alias("min_k"),
     )
+
+
+@query(
+    "quality_chisq_uniformity",
+    oracle="""
+    WITH hist AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hh, COUNT(*) AS obs
+      FROM events GROUP BY event_type, EXTRACT(hour FROM ts)
+    ), stats AS (
+      SELECT event_type, CAST(SUM(obs) AS BIGINT) AS n,
+             CAST(SUM(obs * obs) AS BIGINT) AS sum_sq
+      FROM hist GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(floor((24.0 * sum_sq / n - n) * 10000) AS DOUBLE) / 10000
+             AS chi2,
+           CAST(23 AS INT) AS dof
+    FROM stats
+    """,
+)
+def quality_chisq_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit of hour-of-day traffic vs uniform.
+
+    The seasonality screen behind "is this event source organic or
+    scripted?": a bot replaying a dump hits a few hours hard and blows
+    up χ². Uses the algebraic identity
+    Σ(obs − n/24)²/(n/24) = 24·Σobs²/n − n, so the statistic is
+    computed from two EXACT integer aggregates — the only double op is
+    one division, truncated to 4 digits, making the oracle comparison
+    exact rather than within-tolerance.
+
+    Scale: two cheap aggregations (24·|types| intermediate rows), all
+    map-side combinable; no window, no double accumulation drift.
+    """
+    hist = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.hour("ts").alias("hh"))
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    stats = hist.groupBy("event_type").agg(
+        F.sum("obs").alias("n"),
+        F.sum(F.col("obs") * F.col("obs")).alias("sum_sq"),
+    )
+    return stats.select(
+        "event_type",
+        "n",
+        trunc_digits(
+            F.lit(24.0) * F.col("sum_sq") / F.col("n") - F.col("n"), 4
+        ).alias("chi2"),
+        F.lit(23).cast("int").alias("dof"),
+    )
+
+
+@query(
+    "quality_dp_noisy_counts",
+    oracle="""
+    WITH grp AS (
+      SELECT source, COUNT(*) AS true_n, MIN(doc_id) AS seed
+      FROM documents GROUP BY source
+    ), noise AS (
+      SELECT source, true_n,
+             CAST((seed * 654435761 + 11 * 2654435789 + 97) % 1000000007
+                  AS DOUBLE) / 1000000007 AS u1,
+             CAST((seed * 654435761 + 12 * 2654435789 + 97) % 1000000007
+                  AS DOUBLE) / 1000000007 AS u2
+      FROM grp
+    )
+    SELECT source,
+           GREATEST(
+             CAST(floor((true_n + 2.0 * (u1 + u2 - 1.0)) * 100) AS DOUBLE)
+               / 100, 0.0) AS noisy_n
+    FROM noise
+    """,
+)
+def quality_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy-shaped noisy histogram of documents per source.
+
+    The release-gate counterpart of quality_k_anonymity: per-group
+    counts (sensitivity 1) plus additive noise of scale b=2 (≈1/ε,
+    ε=0.5), post-processed to the non-negative cone. The noise here is
+    a DETERMINISTIC triangular(−b, b) stand-in — two arithmetic-hash
+    uniforms summed — so both engines derive bit-identical releases and
+    the pipeline is value-testable end to end; production swaps the
+    hash uniforms for true Laplace draws (same plan, one expression).
+    The true count never leaves the aggregation — only the noised,
+    clamped value is projected.
+
+    Scale: one map-side-combinable aggregation; noise is a per-group
+    scalar expression, no shuffle beyond the groupBy.
+    """
+    p = 1_000_000_007
+    a, b_, c = 654_435_761, 2_654_435_789, 97
+    grp = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("true_n"),
+            F.min("doc_id").alias("seed"),
+        )
+    )
+
+    def u(salt: int):
+        return (
+            ((F.col("seed") * a + salt * b_ + c) % p).cast("double") / p
+        )
+
+    noisy = F.col("true_n") + 2.0 * (u(11) + u(12) - 1.0)
+    return grp.select(
+        "source",
+        F.greatest(trunc_digits(noisy, 2), F.lit(0.0)).alias("noisy_n"),
+    )

@@ -517,3 +517,116 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         (F.col("n_hits").cast("double") / TOP_K).alias("recall_at_k"),
     )
+
+
+_SEMANTIC_TAU = 0.3
+
+
+@query(
+    "dedup_semantic_prune",
+    oracle=f"""
+    WITH {_SQL_PREP}, {_SQL_CENT},
+    scored AS (
+      SELECT p.vec_id, p.label,
+             {_SQL_DOT.format(a='p.e', b='c.centroid')}
+               / (sqrt({_SQL_DOT.format(a='p.e', b='p.e')})
+                  * sqrt({_SQL_DOT.format(a='c.centroid', b='c.centroid')}))
+               AS cent_cos,
+             p.e AS e
+      FROM prep p JOIN cent c ON p.label = c.cell
+    ), dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM scored a JOIN scored b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+       AND {_SQL_DOT.format(a='a.e', b='b.e')}
+             / (sqrt({_SQL_DOT.format(a='a.e', b='a.e')})
+                * sqrt({_SQL_DOT.format(a='b.e', b='b.e')}))
+           >= {_SEMANTIC_TAU}
+       AND (b.cent_cos < a.cent_cos
+            OR (b.cent_cos = a.cent_cos AND b.vec_id < a.vec_id))
+    )
+    SELECT s.vec_id, s.label,
+           CAST(floor(s.cent_cos * 10000) AS DOUBLE) / 10000 AS cent_cos
+    FROM scored s
+    WHERE s.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+)
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning: within each cluster cell, drop
+    the redundant member of every near-duplicate pair, keeping the one
+    FARTHER from the cell centroid (the more diverse example).
+
+    Complements dedup_embedding (which reports pairs): this op makes
+    the keep/drop decision. A vector is dropped iff some same-cell
+    neighbor is within cosine ≥ τ AND is strictly more diverse
+    (lower centroid-cosine; ties broken by id) — the greedy
+    one-pass approximation of SemDeDup's per-cluster sweep, expressible
+    entirely as joins (no iteration).
+
+    Scale: centroids are |cells|×dim — broadcast; the pair join is
+    confined to same-cell pairs, and cell size is the clustering
+    granularity knob (at 100 TB, ~100k k-means cells keeps cells
+    O(10³) rows ⇒ bounded quadratic work per cell, AQE-splittable).
+    Dot products accumulate in exact decimal, so the drop decision is
+    bitwise-reproducible — the DuckDB twin value-checks the entire
+    pipeline including the pruning rule.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    prep = emb.select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("e")
+    )
+    cent = _cell_centroids(prep)
+    cent_norm = F.sqrt(_dot(F.col("centroid"), F.col("centroid")))
+    scored = (
+        prep.join(F.broadcast(cent), prep.label == cent.cell)
+        .select(
+            "vec_id",
+            "label",
+            "e",
+            (
+                _dot(F.col("e"), F.col("centroid"))
+                / (F.sqrt(_dot(F.col("e"), F.col("e"))) * cent_norm)
+            ).alias("cent_cos"),
+        )
+        .cache()
+    )
+    a = scored.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("e").alias("a_e"),
+        F.col("cent_cos").alias("a_cc"),
+    )
+    b = scored.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        F.col("e").alias("b_e"),
+        F.col("cent_cos").alias("b_cc"),
+    )
+    pair_cos = _dot(F.col("a_e"), F.col("b_e")) / (
+        F.sqrt(_dot(F.col("a_e"), F.col("a_e")))
+        * F.sqrt(_dot(F.col("b_e"), F.col("b_e")))
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a_label") == F.col("b_label"))
+            & (F.col("a_id") != F.col("b_id")),
+        )
+        .filter(
+            (pair_cos >= _SEMANTIC_TAU)
+            & (
+                (F.col("b_cc") < F.col("a_cc"))
+                | (
+                    (F.col("b_cc") == F.col("a_cc"))
+                    & (F.col("b_id") < F.col("a_id"))
+                )
+            )
+        )
+        .select(F.col("a_id").alias("vec_id"))
+        .distinct()
+    )
+    return scored.join(dropped, "vec_id", "left_anti").select(
+        "vec_id",
+        "label",
+        trunc_digits(F.col("cent_cos"), 4).alias("cent_cos"),
+    )

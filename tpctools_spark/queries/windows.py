@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tpctools_spark.catalog import table
-from tpctools_spark.queries._util import money
+from tpctools_spark.queries._util import money, trunc_digits
 from tpctools_spark.registry import query
 
 
@@ -293,5 +293,76 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         trunc_digits(F.expr("percentile(value, 0.5)").over(w), 2).alias(
             "med5"
+        ),
+    )
+
+
+@query(
+    "window_ewma",
+    oracle="""
+    WITH lagged AS (
+      SELECT event_id, user_id,
+             CAST(value AS DECIMAL(12,2)) AS x0,
+             CAST(LAG(value, 1) OVER w AS DECIMAL(12,2)) AS x1,
+             CAST(LAG(value, 2) OVER w AS DECIMAL(12,2)) AS x2,
+             CAST(LAG(value, 3) OVER w AS DECIMAL(12,2)) AS x3,
+             CAST(LAG(value, 4) OVER w AS DECIMAL(12,2)) AS x4
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           CAST(floor(
+                 CAST(COALESCE(x0 * CAST(1.0 AS DECIMAL(6,4)), 0)
+                + COALESCE(x1 * CAST(0.5 AS DECIMAL(6,4)), 0)
+                + COALESCE(x2 * CAST(0.25 AS DECIMAL(6,4)), 0)
+                + COALESCE(x3 * CAST(0.125 AS DECIMAL(6,4)), 0)
+                + COALESCE(x4 * CAST(0.0625 AS DECIMAL(6,4)), 0) AS DOUBLE)
+               / CAST(CASE WHEN x0 IS NULL THEN 0 ELSE CAST(1.0 AS DECIMAL(6,4)) END
+                + CASE WHEN x1 IS NULL THEN 0 ELSE CAST(0.5 AS DECIMAL(6,4)) END
+                + CASE WHEN x2 IS NULL THEN 0 ELSE CAST(0.25 AS DECIMAL(6,4)) END
+                + CASE WHEN x3 IS NULL THEN 0 ELSE CAST(0.125 AS DECIMAL(6,4)) END
+                + CASE WHEN x4 IS NULL THEN 0 ELSE CAST(0.0625 AS DECIMAL(6,4)) END AS DOUBLE)
+               * 10000) AS DOUBLE) / 10000 AS ewma_value
+    FROM lagged
+    """,
+)
+def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average over a bounded lag frame.
+
+    EWMA is non-associative, so no built-in window aggregate expresses
+    it directly; the standard distributed form bounds the kernel (here
+    5 taps, α=0.5 → weights 0.5^j, <4% truncated mass) and computes the
+    weighted sum over explicit LAGs — one window shuffle keyed by
+    user_id, all arithmetic inside whole-stage codegen. Weights are
+    exact decimals and inputs are 2-decimal money doubles, so the
+    weighted sum is EXACT in both engines; only the final
+    normalization (partial frames at each series head re-scale by the
+    weights actually present) divides in double, truncated to 4 digits.
+
+    Scale: identical plan shape at any row count — the kernel width is
+    a constant, never a per-group collect. Widening α-coverage means
+    more lag taps (cheap, same shuffle), not more passes.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    weights = ["1.0", "0.5", "0.25", "0.125", "0.0625"]
+    lags = [
+        (F.lag("value", j).over(w) if j else F.col("value")).cast(
+            "decimal(12,2)"
+        )
+        for j in range(5)
+    ]
+    num = None
+    den = None
+    for x, wt in zip(lags, weights):
+        wd = F.lit(wt).cast("decimal(6,4)")
+        term = F.coalesce(x * wd, F.lit(0))
+        avail = F.when(x.isNull(), F.lit(0)).otherwise(wd)
+        num = term if num is None else num + term
+        den = avail if den is None else den + avail
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        trunc_digits(num.cast("double") / den.cast("double"), 4).alias(
+            "ewma_value"
         ),
     )
