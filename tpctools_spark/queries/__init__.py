@@ -39,4 +39,5 @@ from tpctools_spark.queries import (  # noqa: F401
     graph,
     retrieval,
     corpusgen,
+    features,
 )
