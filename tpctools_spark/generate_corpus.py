@@ -49,20 +49,27 @@ _SPAN_US = 7 * 24 * 3600 * 1_000_000  # one week
 def _h(i: Column, salt) -> Column:
     """Arithmetic row hash — exact integers, SQL-replicable.
 
+    Two rounds: a 2-universal linear pass, then a square-and-mix. The
+    second round matters: a purely linear h(i, p) is an arithmetic
+    progression in p, so derived n-grams would collapse to a handful of
+    values (consecutive outputs differ by a constant) — squaring
+    decorrelates adjacent positions while keeping every product inside
+    BIGINT (h₁ < P ≈ 10⁹ ⇒ h₁² < 10¹⁸ < 2⁶³).
+
     Both operands are forced to BIGINT before the products: sequence()
     indices arrive as INT32 and silently wrap at p·B otherwise (the
     same trap the DuckDB twin hits under strict overflow checking).
     """
-    return (
-        i.cast("bigint") * _A + F.lit(salt).cast("bigint") * _B + _C
-    ) % _P
+    h1 = (i.cast("bigint") * _A + F.lit(salt).cast("bigint") * _B + _C) % _P
+    return (h1 * h1 % _P * 31 + h1) % _P
 
 
 def _sql_h(i: str, salt: str) -> str:
-    return (
+    h1 = (
         f"(CAST({i} AS BIGINT) * {_A}"
         f" + CAST({salt} AS BIGINT) * {_B} + {_C}) % {_P}"
     )
+    return f"((({h1}) * ({h1})) % {_P} * 31 + ({h1})) % {_P}"
 
 
 def gen_documents(spark: SparkSession, n_docs: int, parts: int = 8) -> DataFrame:

@@ -124,3 +124,157 @@ def generate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     values — full-row value check against the SQL re-derivation.
     """
     return gen_events(spark, _N_EVENTS)
+
+
+@query(
+    "pipeline_dedup_eval",
+    oracle=f"""
+    WITH ids AS (SELECT unnest(range(0, {_N_DOCS})) AS i),
+    base AS (
+      SELECT i, CASE WHEN i % 7 = 0 AND i > 0 THEN i - 1 ELSE i END AS b
+      FROM ids
+    ), prep AS (
+      SELECT i, b, ({_sql_h('b', '0')}) % 60 + 20 AS n FROM base
+    ), texted AS (
+      SELECT i,
+             CASE WHEN i % 7 = 0 AND i > 0
+                  THEN body || ' ' || ({_SQL_VOCAB})[i % {len(VOCAB)} + 1]
+                  ELSE body END AS text
+      FROM (SELECT i, b, n,
+                   array_to_string(list_transform(
+                     range(1, CAST(n AS INTEGER) + 1),
+                     p -> ({_SQL_VOCAB})[({_sql_h('b', 'p')}) % {len(VOCAB)} + 1]),
+                     ' ') AS body
+            FROM prep)
+    ), words AS (
+      SELECT i, string_split(text, ' ') AS w FROM texted
+    ), grams AS (
+      SELECT DISTINCT i AS doc_id,
+             g AS gram
+      FROM words,
+           unnest([concat_ws(' ', w[k], w[k+1], w[k+2])
+                   for k in range(1, len(w) - 1)]) AS t(g)
+    ), capped AS (
+      SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= 50
+    ), pruned AS (
+      SELECT g.doc_id, g.gram FROM grams g JOIN capped USING (gram)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS ng FROM grams GROUP BY doc_id
+    ), cand AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+      FROM pruned a JOIN pruned b
+        ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), detected AS (
+      SELECT da, db
+      FROM cand JOIN sizes sa ON cand.da = sa.doc_id
+                JOIN sizes sb ON cand.db = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (sa.ng + sb.ng - inter) >= 0.5
+    ), truth AS (
+      SELECT i - 1 AS da, i AS db FROM ids
+      WHERE i % 7 = 0 AND i > 0
+    ), hits AS (
+      SELECT COUNT(*) AS n_hit
+      FROM detected d JOIN truth t ON d.da = t.da AND d.db = t.db
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM detected) AS n_detected,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(floor(CAST(n_hit AS DOUBLE)
+             / (SELECT COUNT(*) FROM detected) * 10000) AS DOUBLE) / 10000
+             AS precision_,
+           CAST(floor(CAST(n_hit AS DOUBLE)
+             / (SELECT COUNT(*) FROM truth) * 10000) AS DOUBLE) / 10000
+             AS recall_
+    FROM hits
+    """,
+)
+def pipeline_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-detector evaluation against PLANTED ground truth.
+
+    The generated corpus plants a near-dup at every 7th doc, so
+    detector quality is measurable, not guessable: run the capped
+    3-gram Jaccard detector (the production near-dup shape:
+    inverted index → df-cap → same-gram pair join → threshold) over
+    the generated documents and score precision/recall against the
+    known duplicate pairs. This is the eval harness every 100 TB dedup
+    deployment needs — thresholds get tuned against planted truth at
+    small scale, then shipped, because at full scale there IS no truth
+    set. The whole loop (generator, detector, scoring) is re-derived in
+    the DuckDB twin, so the reported precision/recall are value-checked.
+
+    Scale: detector work is the capped postings join (hot grams
+    dropped, df ≤ 50 ⇒ bounded pairs per gram); truth and metrics are
+    |dups|-sized. Generator scales by adding partitions.
+    """
+    docs = gen_documents(spark, _N_DOCS)
+    w = F.split(F.col("text"), " ")
+    grams = (
+        docs.select(
+            F.col("doc_id"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(0))),
+                    lambda k: F.concat_ws(
+                        " ",
+                        F.element_at(w, k),
+                        F.element_at(w, k + 1),
+                        F.element_at(w, k + 2),
+                    ),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    capped = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= 50
+    )
+    pruned = grams.join(capped.select("gram"), "gram")
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ng"))
+    a = pruned.select(F.col("doc_id").alias("da"), "gram")
+    b = pruned.select(F.col("doc_id").alias("db"), "gram")
+    cand = (
+        a.join(b, "gram")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("ng").alias("nga"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("ng").alias("ngb"))
+    detected = (
+        cand.join(sa, "da")
+        .join(sb, "db")
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("nga") + F.col("ngb") - F.col("inter"))
+            >= 0.5
+        )
+        .select("da", "db")
+    )
+    truth = (
+        spark.range(0, _N_DOCS)
+        .filter((F.col("id") % 7 == 0) & (F.col("id") > 0))
+        .select(
+            (F.col("id") - 1).alias("da"), F.col("id").alias("db")
+        )
+    )
+    n_truth = truth.count()
+    n_detected = detected.count()
+    n_hit = detected.join(truth, ["da", "db"]).count()
+    return spark.createDataFrame(
+        [
+            (
+                n_truth,
+                n_detected,
+                n_hit,
+                float(int(n_hit / n_detected * 10000)) / 10000
+                if n_detected
+                else 0.0,
+                float(int(n_hit / n_truth * 10000)) / 10000
+                if n_truth
+                else 0.0,
+            )
+        ],
+        "n_truth bigint, n_detected bigint, n_hit bigint, "
+        "precision_ double, recall_ double",
+    )
