@@ -85,3 +85,14 @@ def test_path_trigrams_one_sort_no_self_join(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_sorted_stats_prune_pushes_range_filter(spark):
+    from tpctools_spark.registry import spark_queries
+
+    df = spark_queries()["sink_sorted_stats_prune"](spark, SF)
+    plan = _plan(df)
+    # the range predicate must reach the parquet reader as a pushed
+    # filter so row-group min/max stats can skip groups; a post-scan
+    # Filter-only plan would read every row group of the sorted table.
+    assert "PushedFilters: [IsNotNull(o_custkey), GreaterThanOrEqual(o_custkey,100)" in plan

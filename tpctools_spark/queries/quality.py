@@ -865,3 +865,75 @@ def quality_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.greatest(trunc_digits(noisy, 2), F.lit(0.0)).alias("noisy_n"),
     )
+
+
+@query(
+    "quality_seasonal_zscore",
+    oracle="""
+    WITH cents AS (
+      SELECT event_id, event_type, EXTRACT(hour FROM ts) AS hh,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ), stats AS (
+      SELECT event_type, hh,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s,
+             CAST(SUM(v * v) AS BIGINT) AS ss
+      FROM cents GROUP BY event_type, hh
+    )
+    SELECT c.event_id, c.event_type, c.hh,
+           CAST(floor(
+             (c.v * t.n - t.s) * sqrt((t.n - 1.0) / t.n)
+               / sqrt(CAST(t.n * t.ss - t.s * t.s AS DOUBLE)) * 10000
+           ) AS DOUBLE) / 10000 AS z
+    FROM cents c JOIN stats t USING (event_type, hh)
+    WHERE t.n > 1
+      AND abs((c.v * t.n - t.s) * sqrt((t.n - 1.0) / t.n)
+              / sqrt(CAST(t.n * t.ss - t.s * t.s AS DOUBLE))) > 2.5
+    """,
+)
+def quality_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly screen: z-score each event against its
+    (event_type, hour-of-day) peer group, flag |z| > 2.5.
+
+    The screen quality_anomaly_mad can't do: a $500 purchase at 3am is
+    anomalous even if $500 purchases are normal at noon — seasonal
+    peer-grouping catches it. The z-score is computed by the
+    integer-algebra form z = (v·n − S)·√((n−1)/n)/√(n·Σv² − S²) over
+    exact cents, so the only FP ops are two sqrts and a division on
+    identical inputs — bit-deterministic, value-checked exactly.
+
+    Scale: peer-group stats are |types|×24 rows broadcast back onto the
+    stream; one map-side-combinable aggregation, no window, no second
+    pass over raw events.
+    """
+    cents = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.hour("ts").alias("hh"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    stats = cents.groupBy("event_type", "hh").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    z = (
+        (F.col("v") * F.col("n") - F.col("s"))
+        * F.sqrt((F.col("n") - 1.0) / F.col("n"))
+        / F.sqrt(
+            (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast(
+                "double"
+            )
+        )
+    )
+    return (
+        cents.join(F.broadcast(stats), ["event_type", "hh"])
+        .filter((F.col("n") > 1) & (F.abs(z) > 2.5))
+        .select(
+            "event_id",
+            "event_type",
+            "hh",
+            trunc_digits(z, 4).alias("z"),
+        )
+    )

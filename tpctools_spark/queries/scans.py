@@ -525,3 +525,49 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_reading"
         ),
     )
+
+
+@query(
+    "sink_sorted_stats_prune",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(o_totalprice, 2) AS total
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 199
+    """,
+)
+def sink_sorted_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-by-key layout → row-group statistics skipping.
+
+    Writes orders SORTED by o_custkey with small row groups, then reads
+    back with a range predicate on the sort key. Because the layout
+    clusters each key range into few row groups, the parquet min/max
+    stats let the reader skip most groups entirely — the within-file
+    counterpart of partition pruning (sink_partitioned_prune), and the
+    reason production tables keep a clustered sort order (this is what
+    Z-order/Hilbert generalize to multiple keys; see layout_zorder).
+    tests/test_new_ops_plans.py asserts the pushed filter reaches the
+    scan; the oracle proves the sorted round-trip loses nothing.
+
+    Scale: the write is a range-partitioned sort (repartitionByRange +
+    sortWithinPartitions — no single-reducer global sort); the read
+    touches O(selectivity) row groups instead of the full table.
+    """
+    out = _scratch_dir("sorted-stats")
+    path = os.path.join(out, "orders_sorted")
+    o = table(spark, sf_dir, "orders")
+    (
+        o.repartitionByRange(8, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 64 * 1024)
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(
+        F.col("o_custkey").between(100, 199)
+    )
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("total"),
+    )
