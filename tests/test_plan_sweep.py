@@ -55,6 +55,7 @@ _BNLJ_ALLOWED = {
     "agg_hll_sketch_union",
     "events_ab_ttest",
     "events_dau_wau",  # calendar-sized day spine broadcast into the 7-day range join
+    "events_survival_km",  # one-row MAX(day) observation-end anchor broadcast
     "events_decay_score",  # one-row MAX(ts) anchor broadcast
     "feature_target_encode",  # one-row global-mean prior broadcast
     "events_value_concentration",  # one-row (n, s) totals broadcast

@@ -1262,3 +1262,114 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(wnorm), 4
         ).alias("prob"),
     )
+
+
+@query(
+    "events_survival_km",
+    oracle="""
+    WITH days AS (
+      SELECT user_id,
+             date_diff('hour', TIMESTAMP '1970-01-01', ts) AS d
+      FROM events
+    ), u AS (
+      SELECT user_id, MIN(d) AS f, MAX(d) AS l FROM days GROUP BY user_id
+    ), endd AS (
+      SELECT MAX(d) AS maxd FROM days
+    ), u2 AS (
+      SELECT l - f AS dur, CAST(l < maxd AS INT) AS died FROM u, endd
+    ), dt AS (
+      SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_end,
+             CAST(SUM(died) AS BIGINT) AS d
+      FROM u2 GROUP BY dur
+    ), r AS (
+      SELECT dur, d,
+             CAST(SUM(n_end) OVER (ORDER BY dur DESC) AS BIGINT) AS n_risk
+      FROM dt
+    ), f AS (
+      SELECT dur, n_risk, d,
+             CAST(n_risk - d AS DOUBLE) / n_risk AS factor
+      FROM r
+    ), arr AS (
+      SELECT list(dur ORDER BY dur) AS durs,
+             list(n_risk ORDER BY dur) AS nrisks,
+             list(d ORDER BY dur) AS ds,
+             list(factor ORDER BY dur) AS fl
+      FROM f
+    )
+    SELECT durs[k] AS dur, nrisks[k] AS n_risk, ds[k] AS d,
+           CAST(floor(list_aggregate(fl[1:k], 'product') * 1000000)
+                AS DOUBLE) / 1000000 AS survival
+    FROM arr, unnest(range(1, len(durs) + 1)) t(k)
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes.
+
+    Lifetime = hours between a user's first and last event; users
+    still active at the final observed hour are CENSORED, not deaths — the
+    estimator's whole point, and what a naive retention ratio gets
+    wrong. S(t) = Π_{j≤t} (n_j − d_j)/n_j over the at-risk counts.
+
+    Determinism: the running product of doubles is order-sensitive, so
+    both engines fold the per-duration factors in the SAME explicit
+    ascending order (an ordered-array aggregate, not a distributed
+    product) — IEEE multiplication then yields bit-identical curves,
+    truncated to 6 digits.
+
+    Scale: everything after the per-user min/max aggregation operates
+    on ≤ |distinct durations| rows (the observation window in days) —
+    the global suffix-sum window and the array fold are metadata-sized.
+    The one-row MAX(day) anchor is a broadcast (allowlisted BNLJ).
+    """
+    hour = F.floor(F.unix_micros("ts") / 3_600_000_000)
+    days = table(spark, sf_dir, "events").select(
+        "user_id", hour.alias("d")
+    )
+    u = days.groupBy("user_id").agg(
+        F.min("d").alias("f"), F.max("d").alias("l")
+    )
+    endd = days.agg(F.max("d").alias("maxd"))
+    u2 = u.crossJoin(F.broadcast(endd)).select(
+        (F.col("l") - F.col("f")).alias("dur"),
+        (F.col("l") < F.col("maxd")).cast("int").alias("died"),
+    )
+    dt = u2.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_end"),
+        F.sum("died").alias("d"),
+    )
+    w = (
+        Window.orderBy(F.col("dur").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    f = dt.select(
+        "dur",
+        "d",
+        F.sum("n_end").over(w).alias("n_risk"),
+    ).select(
+        "dur",
+        "n_risk",
+        "d",
+        (
+            (F.col("n_risk") - F.col("d")).cast("double") / F.col("n_risk")
+        ).alias("factor"),
+    )
+    arr = f.agg(
+        F.array_sort(
+            F.collect_list(F.struct("dur", "n_risk", "d", "factor"))
+        ).alias("a")
+    )
+    k = F.explode(F.sequence(F.lit(1), F.size("a"))).alias("k")
+    out = arr.select("a", k)
+    surv = F.aggregate(
+        F.slice("a", F.lit(1), F.col("k")),
+        F.lit(1.0),
+        lambda acc, s: acc * s.getField("factor"),
+    )
+    return out.select(
+        F.element_at("a", F.col("k")).getField("dur").alias("dur"),
+        F.element_at("a", F.col("k")).getField("n_risk").alias("n_risk"),
+        F.element_at("a", F.col("k")).getField("d").alias("d"),
+        (F.floor(surv * 1_000_000).cast("double") / 1_000_000).alias(
+            "survival"
+        ),
+    )

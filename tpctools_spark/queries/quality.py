@@ -937,3 +937,107 @@ def quality_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             trunc_digits(z, 4).alias("z"),
         )
     )
+
+
+@query(
+    "quality_mann_whitney",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s1
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ), per_v AS (
+      SELECT v, CAST(SUM(s1) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM cents GROUP BY v
+    ), ranked AS (
+      SELECT v, c1, c,
+             CAST(COALESCE(SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cumbefore
+      FROM per_v
+    ), tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c - c1) AS BIGINT) AS n2,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(c1 * (2 * cumbefore + c + 1)) AS BIGINT) AS r1x2,
+             CAST(SUM(c * c * c - c) AS BIGINT) AS tie3
+      FROM ranked
+    )
+    SELECT n1, n2,
+           r1x2 - n1 * (n1 + 1) AS u1x2,
+           CAST(floor(
+             (r1x2 - n1 * (n1 + 1) - CAST(n1 AS DOUBLE) * n2) / 2
+             / sqrt(CAST(n1 AS DOUBLE) * n2
+                    * ((CAST(n AS DOUBLE) + 1) * n * (n - 1) - tie3)
+                    / (12.0 * n * (n - 1)))
+             * 10000) AS DOUBLE) / 10000 AS z
+    FROM tot
+    """,
+)
+def quality_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank test: do purchase and view values come from
+    the same distribution? The non-parametric complement of the
+    parametric events_ab_ttest and the distribution-shape KS test —
+    robust to the heavy tails transaction values always have.
+
+    Rank algebra stays EXACT: ranks come from cumulative counts over
+    the DISTINCT cents values (average tie ranks scaled by 2 to stay
+    integer), so U is exact (emitted as 2·U1), and the tie-corrected
+    normal approximation z touches doubles only in the final
+    sqrt/divide — value-checked exactly.
+
+    Scale: the raw stream reduces to one row per distinct cents value
+    (bounded domain) before the ranking window, so the unpartitioned
+    cumulative sum runs over a value-domain-sized relation, not the
+    event log; everything else is one-row algebra.
+    """
+    cents = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select(
+            F.round(F.col("value") * 100).cast("bigint").alias("v"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("s1"),
+        )
+    )
+    per_v = cents.groupBy("v").agg(
+        F.sum("s1").alias("c1"), F.count(F.lit(1)).alias("c")
+    )
+    from pyspark.sql.window import Window as W
+
+    wb = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "v",
+        "c1",
+        "c",
+        F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("cumbefore"),
+    )
+    tot = ranked.agg(
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).alias("n2"),
+        F.sum("c").alias("n"),
+        F.sum(
+            F.col("c1") * (2 * F.col("cumbefore") + F.col("c") + 1)
+        ).alias("r1x2"),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie3"),
+    )
+    n1d = F.col("n1").cast("double")
+    nd = F.col("n").cast("double")
+    u1x2 = F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)
+    var = (
+        n1d
+        * F.col("n2")
+        * ((nd + 1) * F.col("n") * (F.col("n") - 1) - F.col("tie3"))
+        / (12.0 * F.col("n") * (F.col("n") - 1))
+    )
+    z = (u1x2 - n1d * F.col("n2")) / 2 / F.sqrt(var)
+    return tot.select(
+        "n1",
+        "n2",
+        u1x2.alias("u1x2"),
+        trunc_digits(z, 4).alias("z"),
+    )
