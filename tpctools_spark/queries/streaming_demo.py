@@ -679,3 +679,69 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_reading"),
     )
     return _drain_to_memory(agg, "complete")
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c.c_nationkey,
+           CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS revenue
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY c.c_nationkey, date_trunc('day', e.ts)
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: live events enriched against a static
+    dimension, then windowed-aggregated — THE canonical production
+    streaming topology (clickstream × user-profile table).
+
+    Semantics that matter: a stream-static join needs NO watermark on
+    the static side and holds NO join state — each micro-batch probes
+    the (broadcast) dimension as a plain hash join, so the only
+    stateful operator is the downstream window aggregate. The static
+    side re-resolves per batch, which is what lets production swap the
+    dimension under a running query.
+
+    Oracle: draining with availableNow makes the result equal the
+    batch join+aggregate, which is the SQL twin verbatim.
+
+    Scale: dimension broadcast (customers fit; else a shuffled
+    stream-static join, still stateless); stream side shuffles once
+    into the window aggregate keyed by (nation, day).
+    """
+    from tpctools_spark.catalog import table as _table
+
+    ev = _stream_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    cust = _table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    joined = ev.join(
+        F.broadcast(cust), ev.user_id == cust.c_custkey
+    )
+    agg = (
+        joined.withWatermark("ts", "1 hour")
+        .groupBy(
+            "c_nationkey",
+            F.window("ts", "1 day").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double"),
+                2,
+            ).alias("revenue"),
+        )
+        .select(
+            "c_nationkey",
+            F.col("w.start").alias("day"),
+            "n_purchases",
+            "revenue",
+        )
+    )
+    return _drain_to_memory(agg, "complete")
