@@ -705,3 +705,62 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage",
         F.row_number().over(w).cast("bigint").alias("stage_rank"),
     )
+
+
+@query(
+    "pipeline_quality_filter_gopher",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS wc,
+             CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
+               / len(string_split(text, ' ')) AS mwl,
+             len(list_filter(string_split(text, ' '),
+                 w -> w IN ('the', 'of', 'and', 'to', 'a'))) AS stopw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(wc < 30 OR wc > 100000 AS INT) AS fail_word_count,
+           CAST(mwl < 2.0 OR mwl > 10.0 AS INT) AS fail_mean_word_len,
+           CAST(stopw < 2 AS INT) AS fail_stopwords,
+           CAST(NOT (wc < 30 OR wc > 100000)
+                AND NOT (mwl < 2.0 OR mwl > 10.0)
+                AND NOT (stopw < 2) AS INT) AS passed
+    FROM m
+    """,
+)
+def pipeline_quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter with per-rule diagnostics.
+
+    The pretraining gatekeeper (word-count bounds, mean-word-length
+    bounds, minimum stopword evidence) emitting one row per document
+    with each rule's verdict — the per-rule flags are what makes the
+    filter TUNABLE: aggregate them and you see which rule removes what
+    before committing to a cut. Complements text_quality (continuous
+    scores) with the canonical hard-rule form.
+
+    Determinism: word counts and stopword counts are integers; the one
+    ratio (mean word length) divides two exact integers, and both
+    engines compare the identical IEEE quotient against the bounds.
+
+    Scale: pure row-local projection over one scan — no shuffle, no
+    state; the filter runs at ingest wire speed.
+    """
+    w = F.split(F.col("text"), " ")
+    wc = F.size(w)
+    mwl = (F.col("n_chars") - wc + 1).cast("double") / wc
+    stopw = F.size(
+        F.filter(
+            w, lambda t: t.isin("the", "of", "and", "to", "a")
+        )
+    )
+    fail_wc = (wc < 30) | (wc > 100_000)
+    fail_mwl = (mwl < 2.0) | (mwl > 10.0)
+    fail_stop = stopw < 2
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        fail_wc.cast("int").alias("fail_word_count"),
+        fail_mwl.cast("int").alias("fail_mean_word_len"),
+        fail_stop.cast("int").alias("fail_stopwords"),
+        (~fail_wc & ~fail_mwl & ~fail_stop).cast("int").alias("passed"),
+    )
