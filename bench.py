@@ -106,6 +106,25 @@ HEADLINE = [
     "events_value_concentration",
     "dedup_minhash_band_eval",
     "join_temporal_align",
+    # Round-8 group: feature engineering, planted-truth dedup eval,
+    # semantic prune, CDC chunking, survival/rank statistics, the
+    # stream-static join, and the corpus generators.
+    "feature_standardize",
+    "feature_hash_bucket",
+    "feature_target_encode",
+    "pipeline_dedup_eval",
+    "dedup_semantic_prune",
+    "multimodal_chunk_cdc",
+    "events_survival_km",
+    "events_markov_transitions",
+    "quality_mann_whitney",
+    "quality_seasonal_zscore",
+    "window_ewma",
+    "agg_kmv_sketch",
+    "pipeline_curriculum_order",
+    "pipeline_quality_filter_gopher",
+    "stream_static_enrich",
+    "sink_sorted_stats_prune",
 ]
 
 # Driver-facing compact line keys: the stdout tail capture is ~2000

@@ -71,6 +71,7 @@ _BNLJ_ALLOWED = {
     "sim_cosine_topk_ivf",
     "sim_ivf_recall",  # composes the two probe-broadcast retrievals
     "sim_pq_recall",  # one-row probe-vector broadcast on the exact side
+    "sim_matryoshka_eval",  # one-row probe broadcast on both retrieval legs
     "sim_cosine_topk_quantized",
     "sim_knn_join",
     "text_bigram_lm",

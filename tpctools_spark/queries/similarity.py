@@ -521,6 +521,26 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEMANTIC_TAU = 0.3
 
+# Ordered-fold double dot product: per-pair cosine work must stay in
+# cheap double arithmetic (the exact-decimal fold is ~50x slower and
+# made the within-cell pair join the bench's worst entry). Determinism
+# holds WITHOUT decimals because both engines fold the SAME product
+# list in the SAME left-to-right order (Spark `aggregate`, DuckDB
+# `list_reduce`), and float*float is exact in double - every step is
+# an identical IEEE operation.
+_SQL_DOTF = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " p -> p[1] * p[2]), (acc, x) -> acc + x)"
+)
+
+
+def _dotf(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
 
 @query(
     "dedup_semantic_prune",
@@ -528,20 +548,19 @@ _SEMANTIC_TAU = 0.3
     WITH {_SQL_PREP}, {_SQL_CENT},
     scored AS (
       SELECT p.vec_id, p.label,
-             {_SQL_DOT.format(a='p.e', b='c.centroid')}
-               / (sqrt({_SQL_DOT.format(a='p.e', b='p.e')})
-                  * sqrt({_SQL_DOT.format(a='c.centroid', b='c.centroid')}))
+             {_SQL_DOTF.format(a='p.e', b='c.centroid')}
+               / (sqrt({_SQL_DOTF.format(a='p.e', b='p.e')})
+                  * sqrt({_SQL_DOTF.format(a='c.centroid', b='c.centroid')}))
                AS cent_cos,
+             sqrt({_SQL_DOTF.format(a='p.e', b='p.e')}) AS nrm,
              p.e AS e
       FROM prep p JOIN cent c ON p.label = c.cell
     ), dropped AS (
       SELECT DISTINCT a.vec_id
       FROM scored a JOIN scored b
         ON a.label = b.label AND a.vec_id <> b.vec_id
-       AND {_SQL_DOT.format(a='a.e', b='b.e')}
-             / (sqrt({_SQL_DOT.format(a='a.e', b='a.e')})
-                * sqrt({_SQL_DOT.format(a='b.e', b='b.e')}))
-           >= {_SEMANTIC_TAU}
+       AND {_SQL_DOTF.format(a='a.e', b='b.e')} / (a.nrm * b.nrm)
+           >= {{tau}}
        AND (b.cent_cos < a.cent_cos
             OR (b.cent_cos = a.cent_cos AND b.vec_id < a.vec_id))
     )
@@ -549,7 +568,7 @@ _SEMANTIC_TAU = 0.3
            CAST(floor(s.cent_cos * 10000) AS DOUBLE) / 10000 AS cent_cos
     FROM scored s
     WHERE s.vec_id NOT IN (SELECT vec_id FROM dropped)
-    """,
+    """.replace("{tau}", str(_SEMANTIC_TAU)),
 )
 def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic pruning: within each cluster cell, drop
@@ -558,25 +577,26 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Complements dedup_embedding (which reports pairs): this op makes
     the keep/drop decision. A vector is dropped iff some same-cell
-    neighbor is within cosine ≥ τ AND is strictly more diverse
-    (lower centroid-cosine; ties broken by id) — the greedy
+    neighbor is within cosine >= tau AND is strictly more diverse
+    (lower centroid-cosine; ties broken by id) - the greedy
     one-pass approximation of SemDeDup's per-cluster sweep, expressible
     entirely as joins (no iteration).
 
-    Scale: centroids are |cells|×dim — broadcast; the pair join is
+    Scale: centroids are |cells|xdim - broadcast; the pair join is
     confined to same-cell pairs, and cell size is the clustering
     granularity knob (at 100 TB, ~100k k-means cells keeps cells
-    O(10³) rows ⇒ bounded quadratic work per cell, AQE-splittable).
-    Dot products accumulate in exact decimal, so the drop decision is
-    bitwise-reproducible — the DuckDB twin value-checks the entire
-    pipeline including the pruning rule.
+    O(10^3) rows => bounded quadratic work per cell, AQE-splittable).
+    Per-pair cost is ONE ordered-fold double dot against precomputed
+    norms (norms and centroid-cosines are per-VECTOR work); the fold
+    order is pinned on both engines, so the drop decision stays
+    bitwise-reproducible without per-pair decimal arithmetic.
     """
     emb = table(spark, sf_dir, "embeddings")
     prep = emb.select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("e")
     )
     cent = _cell_centroids(prep)
-    cent_norm = F.sqrt(_dot(F.col("centroid"), F.col("centroid")))
+    cent_norm = F.sqrt(_dotf(F.col("centroid"), F.col("centroid")))
     scored = (
         prep.join(F.broadcast(cent), prep.label == cent.cell)
         .select(
@@ -584,9 +604,10 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             "e",
             (
-                _dot(F.col("e"), F.col("centroid"))
-                / (F.sqrt(_dot(F.col("e"), F.col("e"))) * cent_norm)
+                _dotf(F.col("e"), F.col("centroid"))
+                / (F.sqrt(_dotf(F.col("e"), F.col("e"))) * cent_norm)
             ).alias("cent_cos"),
+            F.sqrt(_dotf(F.col("e"), F.col("e"))).alias("nrm"),
         )
         .cache()
     )
@@ -595,16 +616,17 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("a_label"),
         F.col("e").alias("a_e"),
         F.col("cent_cos").alias("a_cc"),
+        F.col("nrm").alias("a_nrm"),
     )
     b = scored.select(
         F.col("vec_id").alias("b_id"),
         F.col("label").alias("b_label"),
         F.col("e").alias("b_e"),
         F.col("cent_cos").alias("b_cc"),
+        F.col("nrm").alias("b_nrm"),
     )
-    pair_cos = _dot(F.col("a_e"), F.col("b_e")) / (
-        F.sqrt(_dot(F.col("a_e"), F.col("a_e")))
-        * F.sqrt(_dot(F.col("b_e"), F.col("b_e")))
+    pair_cos = _dotf(F.col("a_e"), F.col("b_e")) / (
+        F.col("a_nrm") * F.col("b_nrm")
     )
     dropped = (
         a.join(
@@ -629,4 +651,95 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         trunc_digits(F.col("cent_cos"), 4).alias("cent_cos"),
+    )
+
+
+_MRL_DIMS = 8  # prefix dimensions retained by the truncated index
+
+
+@query(
+    "sim_matryoshka_eval",
+    oracle=f"""
+    WITH prep AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), pfx AS (
+      SELECT vec_id, e[1:{_MRL_DIMS}] AS e FROM prep
+    ), probe AS (
+      SELECT e AS pe FROM prep WHERE vec_id = {PROBE_VEC_ID}
+    ), probe_p AS (
+      SELECT e AS pe FROM pfx WHERE vec_id = {PROBE_VEC_ID}
+    ), full_top AS (
+      SELECT vec_id FROM prep, probe
+      WHERE vec_id <> {PROBE_VEC_ID}
+      ORDER BY {_SQL_DOT.format(a='e', b='pe')}
+               / (sqrt({_SQL_DOT.format(a='e', b='e')})
+                  * sqrt({_SQL_DOT.format(a='pe', b='pe')})) DESC, vec_id
+      LIMIT {TOP_K}
+    ), pfx_top AS (
+      SELECT vec_id FROM pfx, probe_p
+      WHERE vec_id <> {PROBE_VEC_ID}
+      ORDER BY {_SQL_DOT.format(a='e', b='pe')}
+               / (sqrt({_SQL_DOT.format(a='e', b='e')})
+                  * sqrt({_SQL_DOT.format(a='pe', b='pe')})) DESC, vec_id
+      LIMIT {TOP_K}
+    )
+    SELECT CAST({TOP_K} AS INT) AS k,
+           CAST({_MRL_DIMS} AS INT) AS prefix_dims,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM full_top f JOIN pfx_top p USING (vec_id)) AS n_overlap,
+           CAST((SELECT COUNT(*) FROM full_top f JOIN pfx_top p
+                 USING (vec_id)) AS DOUBLE) / {TOP_K} AS recall_at_k
+    """,
+)
+def sim_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation evaluation: how much top-k recall survives
+    when retrieval uses only the first 8 of 16 dimensions?
+
+    The modern index-shrinking question (MRL embeddings are trained so
+    prefixes remain usable): run the SAME brute-force cosine top-k with
+    full vectors and with the prefix slice, and report the overlap.
+    Production uses the truncated index for candidate retrieval and
+    full vectors only for rescoring the shortlist — this op measures
+    exactly the recall that trade costs, the same way sim_ivf_recall
+    and sim_pq_recall audit their index structures.
+
+    Scale: two probe-broadcast scans (same shape as sim_cosine_topk —
+    TakeOrderedAndProject, no global sort) and a k-row overlap join.
+    Exact-decimal dots keep both rankings bit-deterministic.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    prep = emb.select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    pfx = prep.select(
+        "vec_id", F.slice("e", 1, _MRL_DIMS).alias("e")
+    )
+
+    def topk(base: DataFrame) -> DataFrame:
+        probe = base.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+            F.col("e").alias("pe"), _sq_norm(F.col("e")).alias("p_sq")
+        )
+        return (
+            base.filter(F.col("vec_id") != PROBE_VEC_ID)
+            .crossJoin(F.broadcast(probe))
+            .withColumn(
+                "cos_raw",
+                _dot(F.col("e"), F.col("pe"))
+                / (
+                    F.sqrt(_dot(F.col("e"), F.col("e")))
+                    * F.sqrt(F.col("p_sq"))
+                ),
+            )
+            .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+            .limit(TOP_K)
+            .select("vec_id")
+        )
+
+    overlap = topk(prep).join(topk(pfx), "vec_id")
+    return overlap.agg(
+        F.lit(TOP_K).cast("int").alias("k"),
+        F.lit(_MRL_DIMS).cast("int").alias("prefix_dims"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        (F.count(F.lit(1)).cast("double") / TOP_K).alias("recall_at_k"),
     )
