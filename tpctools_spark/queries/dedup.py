@@ -751,60 +751,54 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH prep AS (
       SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
-             CAST(list_sum(list_transform(embedding,
-                    x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(25,16))))
-                  AS DOUBLE) AS sq_norm
+             sqrt(list_reduce(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                  (acc, x) -> acc + x)) AS nrm
       FROM embeddings
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           CAST(floor(CAST(list_sum(list_transform(list_zip(a.e, b.e),
-                   p -> CAST(p[1] * p[2] AS DECIMAL(25,16)))) AS DOUBLE)
-                 / (sqrt(a.sq_norm) * sqrt(b.sq_norm)) * 10000) AS DOUBLE) / 10000 AS cosine
+           CAST(floor(list_reduce(list_transform(list_zip(a.e, b.e),
+                   p -> p[1] * p[2]), (acc, x) -> acc + x)
+                 / (a.nrm * b.nrm) * 10000) AS DOUBLE) / 10000 AS cosine
     FROM prep a JOIN prep b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE CAST(list_sum(list_transform(list_zip(a.e, b.e),
-            p -> CAST(p[1] * p[2] AS DECIMAL(25,16)))) AS DOUBLE)
-          / (sqrt(a.sq_norm) * sqrt(b.sq_norm)) >= 0.5
+    WHERE list_reduce(list_transform(list_zip(a.e, b.e),
+            p -> p[1] * p[2]), (acc, x) -> acc + x)
+          / (a.nrm * b.nrm) >= 0.5
     """,
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label.
 
     The label acts as the coarse blocking key (at 100 TB: an IVF/k-means
-    cell id) — candidate pairs exist only within a block. Dot products
-    accumulate per-element products as exact decimals, so Spark and the
-    oracle agree bit-for-bit and the threshold cannot flip on FP order.
+    cell id) — candidate pairs exist only within a block. Per-pair
+    cosines use ONE ordered-fold double dot product against
+    precomputed norms: float·float is exact in double and both engines
+    fold the product list in the same left-to-right order (Spark
+    ``aggregate``, DuckDB ``list_reduce``), so the threshold cannot
+    flip on FP order — without paying per-pair decimal arithmetic in
+    the quadratic (within-block) hot path.
     """
+    from tpctools_spark.queries.similarity import _dotf
+
     emb = table(spark, sf_dir, "embeddings")
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    sq_norm = F.aggregate(
-        F.col("embedding"),
-        F.lit(0).cast("decimal(25,16)"),
-        lambda acc, x: (
-            acc + (x.cast("double") * x.cast("double")).cast("decimal(25,16)")
-        ).cast("decimal(25,16)"),
-    ).cast("double")
-    prep = emb.select(
-        "vec_id", "label", e.alias("e"), sq_norm.alias("sq_norm")
+    prep = emb.select("vec_id", "label", e.alias("e")).withColumn(
+        "nrm", F.sqrt(_dotf(F.col("e"), F.col("e")))
     )
     a = prep.select(
         F.col("vec_id").alias("vec_a"),
         F.col("label").alias("label_a"),
         F.col("e").alias("ea"),
-        F.col("sq_norm").alias("na"),
+        F.col("nrm").alias("na"),
     )
     b = prep.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("label_b"),
         F.col("e").alias("eb"),
-        F.col("sq_norm").alias("nb"),
+        F.col("nrm").alias("nb"),
     )
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: (x * y).cast("decimal(25,16)")),
-        F.lit(0).cast("decimal(25,16)"),
-        lambda acc, x: (acc + x).cast("decimal(25,16)"),
-    ).cast("double")
-    cosine = dot / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
+    cosine = _dotf(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
         .withColumn("cosine_raw", cosine)
