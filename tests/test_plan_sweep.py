@@ -65,7 +65,9 @@ _BNLJ_ALLOWED = {
     "mining_basket_lift",
     "pipeline_curriculum_order",  # one-row quartile-cutpoint broadcast
     "pipeline_mix_weights",
+    "pipeline_time_split",  # one-row time-cut + leak-count broadcasts
     "quality_benford_digits",
+    "quality_referential_integrity",  # one-row per-edge rowcount broadcasts
     "quality_ks_test",  # one-row (n1, n2) cohort-totals broadcast
     "sim_cosine_topk",
     "sim_cosine_topk_ivf",

@@ -764,3 +764,71 @@ def pipeline_quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFram
         fail_stop.cast("int").alias("fail_stopwords"),
         (~fail_wc & ~fail_mwl & ~fail_stop).cast("int").alias("passed"),
     )
+
+
+@query(
+    "pipeline_time_split",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(epoch_us(ts))
+             + CAST(floor((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) * 0.8)
+                    AS BIGINT) AS cut_us
+      FROM events
+    ), tagged AS (
+      SELECT user_id,
+             CASE WHEN epoch_us(ts) < cut_us THEN 'train' ELSE 'test' END
+               AS split
+      FROM events, bounds
+    ), census AS (
+      SELECT split, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM tagged GROUP BY split
+    ), leak AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT user_id FROM tagged GROUP BY user_id
+        HAVING COUNT(DISTINCT split) > 1
+      )
+    )
+    SELECT c.split, c.n_rows, c.n_users, l.n AS n_leaking_users
+    FROM census c, leak l
+    """,
+)
+def pipeline_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split with an entity-leakage audit.
+
+    Forecasting data must split by TIME (train strictly before test, at
+    the 80% point of the observed span) — but a time split lets the
+    same user appear on both sides, which leaks identity-level signal
+    into evaluation for user-level models. This op performs the split
+    AND reports the leakage count, so the pipeline can decide: accept
+    (per-event models), or hand the leaking users to the hash-split
+    (sample_hash_split) for entity-disjoint folds.
+
+    Determinism: the cut is min + 0.8·span in exact microsecond
+    arithmetic — no quantile estimation; one-row bounds broadcast
+    (allowlisted BNLJ), two combinable aggregations.
+    """
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    bounds = ev.agg(
+        (
+            F.min(us) + ((F.max(us) - F.min(us)) * 0.8).cast("bigint")
+        ).alias("cut_us")
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.when(us < F.col("cut_us"), "train")
+        .otherwise("test")
+        .alias("split"),
+    )
+    census = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    leak = (
+        tagged.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("n_leaking_users"))
+    )
+    return census.crossJoin(F.broadcast(leak))

@@ -1041,3 +1041,72 @@ def quality_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         u1x2.alias("u1x2"),
         trunc_digits(z, 4).alias("z"),
     )
+
+
+@query(
+    "quality_referential_integrity",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'orders.o_custkey -> customer.c_custkey' AS fk_edge,
+             CAST((SELECT COUNT(*) FROM orders o
+                   WHERE o.o_custkey IS NOT NULL
+                     AND NOT EXISTS (SELECT 1 FROM customer c
+                                     WHERE c.c_custkey = o.o_custkey))
+                  AS BIGINT) AS n_orphans,
+             CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows
+      UNION ALL
+      SELECT 'lineitem.l_orderkey -> orders.o_orderkey',
+             CAST((SELECT COUNT(*) FROM lineitem l
+                   WHERE l.l_orderkey IS NOT NULL
+                     AND NOT EXISTS (SELECT 1 FROM orders o
+                                     WHERE o.o_orderkey = l.l_orderkey))
+                  AS BIGINT),
+             CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+      UNION ALL
+      SELECT 'customer.c_nationkey -> nation.n_nationkey',
+             CAST((SELECT COUNT(*) FROM customer c
+                   WHERE c.c_nationkey IS NOT NULL
+                     AND NOT EXISTS (SELECT 1 FROM nation n
+                                     WHERE n.n_nationkey = c.c_nationkey))
+                  AS BIGINT),
+             CAST((SELECT COUNT(*) FROM customer) AS BIGINT)
+    ) t
+    """,
+)
+def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star schema's edges.
+
+    The cross-TABLE data-quality check quality_expectations (per-table)
+    can't express: for each declared FK edge, how many child rows
+    reference a parent that doesn't exist. Orphans are what silently
+    vanish from inner joins — auditing them is how a warehouse notices
+    partial loads and broken CDC feeds before dashboards do.
+
+    Shape: one LEFT ANTI join per edge (never EXISTS-per-row), each
+    reduced to a single count — at 100 TB the parent key sides are
+    dimension-sized broadcasts (or shuffled semi joins for fact→fact
+    edges), and the audit reads each table once.
+    """
+    edges = [
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    out = None
+    for child, ck, parent, pk in edges:
+        c = table(spark, sf_dir, child)
+        p = table(spark, sf_dir, parent).select(pk).distinct()
+        orphans = (
+            c.filter(F.col(ck).isNotNull())
+            .join(p, c[ck] == p[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        row = orphans.crossJoin(
+            F.broadcast(c.agg(F.count(F.lit(1)).alias("n_rows")))
+        ).select(
+            F.lit(f"{child}.{ck} -> {parent}.{pk}").alias("fk_edge"),
+            F.col("n_orphans").cast("bigint"),
+            F.col("n_rows").cast("bigint"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
