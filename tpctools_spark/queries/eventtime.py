@@ -1373,3 +1373,103 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survival"
         ),
     )
+
+
+@query(
+    "events_forecast_snaive",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY event_type, floor(epoch_us(ts) / 3600000000)
+    ), bounds AS (
+      SELECT MAX(h) AS hmax FROM hourly
+    ), test AS (
+      SELECT a.event_type, a.h, a.v AS actual, f.v AS forecast
+      FROM hourly a
+      JOIN hourly f ON f.event_type = a.event_type
+                   AND f.h = a.h - 168
+      CROSS JOIN bounds b
+      WHERE a.h > b.hmax - 168
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(floor(CAST(SUM(abs(actual - forecast)) AS DOUBLE)
+                / SUM(actual) * 10000) AS DOUBLE) / 10000 AS wape,
+           CAST(floor(CAST(SUM(CAST(floor(CAST(abs(actual - forecast)
+                      AS DOUBLE) / actual * 1000000) AS BIGINT))
+                      AS DOUBLE) / COUNT(*) / 1000000 * 10000)
+                AS DOUBLE) / 10000 AS mape
+    FROM test
+    WHERE actual > 0
+    GROUP BY event_type
+    """,
+)
+def events_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each of the last 168
+    hours as the same hour one week earlier, and score WAPE and MAPE
+    per event type.
+
+    The baseline every production forecaster must beat — if a model
+    can't out-predict "same hour last week", it ships nothing. The
+    backtest join is the forecast: hourly actuals self-joined at lag
+    168 on (type, hour), restricted to the final week.
+
+    Determinism: actuals are exact integer cents sums; WAPE is a ratio
+    of two exact integer sums (one truncated division). MAPE needs a
+    mean of per-hour ratios, so each ratio is truncated to 6 digits
+    FIRST (an exact decimal), summed as exact integers, then divided —
+    the truncate-then-sum pattern that keeps double addition order out
+    of the aggregate.
+
+    Scale: one hourly rollup (map-side combinable), a self-join on the
+    (type, hour) key — co-partitioned, no window — and a per-type
+    census. Lag and horizon are constants; the plan is flat at any
+    history length.
+    """
+    hourly = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_micros("ts") / 3_600_000_000).alias("h"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("v")
+        )
+    )
+    bounds = hourly.agg(F.max("h").alias("hmax"))
+    a = hourly.select(
+        "event_type", "h", F.col("v").alias("actual")
+    )
+    fc = hourly.select(
+        F.col("event_type").alias("f_type"),
+        (F.col("h") + 168).alias("f_h"),
+        F.col("v").alias("forecast"),
+    )
+    test = (
+        a.join(
+            fc,
+            (F.col("event_type") == F.col("f_type"))
+            & (F.col("h") == F.col("f_h")),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .filter((F.col("h") > F.col("hmax") - 168) & (F.col("actual") > 0))
+    )
+    ape_fx = F.floor(
+        F.abs(F.col("actual") - F.col("forecast")).cast("double")
+        / F.col("actual")
+        * 1_000_000
+    ).cast("bigint")
+    return test.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        trunc_digits(
+            F.sum(F.abs(F.col("actual") - F.col("forecast"))).cast("double")
+            / F.sum("actual"),
+            4,
+        ).alias("wape"),
+        trunc_digits(
+            F.sum(ape_fx).cast("double") / F.count(F.lit(1)) / 1_000_000,
+            4,
+        ).alias("mape"),
+    )
