@@ -96,3 +96,11 @@ def test_sorted_stats_prune_pushes_range_filter(spark):
     # filter so row-group min/max stats can skip groups; a post-scan
     # Filter-only plan would read every row group of the sorted table.
     assert "PushedFilters: [IsNotNull(o_custkey), GreaterThanOrEqual(o_custkey,100)" in plan
+
+
+def test_bucket_pruned_scan_selects_one_bucket(spark):
+    from tpctools_spark.registry import spark_queries
+
+    df = spark_queries()["scan_bucket_pruned"](spark, SF)
+    plan = _plan(df)
+    assert "SelectedBucketsCount: 1 out of" in plan

@@ -415,3 +415,52 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             trunc_digits(F.col("d2"), 4).alias("dist2"),
         )
     )
+
+
+@query(
+    "scan_bucket_pruned",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS total
+    FROM orders WHERE o_custkey = 37
+    """,
+)
+def scan_bucket_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket pruning on read: an equality predicate on the bucketing
+    key scans ONE bucket's files, not the table.
+
+    The third member of the pruning triptych — partition pruning skips
+    directories (sink_partitioned_prune), min/max stats skip row groups
+    (sink_sorted_stats_prune), bucket pruning skips bucket files: the
+    key hashes to exactly one bucket, so the other N−1 never open.
+    Unlike partitioning this works on HIGH-cardinality keys (you can't
+    make a directory per customer, but hashing a million customers
+    into 64 buckets is routine). The plan advertises it as
+    ``SelectedBucketsCount: 1 out of N`` (plan-asserted in
+    tests/test_new_ops_plans.py).
+    """
+    # The planner drops bucketed scans when no operator exploits the
+    # bucket distribution — but that heuristic also forfeits bucket
+    # PRUNING, which is the whole point here. Pin the bucketed scan on.
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    tag = uuid.uuid4().hex[:8]
+    base = os.path.join(tempfile.gettempdir(), f"tpctools_bprune_{tag}")
+    name = f"orders_bp_{tag}"
+    (
+        table(spark, sf_dir, "orders")
+        .write.bucketBy(_BUCKETS, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", os.path.join(base, "orders"))
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    return (
+        spark.table(name)
+        .filter(F.col("o_custkey") == 37)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("total"),
+        )
+    )

@@ -571,3 +571,53 @@ def sink_sorted_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.round("o_totalprice", 2).alias("total"),
     )
+
+
+@query(
+    "sink_python_datasource",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom SINK via the Spark 4 Python DataSource write path — the
+    writer-side twin of scan_python_datasource's reader.
+
+    Each write task streams its partition's rows into its own
+    JSON-lines file and returns a commit message
+    (tpctools_spark/sources.py JsonDirWriter) — the open-sink/stream/
+    commit-token skeleton of any custom service or queue sink, with
+    abort() cleaning up staged output on failure. The written
+    directory is read back with an explicit schema and aggregated;
+    the oracle runs the same aggregate on the source table, proving
+    the custom write path loses nothing.
+    """
+    from tpctools_spark.sources import JsonDirSinkSource
+
+    try:
+        spark.dataSource.register(JsonDirSinkSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+    out = _scratch_dir("pysink")
+    path = os.path.join(out, "events_jsonl")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.write.format("jsonl_dir").option("path", path).mode("append").save()
+    back = spark.read.schema(
+        "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+    ).json(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 2
+        ).alias("total_value"),
+    )

@@ -21,6 +21,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
 )
 
@@ -119,3 +120,74 @@ class SensorStreamSource(DataSource):
 
     def streamReader(self, schema):
         return SensorStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Write path: a JSON-lines directory sink on the same Python API.
+
+
+class _JsonDirCommit:  # WriterCommitMessage payload (picklable)
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class JsonDirWriter(DataSourceWriter):
+    """Executor-side writer: each task serializes ITS partition's rows
+    to one JSON-lines file under the target directory and reports a
+    commit message; nothing funnels through the driver. The same
+    skeleton (open per-task sink → stream rows → return commit token)
+    is how a REST/queue/internal-service sink is built when the
+    built-in sink menu doesn't cover it."""
+
+    def __init__(self, options, schema):
+        self._dir = options.get("path")
+        self._cols = [f.name for f in schema.fields]
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark.sql.datasource import WriterCommitMessage  # noqa: PLC0415
+
+        os.makedirs(self._dir, exist_ok=True)
+        tmp = os.path.join(self._dir, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(
+                    json.dumps(dict(zip(self._cols, tuple(row)))) + "\n"
+                )
+                n += 1
+        msg = WriterCommitMessage()
+        msg.path = tmp
+        msg.n_rows = n
+        return msg
+
+    def commit(self, messages):
+        # Driver-side finalize: in a transactional sink this is where
+        # staged files/offsets become visible atomically.
+        return None
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and getattr(m, "path", None):
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+
+
+class JsonDirSinkSource(DataSource):
+    """``df.write.format("jsonl_dir").option("path", dir).save()`` after
+    ``spark.dataSource.register(JsonDirSinkSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_dir"
+
+    def writer(self, schema, overwrite: bool):
+        return JsonDirWriter(self.options, schema)
