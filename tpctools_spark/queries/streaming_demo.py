@@ -745,3 +745,55 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain_to_memory(agg, "complete")
+
+
+@query(
+    "stream_approx_distinct_window",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(1 AS INT) AS approx_ok
+    FROM events GROUP BY date_trunc('day', ts)
+    """,
+)
+def stream_approx_distinct_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-window distinct-user estimation via HLL.
+
+    Exact COUNT(DISTINCT) is unsupported (and unbounded-state) in
+    streaming aggregation, so production counts uniques with
+    approx_count_distinct: mergeable constant-size HLL state per
+    window. The drained stream's estimate is then audited against the
+    exact batch count — the oracle pins ``approx_ok`` (relative error
+    within HLL's configured 5% rsd bound, wide margin 15%) plus the
+    exact count itself, so the check stays deterministic while the
+    estimator stays approximate.
+
+    Scale: per-window state is one HLL register set regardless of user
+    cardinality — the whole point versus the exact distinct's
+    per-window user set.
+    """
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.approx_count_distinct("user_id", 0.05).alias("approx_users"))
+        .select(F.col("w.start").alias("day"), "approx_users")
+    )
+    drained = _drain_to_memory(agg, "complete")
+    from tpctools_spark.catalog import table as _table
+
+    exact = (
+        _table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return drained.join(exact, "day").select(
+        "day",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.15 * F.col("exact_users")
+        )
+        .cast("int")
+        .alias("approx_ok"),
+    )
