@@ -156,3 +156,9 @@ def test_chunk_cdc_chunks_cover_payload(spark, queries):
     for r in queries["multimodal_chunk_cdc"](spark, SF).collect():
         assert r["n_chunks"] >= 1
         assert 0 <= r["shared_chars"] <= lens[r["doc_id"]]
+
+
+def test_incremental_dedup_flags_every_planted_doc(spark, queries):
+    rows = queries["pipeline_incremental_dedup"](spark, SF).collect()
+    assert len(rows) == 71
+    assert all(r["decision"] == "near_dup" for r in rows)

@@ -278,3 +278,153 @@ def pipeline_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_truth bigint, n_detected bigint, n_hit bigint, "
         "precision_ double, recall_ double",
     )
+
+
+@query(
+    "pipeline_incremental_dedup",
+    oracle=f"""
+    WITH ids AS (SELECT unnest(range(0, {_N_DOCS})) AS i),
+    base AS (
+      SELECT i, CASE WHEN i % 7 = 0 AND i > 0 THEN i - 1 ELSE i END AS b
+      FROM ids
+    ), prep AS (
+      SELECT i, b, ({_sql_h('b', '0')}) % 60 + 20 AS n FROM base
+    ), texted AS (
+      SELECT i,
+             CASE WHEN i % 7 = 0 AND i > 0
+                  THEN body || ' ' || ({_SQL_VOCAB})[i % {len(VOCAB)} + 1]
+                  ELSE body END AS text
+      FROM (SELECT i, b, n,
+                   array_to_string(list_transform(
+                     range(1, CAST(n AS INTEGER) + 1),
+                     p -> ({_SQL_VOCAB})[({_sql_h('b', 'p')}) % {len(VOCAB)} + 1]),
+                     ' ') AS body
+            FROM prep)
+    ), words AS (
+      SELECT i, string_split(text, ' ') AS w, md5(text) AS fp FROM texted
+    ), grams AS (
+      SELECT DISTINCT i AS doc_id, g AS gram
+      FROM words,
+           unnest([concat_ws(' ', w[k], w[k+1], w[k+2])
+                   for k in range(1, len(w) - 1)]) AS t(g)
+    ), capped AS (
+      SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= 50
+    ), pruned AS (
+      SELECT g.doc_id, g.gram FROM grams g JOIN capped USING (gram)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS ng FROM grams GROUP BY doc_id
+    ), exact_hit AS (
+      SELECT DISTINCT b.i AS doc_id
+      FROM words b JOIN words c ON b.fp = c.fp
+      WHERE b.i % 7 = 0 AND b.i > 0 AND NOT (c.i % 7 = 0 AND c.i > 0)
+    ), near_hit AS (
+      SELECT DISTINCT a.doc_id
+      FROM pruned a JOIN pruned c ON a.gram = c.gram
+      JOIN sizes sa ON sa.doc_id = a.doc_id
+      JOIN sizes sc ON sc.doc_id = c.doc_id
+      WHERE a.doc_id % 7 = 0 AND a.doc_id > 0
+        AND NOT (c.doc_id % 7 = 0 AND c.doc_id > 0)
+      GROUP BY a.doc_id, c.doc_id, sa.ng, sc.ng
+      HAVING CAST(COUNT(*) AS DOUBLE)
+             / (sa.ng + sc.ng - COUNT(*)) >= 0.5
+    )
+    SELECT i AS doc_id,
+           CASE WHEN i IN (SELECT doc_id FROM exact_hit) THEN 'exact_dup'
+                WHEN i IN (SELECT doc_id FROM near_hit) THEN 'near_dup'
+                ELSE 'accept' END AS decision
+    FROM ids WHERE i % 7 = 0 AND i > 0
+    """,
+)
+def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: admit an INCOMING batch against an existing
+    corpus — the production form of dedup (full-corpus re-dedup on
+    every ingest is a non-starter at 100 TB; you check the new million
+    docs against the standing index, not everything against
+    everything).
+
+    Two-stage admission over the generated corpus (incoming = the
+    planted every-7th near-dups; corpus = the rest): exact content
+    fingerprint anti-probe first (cheap, catches bit-identical
+    resubmissions), then the capped 3-gram Jaccard probe of the
+    corpus's inverted index. Only batch×corpus pairs are ever
+    generated — batch-internal and corpus-internal pairs are excluded,
+    which is what bounds the incremental cost. Ground truth makes the
+    outcome auditable: every planted doc must come back 'near_dup'.
+
+    Scale: the corpus side of the postings join is the standing index
+    (built once, reused per ingest); the batch side is ingest-sized.
+    """
+    docs = gen_documents(spark, _N_DOCS)
+    is_batch = (F.col("doc_id") % 7 == 0) & (F.col("doc_id") > 0)
+    w = F.split(F.col("text"), " ")
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(0))),
+                    lambda k: F.concat_ws(
+                        " ",
+                        F.element_at(w, k),
+                        F.element_at(w, k + 1),
+                        F.element_at(w, k + 2),
+                    ),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    capped = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= 50
+    )
+    pruned = grams.join(capped.select("gram"), "gram")
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ng"))
+    fp = docs.select("doc_id", F.md5("text").alias("fp"), is_batch.alias("in_batch"))
+
+    exact_hit = (
+        fp.filter("in_batch")
+        .select(F.col("doc_id"), "fp")
+        .join(
+            fp.filter(~F.col("in_batch")).select(F.col("fp")),
+            "fp",
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    b = pruned.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") > 0)).select(
+        F.col("doc_id").alias("bd"), "gram"
+    )
+    c = pruned.filter(~((F.col("doc_id") % 7 == 0) & (F.col("doc_id") > 0))).select(
+        F.col("doc_id").alias("cd"), "gram"
+    )
+    sb = sizes.select(F.col("doc_id").alias("bd"), F.col("ng").alias("ngb"))
+    sc_ = sizes.select(F.col("doc_id").alias("cd"), F.col("ng").alias("ngc"))
+    near_hit = (
+        b.join(c, "gram")
+        .groupBy("bd", "cd")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(sb, "bd")
+        .join(sc_, "cd")
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("ngb") + F.col("ngc") - F.col("inter"))
+            >= 0.5
+        )
+        .select(F.col("bd").alias("doc_id"))
+        .distinct()
+    )
+    batch = docs.filter(is_batch).select("doc_id")
+    return (
+        batch.join(
+            exact_hit.withColumn("is_exact", F.lit(1)), "doc_id", "left"
+        )
+        .join(near_hit.withColumn("is_near", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact") == 1, "exact_dup")
+            .when(F.col("is_near") == 1, "near_dup")
+            .otherwise("accept")
+            .alias("decision"),
+        )
+    )
