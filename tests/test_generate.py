@@ -146,3 +146,13 @@ def test_corpus_generator_plants_near_dups(spark):
         # every 7th doc is its predecessor plus exactly one marker word
         assert rows[i].startswith(rows[i - 1])
         assert len(rows[i].split()) == len(rows[i - 1].split()) + 1
+
+
+def test_corpus_cli_generate(spark, tmp_path):
+    from tpctools_spark.generate_corpus import generate
+
+    out = str(tmp_path / "corpus")
+    timings = generate(spark, 0.0002, 3, out)
+    assert set(timings) == {"documents", "embeddings", "events"}
+    assert spark.read.parquet(f"{out}/documents.parquet").count() == 10
+    assert spark.read.parquet(f"{out}/events.parquet").count() == 200

@@ -30,6 +30,10 @@ def _benchmark_tables(name: str) -> list[str]:
         from tpctools_spark.schemas_tpcds import TPCDS_TABLE_NAMES
 
         return TPCDS_TABLE_NAMES
+    if name.lower() == "corpus":
+        from tpctools_spark.generate_corpus import CORPUS_TABLE_NAMES
+
+        return CORPUS_TABLE_NAMES
     raise SystemExit(f"invalid benchmark name: {name}")
 
 
@@ -102,7 +106,9 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(f"tpctools-{args.cmd}")
     tpcds = args.benchmark.lower() in ("tpcds", "tpc-ds")
     if args.cmd == "generate":
-        if tpcds:
+        if args.benchmark.lower() == "corpus":
+            from tpctools_spark.generate_corpus import generate as gen
+        elif tpcds:
             from tpctools_spark.generate_tpcds import generate_tpcds as gen
         else:
             from tpctools_spark.generate import generate as gen

@@ -139,3 +139,50 @@ def gen_events(spark: SparkSession, n_events: int, parts: int = 8) -> DataFrame:
         ),
         (_h(i, 4) % 30_000).alias("value_cents"),
     )
+
+
+# Fixture-density row budgets per unit scale factor (the driver's
+# sf0.01 fixtures hold 500 docs / 500 vectors / 10,000 events).
+CORPUS_ROWS_PER_SF = {
+    "documents": 50_000,
+    "embeddings": 50_000,
+    "events": 1_000_000,
+}
+
+CORPUS_TABLE_NAMES = list(CORPUS_ROWS_PER_SF)
+
+
+def generate(
+    spark: SparkSession,
+    scale: float,
+    partitions: int,
+    output_dir: str,
+    tables: list | None = None,
+    fmt: str = "parquet",
+    compression: str = "snappy",
+) -> dict:
+    """Generate corpus tables to ``<output_dir>/<table>.parquet`` —
+    the same CLI contract as the TPC generators (tpctools_spark.generate),
+    extended to the corpus domain: per-table wall times returned, any
+    partition count, identical bytes regardless of it."""
+    import os
+    import time
+
+    builders = {
+        "documents": lambda n: gen_documents(spark, n, parts=partitions),
+        "embeddings": lambda n: gen_embeddings(spark, n, parts=partitions),
+        "events": lambda n: gen_events(spark, n, parts=partitions),
+    }
+    timings: dict = {}
+    for name in tables or CORPUS_TABLE_NAMES:
+        n_rows = max(1, int(CORPUS_ROWS_PER_SF[name] * scale))
+        t0 = time.perf_counter()
+        df = builders[name](n_rows)
+        writer = df.write.mode("overwrite").option("compression", compression)
+        path = os.path.join(output_dir, f"{name}.{fmt}")
+        if fmt == "parquet":
+            writer.parquet(path)
+        else:
+            writer.option("header", "true").csv(path)
+        timings[name] = time.perf_counter() - t0
+    return timings

@@ -1473,3 +1473,62 @@ def events_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mape"),
     )
+
+
+@query(
+    "events_peak_concurrency",
+    oracle="""
+    WITH deltas AS (
+      SELECT event_type, epoch_us(ts) AS t, 1 AS d FROM events
+      UNION ALL
+      SELECT event_type, epoch_us(ts) + 600000000, -1 FROM events
+    ), running AS (
+      SELECT event_type, t, d,
+             CAST(SUM(d) OVER (PARTITION BY event_type
+                               ORDER BY t, d DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT) AS live
+      FROM deltas
+    )
+    SELECT event_type,
+           CAST(MAX(live) AS BIGINT) AS peak_concurrent
+    FROM running GROUP BY event_type
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type: the maximum number of
+    10-minute activity intervals live at any instant — the classic
+    +1/−1 boundary sweep (capacity planning's first question: how many
+    sessions must the system hold AT ONCE, which no per-window count
+    answers because windows chop concurrent intervals apart).
+
+    Tie rule pinned on both engines: at equal timestamps the +1 sorts
+    before the −1 (ORDER BY t, d DESC), so an interval ending exactly
+    when another starts counts as overlapping — the inclusive
+    convention, deterministic under ties.
+
+    Scale: the sweep partitions by event_type and sorts each key's
+    boundaries once — one shuffle; interval_coverage's merge logic and
+    this peak share the same boundary stream at 100 TB.
+    """
+    us = F.unix_micros(F.col("ts"))
+    ev = table(spark, sf_dir, "events")
+    deltas = ev.select(
+        "event_type", us.alias("t"), F.lit(1).alias("d")
+    ).unionByName(
+        ev.select(
+            "event_type",
+            (us + 600_000_000).alias("t"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("t"), F.col("d").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        deltas.select("event_type", F.sum("d").over(w).alias("live"))
+        .groupBy("event_type")
+        .agg(F.max("live").cast("bigint").alias("peak_concurrent"))
+    )
