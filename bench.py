@@ -149,6 +149,7 @@ COMPACT_KEYS = [
     "sim_cosine_topk_quantized",
     "join_bloom_pruned",
     "q1_sf1",
+    "dedup_jaccard_50k",
     "gen_tpch",
     "gen_tpcds",
 ]
@@ -318,6 +319,86 @@ def main() -> None:
         timings["q1_sf1"] = round(time.perf_counter() - t0, 3)
     except Exception as exc:  # noqa: BLE001
         errors["q1_sf1"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    # Dedup at 100x the fixture: the capped 3-gram Jaccard detector over
+    # a 50k-doc generated corpus (scaled vocabulary; planted near-dup at
+    # every 7th doc). Timed warm like the registry entries; the planted
+    # recall is verified in-line — a scale point with ground truth, not
+    # just a wall time.
+    try:
+        from pyspark.sql import functions as F
+
+        from tpctools_spark.generate_corpus import gen_documents
+
+        docs_path = os.path.join(sf1_dir, "corpus50k.parquet")
+        if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
+            gen_documents(spark, 50_000, parts=32, vocab_size=10_000)                .write.mode("overwrite").parquet(docs_path)
+
+        def _jaccard_50k() -> int:
+            d = spark.read.parquet(docs_path)
+            w = F.split(F.col("text"), " ")
+            grams = d.select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1), F.greatest(F.size(w) - 2, F.lit(0))
+                        ),
+                        lambda k: F.concat_ws(
+                            " ",
+                            F.element_at(w, k),
+                            F.element_at(w, k + 1),
+                            F.element_at(w, k + 2),
+                        ),
+                    )
+                ).alias("gram"),
+            ).distinct()
+            capped = grams.groupBy("gram").agg(
+                F.count(F.lit(1)).alias("df")
+            ).filter(F.col("df") <= 50)
+            pruned = grams.join(capped.select("gram"), "gram")
+            sizes = grams.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("ng")
+            )
+            a = pruned.select(F.col("doc_id").alias("da"), "gram")
+            b = pruned.select(F.col("doc_id").alias("db"), "gram")
+            cand = (
+                a.join(b, "gram")
+                .filter(F.col("da") < F.col("db"))
+                .groupBy("da", "db")
+                .agg(F.count(F.lit(1)).alias("inter"))
+            )
+            det = (
+                cand.join(
+                    sizes.select(
+                        F.col("doc_id").alias("da"), F.col("ng").alias("nga")
+                    ),
+                    "da",
+                )
+                .join(
+                    sizes.select(
+                        F.col("doc_id").alias("db"), F.col("ng").alias("ngb")
+                    ),
+                    "db",
+                )
+                .filter(
+                    F.col("inter").cast("double")
+                    / (F.col("nga") + F.col("ngb") - F.col("inter"))
+                    >= 0.5
+                )
+            )
+            return det.count()
+
+        _jaccard_50k()  # warm: codegen compile
+        t0 = time.perf_counter()
+        n_pairs = _jaccard_50k()
+        timings["dedup_jaccard_50k"] = round(time.perf_counter() - t0, 3)
+        if n_pairs < 50_000 // 7:
+            errors["dedup_jaccard_50k"] = (
+                f"planted recall broken: {n_pairs} pairs < {50_000 // 7}"
+            )
+    except Exception as exc:  # noqa: BLE001
+        errors["dedup_jaccard_50k"] = f"{type(exc).__name__}: {exc}"[:200]
 
     sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
     try:

@@ -72,24 +72,43 @@ def _sql_h(i: str, salt: str) -> str:
     return f"((({h1}) * ({h1})) % {_P} * 31 + ({h1})) % {_P}"
 
 
-def gen_documents(spark: SparkSession, n_docs: int, parts: int = 8) -> DataFrame:
+def gen_documents(
+    spark: SparkSession,
+    n_docs: int,
+    parts: int = 8,
+    vocab_size: int = len(VOCAB),
+) -> DataFrame:
     """documents(doc_id, source, lang, n_words, text) — near-dup pairs
-    planted at every id ≡ 0 (mod 7)."""
+    planted at every id ≡ 0 (mod 7).
+
+    ``vocab_size`` scales lexical diversity with the corpus: the first
+    31 word ids map to the fixture vocabulary, ids beyond synthesize
+    ``w<k>`` tokens. A fixed 31-word vocabulary saturates the 3-gram
+    space around 10⁴ docs (every gram's document frequency blows past
+    any reasonable cap, so inverted-index dedup finds nothing) — real
+    corpora grow vocabulary with size, and scale tests must too.
+    """
     i = F.col("id")
     # near-dup: content derives from base_id; copies append one marker
     base = F.when((i % 7 == 0) & (i > 0), i - 1).otherwise(i)
     n_words = (_h(base, 0) % 60 + 20).cast("int")
     vocab = F.array(*[F.lit(w) for w in VOCAB])
+
+    def word(k: Column) -> Column:
+        return F.when(
+            k < len(VOCAB), F.element_at(vocab, (k + 1).cast("int"))
+        ).otherwise(F.concat(F.lit("w"), k.cast("string")))
+
     words = F.transform(
         F.sequence(F.lit(1), n_words),
-        lambda p: F.element_at(vocab, (_h(base, p) % len(VOCAB) + 1).cast("int")),
+        lambda p: word(_h(base, p) % vocab_size),
     )
     text = F.when(
         (i % 7 == 0) & (i > 0),
         F.concat(
             F.array_join(words, " "),
             F.lit(" "),
-            F.element_at(vocab, (i % len(VOCAB) + 1).cast("int")),
+            word(i % vocab_size),
         ),
     ).otherwise(F.array_join(words, " "))
     return spark.range(0, n_docs, 1, parts).select(
