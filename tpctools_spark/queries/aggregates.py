@@ -1048,3 +1048,45 @@ def agg_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("est_distinct"),
     )
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_name, ',' ORDER BY c_name) AS top_names
+    FROM (
+      SELECT c_nationkey, c_name,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 5
+    GROUP BY c_nationkey
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG (SQL:2016) — ordered string concatenation per group,
+    here over each nation's top-5 customers by balance.
+
+    Spark has no LISTAGG keyword; the equivalent composition is
+    collect_list → array_sort → array_join, with the top-5 pre-limit
+    keeping every group's aggregation state bounded (never LISTAGG an
+    unbounded group at scale — the state is the concatenated string).
+    The WindowGroupLimit pre-filter is the same top-k shape the rank
+    family uses.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    top = (
+        table(spark, sf_dir, "customer")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+    return top.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias(
+            "top_names"
+        )
+    )

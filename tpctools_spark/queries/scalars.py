@@ -518,3 +518,49 @@ def scalar_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_case_variants",
         )
     )
+
+
+@query(
+    "scalar_interval_arith",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH,
+                    '%Y-%m-%d') AS next_month,
+           strftime(last_day(CAST(o_orderdate AS DATE)),
+                    '%Y-%m-%d') AS month_end,
+           CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr,
+           CAST(week(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week,
+           CAST(isodow(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_dow,
+           CAST(date_diff('month', CAST(o_orderdate AS DATE),
+                          DATE '1998-12-01') AS BIGINT) AS months_to_ref
+    FROM orders
+    """,
+)
+def scalar_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar/interval arithmetic — the month-granularity family that
+    day-offset `date_add` can't express.
+
+    The subtle pairings, chosen so both engines agree exactly:
+    `add_months` clamps month-ends (Jan 31 + 1 month = Feb 28/29), the
+    identical clamping DuckDB applies to `+ INTERVAL 1 MONTH`; ISO week
+    and ISO day-of-week (Monday=1 — Spark's `dayofweek` is Sunday=1, so
+    it is re-based rather than trusting locale); and month distance as
+    BOUNDARY COUNT (exact integer algebra on year·12+month), not
+    Spark's fractional `months_between`, whose day-fraction rule has no
+    cross-engine twin. Dates are emitted as formatted strings so the
+    value hash can't diverge on date rendering.
+    """
+    od = F.col("o_orderdate").cast("date")
+    iso_dow = (F.dayofweek(od) + 5) % 7 + 1
+    months_to_ref = F.lit(1998 * 12 + 12) - (
+        F.year(od) * 12 + F.month(od)
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format(F.add_months(od, 1), "yyyy-MM-dd").alias("next_month"),
+        F.date_format(F.last_day(od), "yyyy-MM-dd").alias("month_end"),
+        F.quarter(od).cast("bigint").alias("qtr"),
+        F.weekofyear(od).cast("bigint").alias("iso_week"),
+        iso_dow.cast("bigint").alias("iso_dow"),
+        months_to_ref.cast("bigint").alias("months_to_ref"),
+    )

@@ -131,3 +131,46 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = c.filter(F.col("c_mktsegment") == "FURNITURE").select("c_custkey")
     b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
     return a.exceptAll(b).distinct()
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    ) t
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: a key appearing m times on the
+    left and n on the right survives min(m, n) times. The multiplicity
+    matters whenever rows carry weight (billing lines, samples): the
+    DISTINCT form silently collapses it. Compiles to a hash join on
+    (value, replicated min-count), not a distinct." """
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    return a.intersectAll(b)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    ) t
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference: m left copies minus n right copies
+    leaves max(m − n, 0) survivors, the semantics reconciliation
+    workloads need (every unmatched occurrence is a discrepancy to
+    count, not a key to report once)."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    return a.exceptAll(b)

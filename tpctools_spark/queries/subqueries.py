@@ -71,3 +71,65 @@ def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS (TPC-H Q4 shape) → decorrelated to a left-semi
     join on orderkey; both date predicates push to their scans."""
     return _run_sql(spark, sf_dir, _Q4_SQL)
+
+
+_ANY_ALL_ORACLE = """
+SELECT s_suppkey, s_name,
+       s_acctbal > ALL (SELECT c_acctbal FROM customer
+                        WHERE c_nationkey = s_nationkey
+                          AND c_mktsegment = 'MACHINERY') AS beats_all,
+       s_acctbal > ANY (SELECT c_acctbal FROM customer
+                        WHERE c_nationkey = s_nationkey
+                          AND c_mktsegment = 'MACHINERY') AS beats_any
+FROM supplier
+"""
+
+
+@query("subquery_any_all", oracle=_ANY_ALL_ORACLE)
+def subquery_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparisons (`> ALL` / `> ANY`) — the one classic
+    subquery form Spark SQL does not parse, lowered to its join
+    equivalent: each supplier against the MACHINERY customers of its
+    own nation.
+
+    The reduction is the textbook one — `x > ALL (S)` ⇔ `x > max(S)`,
+    `x > ANY (S)` ⇔ `x > min(S)` — but the empty-set semantics are the
+    part naive rewrites get wrong: ALL over an empty set is TRUE, ANY
+    is FALSE. The MACHINERY segment filter deliberately leaves some
+    nations customer-less so both paths are exercised; the left join's
+    NULL aggregate is resolved by COALESCE to each quantifier's
+    empty-set identity. (With NULLs in the subquery column the
+    quantifier would be three-valued; c_acctbal is NOT NULL in the
+    schema, which is what licenses the min/max rewrite.)
+
+    Scale: the per-nation extrema table is nation-cardinality (tiny),
+    broadcast to the supplier scan — zero shuffles on the big side.
+    """
+    from pyspark.sql import functions as F
+
+    from tpctools_spark.catalog import table
+
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "MACHINERY"
+    )
+    extrema = cust.groupBy("c_nationkey").agg(
+        F.max("c_acctbal").alias("mx"), F.min("c_acctbal").alias("mn")
+    )
+    sup = table(spark, sf_dir, "supplier")
+    return (
+        sup.join(
+            F.broadcast(extrema),
+            sup.s_nationkey == extrema.c_nationkey,
+            "left",
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.coalesce(F.col("s_acctbal") > F.col("mx"), F.lit(True)).alias(
+                "beats_all"
+            ),
+            F.coalesce(F.col("s_acctbal") > F.col("mn"), F.lit(False)).alias(
+                "beats_any"
+            ),
+        )
+    )

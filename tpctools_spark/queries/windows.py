@@ -366,3 +366,60 @@ def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ewma_value"
         ),
     )
+
+
+@query(
+    "window_groups_frame",
+    oracle="""
+    WITH grp AS (
+      SELECT user_id, ts, SUM(CAST(value AS DECIMAL(12,2))) AS g_sum
+      FROM events GROUP BY user_id, ts
+    ), rolled AS (
+      SELECT user_id, ts,
+             SUM(g_sum) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)
+               AS roll
+      FROM grp
+    )
+    SELECT e.event_id, e.user_id,
+           ROUND(CAST(r.roll AS DOUBLE), 2) AS grp_rolling_value
+    FROM events e JOIN rolled r ON e.user_id = r.user_id AND e.ts = r.ts
+    """,
+)
+def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPS window frame (SQL:2011) — frame bounds counted in peer
+    groups (distinct ORDER BY values), not rows or value ranges.
+
+    Spark has no GROUPS frame type, so it is lowered to the equivalent
+    two-level plan: aggregate per (user, ts) peer group, run a ROWS
+    frame over the group-level rows (1 group preceding + current), and
+    join the group result back onto the detail rows. Semantically
+    identical to a native GROUPS frame: every row in a peer group
+    shares the same frame, and a peer group with n rows contributes
+    all n rows to the frame of its successor group. (DuckDB's parser
+    also lacks GROUPS mode, so the oracle states the same peer-group
+    lowering in portable ANSI SQL — group CTE, ROWS frame, join back.)
+
+    Scale: the group table is at most the event count; both shuffles
+    (group-by and the join back) hash on (user_id, ts), and the window
+    itself sorts only within user partitions — no global sort.
+    """
+    ev = table(spark, sf_dir, "events")
+    grp = ev.groupBy("user_id", "ts").agg(
+        F.sum(money(F.col("value"))).alias("g_sum")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(-1, 0)
+    rolled = grp.select(
+        "user_id", "ts", F.sum("g_sum").over(w).alias("roll")
+    )
+    return (
+        ev.select("event_id", "user_id", "ts")
+        .join(rolled, ["user_id", "ts"])
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("roll").cast("double"), 2).alias(
+                "grp_rolling_value"
+            ),
+        )
+    )
