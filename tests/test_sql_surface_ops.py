@@ -143,3 +143,14 @@ def test_interval_arith_clamps_and_iso_fields(spark):
         assert 1 <= r.iso_week <= 53
         assert 1 <= r.iso_dow <= 7
         assert nm.day <= 31
+
+
+def test_not_in_null_aware_semantics(spark):
+    """The null-planted NOT IN must return zero survivors while the
+    clean one keeps customers without big orders — same SQL, two
+    truth values apart."""
+    from tpctools_spark.registry import spark_queries
+
+    r = spark_queries()["subquery_not_in_null_aware"](spark, SF).collect()[0]
+    assert r.not_in_with_null == 0
+    assert r.not_in_clean > 0

@@ -133,3 +133,36 @@ def subquery_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_NOT_IN_NULL_SQL = """
+SELECT
+  (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+     (SELECT o_custkey FROM orders WHERE o_totalprice > 450000))
+    AS not_in_clean,
+  (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+     (SELECT o_custkey FROM orders WHERE o_totalprice > 450000
+      UNION ALL SELECT CAST(NULL AS BIGINT)))
+    AS not_in_with_null
+"""
+
+
+@query("subquery_not_in_null_aware", oracle=_NOT_IN_NULL_SQL)
+def subquery_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN under three-valued logic — the classic NULL trap, and a
+    distinct physical operator in Spark (null-aware anti join).
+
+    `x NOT IN (S)` is `x <> s1 AND x <> s2 AND …`: one NULL in S makes
+    every conjunct UNKNOWN, so the predicate never passes and the result
+    is EMPTY — not "all rows except the matches" as the naive anti-join
+    rewrite would return. The query states both sides of the trap in one
+    row: the clean subquery gives the expected survivor count, the
+    null-planted one must give exactly 0. Catalyst compiles the latter
+    to a null-aware anti join (broadcast + null-check fast path) rather
+    than a plain LeftAnti — the same SQL text runs verbatim on both
+    engines, so the semantics (not just the count) are cross-checked.
+
+    Scale: both branches are anti joins of customer against an orders
+    aggregate; the subquery side is the broadcast build side.
+    """
+    return _run_sql(spark, sf_dir, _NOT_IN_NULL_SQL)
