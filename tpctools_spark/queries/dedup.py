@@ -1447,3 +1447,96 @@ def dedup_minhash_band_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "n_bands", "rows_per_band", "n_candidates", "n_est_dup", "precision_proxy"
     )
+
+
+@query(
+    "pipeline_dedup_funnel",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, sha256(lower(trim(text))) AS h FROM documents
+    ), keep AS (
+      SELECT h, MIN(doc_id) AS keep_id FROM norm GROUP BY h
+    ), surv AS (
+      SELECT keep_id AS doc_id FROM keep
+    ), grams AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                 range(1, greatest(len(w) - 1, 1)),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents)
+      ) WHERE gram IS NOT NULL
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+    ), hot AS (
+      SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > {JACCARD_DF_CAP}
+    ), kept AS (
+      SELECT * FROM grams WHERE gram NOT IN (SELECT gram FROM hot)
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM shared
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.2
+    ), spairs AS (
+      SELECT doc_a, doc_b FROM pairs
+      JOIN surv sa ON sa.doc_id = doc_a
+      JOIN surv sb ON sb.doc_id = doc_b
+    ), near AS (
+      SELECT DISTINCT doc_b FROM spairs
+    )
+    SELECT (SELECT COUNT(*) FROM documents) AS n_total,
+           (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM keep)
+             AS n_exact_removed,
+           (SELECT COUNT(*) FROM near) AS n_near_removed,
+           (SELECT COUNT(*) FROM keep) - (SELECT COUNT(*) FROM near)
+             AS n_final
+    """,
+)
+def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup funnel report — the per-stage attrition numbers a corpus
+    team reads before shipping a cleaned snapshot: exact-hash removals
+    first, then near-dup removals among the exact survivors, and the
+    final corpus size, in one row.
+
+    Stage semantics are pinned so the report is reproducible: exact
+    stage keeps the lowest doc_id per sha256(normalized text); near
+    stage takes the capped-df Jaccard pairs (same τ as
+    `dedup_ngram_jaccard`), restricts them to exact survivors on BOTH
+    ends, and removes the higher-id member of each pair (greedy
+    pairwise, documented as such — full transitive clustering is
+    `dedup_cluster_components`' job).
+
+    Scale: the digests shuffle, never the texts; the pair restriction
+    is two semi joins against the survivor id set; all four counts are
+    scalar aggregates combined through one-row joins (constant-size
+    cross joins, no data-sized broadcast).
+    """
+    docs = table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("h")
+    )
+    keep = keyed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    surv = keep.select(F.col("keep_id").alias("doc_id"))
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    spairs = pairs.join(
+        surv.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
+    ).join(surv.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+    near = spairs.select("doc_b").distinct()
+
+    n_total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    n_keep = keep.agg(F.count(F.lit(1)).alias("n_keep"))
+    n_near = near.agg(F.count(F.lit(1)).alias("n_near"))
+    return (
+        n_total.crossJoin(n_keep)
+        .crossJoin(n_near)
+        .select(
+            "n_total",
+            (F.col("n_total") - F.col("n_keep")).alias("n_exact_removed"),
+            F.col("n_near").alias("n_near_removed"),
+            (F.col("n_keep") - F.col("n_near")).alias("n_final"),
+        )
+    )

@@ -564,3 +564,37 @@ def scalar_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         iso_dow.cast("bigint").alias("iso_dow"),
         months_to_ref.cast("bigint").alias("months_to_ref"),
     )
+
+
+@query(
+    "scalar_posexplode_ordinal",
+    oracle="""
+    SELECT p_partkey,
+           UNNEST(list_transform(range(1, len(w) + 1),
+                                 i -> {'ord': i, 'word': w[i]}),
+                  recursive := true)
+    FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)
+    """,
+)
+def scalar_posexplode_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-aware flatten (UNNEST WITH ORDINALITY): each part-name
+    token with its 1-based ordinal.
+
+    The ordinal is what plain explode loses — downstream consumers that
+    rebuild sequences (token order, n-gram windows, positional
+    encodings) need it, and re-deriving it after the fact would take a
+    window sort. `posexplode` emits it row-locally at generation time
+    (0-based, re-based to the SQL-standard 1-based ordinality). DuckDB
+    lacks WITH ORDINALITY, so the oracle zips the ordinal in through a
+    list_transform over range — same rows, same types.
+    """
+    words = F.split(F.col("p_name"), " ")
+    return (
+        table(spark, sf_dir, "part")
+        .select("p_partkey", F.posexplode(words).alias("pos", "word"))
+        .select(
+            "p_partkey",
+            (F.col("pos") + 1).cast("bigint").alias("ord"),
+            "word",
+        )
+    )
