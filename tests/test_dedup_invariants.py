@@ -168,3 +168,17 @@ def test_lsh_cosine_matches_brute_force(spark):
     con.close()
     assert got <= truth  # rescoring guarantees precision
     assert got == truth  # fixture recall is total
+
+
+def test_dedup_funnel_accounting(spark):
+    """The funnel must balance: total = exact_removed + near_removed +
+    final, and the fixtures' planted near-dups must actually be caught
+    (n_near_removed > 0)."""
+    from tpctools_spark.registry import spark_queries
+
+    r = spark_queries()["pipeline_dedup_funnel"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert r.n_total == r.n_exact_removed + r.n_near_removed + r.n_final
+    assert r.n_near_removed > 0
+    assert r.n_final > 0
