@@ -1090,3 +1090,45 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_names"
         )
     )
+
+
+@query(
+    "agg_percentile_disc",
+    oracle="""
+    SELECT o_orderpriority,
+           percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+           percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+           percentile_disc(0.90) WITHIN GROUP (ORDER BY o_totalprice) AS p90
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregate (SQL:2003 WITHIN GROUP): discrete
+    percentiles — the smallest actual value whose cumulative
+    distribution reaches p.
+
+    Unlike the interpolated `agg_percentile`, DISC returns values that
+    exist in the data, so the result is bitwise-exact on both engines
+    with no truncation insurance needed — the right choice when the
+    percentile must be an observable (a real order price, a real
+    latency), e.g. for SLO reporting. Same WITHIN GROUP SQL text runs
+    verbatim on Spark (3.4+) and DuckDB.
+
+    Scale: per-group exact percentile sorts group-locally after one
+    hash shuffle on the group key; for 100 TB hot paths prefer the
+    sketch (`agg_approx_percentile`).
+    """
+    from tpctools_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+               percentile_disc(0.90) WITHIN GROUP (ORDER BY o_totalprice) AS p90
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )
