@@ -65,6 +65,7 @@ _BNLJ_ALLOWED = {
     "graph_pagerank_power",
     "mining_basket_lift",
     "pipeline_curriculum_order",  # one-row quartile-cutpoint broadcast
+    "pipeline_dedup_funnel",  # three one-row stage-count broadcasts (funnel row)
     "pipeline_mix_weights",
     "pipeline_time_split",  # one-row time-cut + leak-count broadcasts
     "quality_benford_digits",
