@@ -428,3 +428,62 @@ def multimodal_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("shared_chars"),
         )
     )
+
+
+@query(
+    "multimodal_arrow_bytes",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(list_min([unicode(c) for c in string_split_regex(text, '')
+                          if c != '']) AS BIGINT) AS min_byte,
+           CAST(list_max([unicode(c) for c in string_split_regex(text, '')
+                          if c != '']) AS BIGINT) AS max_byte
+    FROM documents
+    """,
+)
+def multimodal_arrow_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native binary pass (``mapInArrow``): per-payload byte
+    stats computed straight off the Arrow RecordBatch buffers.
+
+    ``mapInPandas`` (the decode stub's path) converts every batch to
+    pandas and back; ``mapInArrow`` hands the raw Arrow batch to
+    Python, which is the right interface for media codecs — a decoder
+    wants the binary buffer zero-copy, not a pandas Series of Python
+    bytes objects. The numpy view over each payload buffer is such a
+    zero-copy read. Oracle: payloads are UTF-8 of ASCII fixture text,
+    so byte extrema equal code-point extrema in SQL.
+
+    Scale: row-local (no shuffle); batch size rides
+    spark.sql.execution.arrow.maxRecordsPerBatch, so executor memory is
+    bounded regardless of corpus size.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def batches(it):
+        for batch in it:
+            ids = batch.column(0)
+            n, mn, mx = [], [], []
+            for cell in batch.column(1):
+                buf = np.frombuffer(cell.as_py(), dtype=np.uint8)
+                n.append(len(buf))
+                mn.append(int(buf.min()) if len(buf) else None)
+                mx.append(int(buf.max()) if len(buf) else None)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(n, pa.int64()),
+                    pa.array(mn, pa.int64()),
+                    pa.array(mx, pa.int64()),
+                ],
+                ["doc_id", "n_bytes", "min_byte", "max_byte"],
+            )
+
+    return docs.mapInArrow(
+        batches, "doc_id bigint, n_bytes bigint, min_byte bigint, max_byte bigint"
+    )

@@ -166,3 +166,44 @@ def subquery_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the subquery side is the broadcast build side.
     """
     return _run_sql(spark, sf_dir, _NOT_IN_NULL_SQL)
+
+
+_RECURSIVE_CTE_SQL = """
+WITH RECURSIVE months(m) AS (
+  SELECT DATE '1996-01-01'
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+  WHERE m < DATE '1997-12-01'
+)
+SELECT CAST(year(m) * 100 + month(m) AS BIGINT) AS ym,
+       CAST(COALESCE(r.cnt, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(r.rev_d, 0.0) AS DOUBLE) AS revenue
+FROM months LEFT JOIN (
+  SELECT year(CAST(o_orderdate AS DATE)) * 100
+           + month(CAST(o_orderdate AS DATE)) AS ym2,
+         COUNT(*) AS cnt,
+         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+           AS rev_d
+  FROM orders GROUP BY 1
+) r ON year(m) * 100 + month(m) = r.ym2
+"""
+
+
+@query("subquery_recursive_cte", oracle=_RECURSIVE_CTE_SQL)
+def subquery_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, new in Spark 4) — a 24-month
+    calendar spine generated by the recursion itself, left-joined to
+    monthly order revenue so empty months surface as explicit zeros.
+
+    The recursion is the SQL-standard iterate-until-empty loop — the
+    same construct that expresses org charts, BOM explosions, and
+    transitive closures — running natively in Catalyst (UnionLoop)
+    rather than through a driver-side Python loop. The identical SQL
+    text runs on the DuckDB oracle, so the engines' recursion semantics
+    (anchor + step, termination) are value-checked against each other.
+
+    Scale: the recursive spine is calendar-sized (constant); the
+    monthly aggregate is one hash shuffle of orders; the join
+    broadcasts the spine.
+    """
+    return _run_sql(spark, sf_dir, _RECURSIVE_CTE_SQL)
