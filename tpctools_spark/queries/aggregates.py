@@ -1132,3 +1132,40 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "agg_grouping_indicator",
+    oracle="""
+    SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS prio,
+           CAST(GROUPING(NULLIF(o_orderpriority, '3-MEDIUM')) AS BIGINT)
+             AS is_total,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP(NULLIF(o_orderpriority, '3-MEDIUM'))
+    """,
+)
+def agg_grouping_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() indicator — the only correct way to tell a subtotal
+    row from a genuine NULL group value.
+
+    The NULLIF deliberately turns one real priority into a NULL data
+    value, so the result contains TWO rows with prio = NULL: the
+    '3-MEDIUM' value group and the rollup grand total. COALESCE
+    labeling (what `agg_grouping_sets` uses on NULL-free columns)
+    cannot distinguish them; GROUPING() = 1 marks exactly the
+    aggregated-away row, per the SQL standard. Same shape both engines,
+    one hash aggregate after Expand.
+    """
+    o = table(spark, sf_dir, "orders").withColumn(
+        "prio",
+        F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM"))
+        if hasattr(F, "nullif")
+        else F.when(
+            F.col("o_orderpriority") == "3-MEDIUM", F.lit(None)
+        ).otherwise(F.col("o_orderpriority")),
+    )
+    return o.rollup("prio").agg(
+        F.grouping("prio").cast("bigint").alias("is_total"),
+        F.count(F.lit(1)).alias("n_orders"),
+    ).select("prio", "is_total", "n_orders")
