@@ -154,3 +154,15 @@ def test_not_in_null_aware_semantics(spark):
     r = spark_queries()["subquery_not_in_null_aware"](spark, SF).collect()[0]
     assert r.not_in_with_null == 0
     assert r.not_in_clean > 0
+
+
+def test_not_in_compiles_to_null_aware_anti_join(spark):
+    """The null-planted NOT IN must compile to Catalyst's null-aware
+    anti join (the trailing `true` on the LeftAnti broadcast join is
+    the isNullAwareAntiJoin flag) — not a plain anti join, which would
+    return wrong (non-empty) results under three-valued logic."""
+    from tpctools_spark.registry import spark_queries
+
+    df = spark_queries()["subquery_not_in_null_aware"](spark, SF)
+    plan = _plan(df)
+    assert "LeftAnti, BuildRight, true" in plan
