@@ -341,9 +341,10 @@ def main() -> None:
                 "doc_id",
                 F.explode(
                     F.transform(
-                        F.sequence(
-                            F.lit(1), F.greatest(F.size(w) - 2, F.lit(0))
-                        ),
+                        F.when(
+                            F.size(w) >= 3,
+                            F.sequence(F.lit(1), F.size(w) - 2),
+                        ).otherwise(F.array().cast("array<int>")),
                         lambda k: F.concat_ws(
                             " ",
                             F.element_at(w, k),

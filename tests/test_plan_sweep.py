@@ -1,6 +1,6 @@
 """Blanket physical-plan sweep over the WHOLE registry.
 
-Two invariants that must hold for every registered query, forever:
+Three invariants that must hold for every registered query, forever:
 
 1. No ``CartesianProduct`` anywhere — an unkeyed join of two
    multi-row relations is never acceptable at scale.
@@ -9,6 +9,13 @@ Two invariants that must hold for every registered query, forever:
    vectors, scalar brackets, centroid sets) — the explicit allowlist
    below. A new query that introduces a BNLJ must either justify
    itself onto this list or re-shape into a keyed join.
+3. No ``Window`` with an EMPTY partition spec over an input that
+   grows with the data — Spark funnels every row through one
+   partition for those. Allowed only on the explicit allowlist below:
+   k-row post-``limit`` ranks, value/domain-bounded census tables,
+   and documented value-check forms. Anything data-sized must use
+   ``tpctools_spark.queries._util.global_rank`` (two-pass
+   range-partitioned rank) or an ``orderBy().limit(k)`` head-cap.
 
 Planning-only (no jobs run): executedPlan().toString() forces physical
 planning but not execution, so the sweep covers ~260 queries in about
@@ -18,6 +25,8 @@ dedicated tests.
 """
 
 from __future__ import annotations
+
+import re
 
 import pytest
 
@@ -82,11 +91,76 @@ _BNLJ_ALLOWED = {
     "text_bm25_search",  # one-row (N, avgdl) corpus-stats broadcast
     "text_hybrid_rrf",  # composes the bm25 + cosine probe-broadcast legs
     "tpcds_q14_cross_channel_intersect",
+    "tpcds_q24_color_basket_above_avg",  # one-row (all_cents, n_cells) totals broadcast
     "tpcds_q23_frequent_best",
     "tpcds_q9_quantity_brackets",
     "tpch_q11_important_stock",
     "tpch_q22_global_sales_opportunity",
 }
+
+# Unpartitioned (empty partition spec) windows are acceptable ONLY over
+# inputs that are constant-size or domain-bounded by construction.
+_GLOBAL_WINDOW_ALLOWED = {
+    "events_path_trigrams",  # rank over the 20-row TakeOrderedAndProject head
+    "events_survival_km",  # duration census — observation-window-bounded domain
+    "pipeline_deterministic_shuffle",  # documented value-check half; production form stated in docstring
+    "pipeline_interleave_stride",  # rank over the 60-row TakeOrderedAndProject head
+    "pipeline_weighted_sample",  # rank over the k-row TakeOrderedAndProject head
+    "quality_ks_test",  # distinct-cents census — value-domain-bounded
+    "quality_mann_whitney",  # distinct-cents census — value-domain-bounded
+    "sim_cosine_topk",  # rank over the k-row TakeOrderedAndProject head
+    "sim_cosine_topk_quantized",  # rank over the k-row TakeOrderedAndProject head
+    "sim_pq_topk",  # rank over the k-row TakeOrderedAndProject head
+    "text_bm25_search",  # rank over the k-row TakeOrderedAndProject head
+    "text_hybrid_rrf",  # rank over the k-row TakeOrderedAndProject head
+    "tpcds_q44_best_worst_items",  # ranks over the two 10-row TakeOrderedAndProject heads
+    "tpcds_q70_state_county_rollup_rank",  # geography-bounded (state × county) rollup
+}
+
+_ORDER_SUFFIX = re.compile(r"\b(ASC|DESC) NULLS (FIRST|LAST)$")
+
+
+def unpartitioned_window_specs(plan: str) -> list[str]:
+    """First arguments of every ``windowspecdefinition(...)`` in *plan*
+    whose partition spec is empty.
+
+    In a physical plan string the spec prints its partition
+    expressions first (plain expressions), then its order expressions
+    (``expr ASC|DESC NULLS FIRST|LAST``), then the frame
+    (``specifiedwindowframe(...)``). An empty partition spec therefore
+    means the FIRST top-level argument is already an order expression
+    or the frame itself.
+    """
+    out = []
+    needle = "windowspecdefinition("
+    i = 0
+    while True:
+        j = plan.find(needle, i)
+        if j < 0:
+            break
+        k = j + len(needle)
+        depth = 1
+        arg_start = k
+        first = None
+        while depth > 0 and k < len(plan):
+            c = plan[k]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0 and first is None:
+                    first = plan[arg_start:k]
+            elif c == "," and depth == 1 and first is None:
+                first = plan[arg_start:k]
+            k += 1
+        i = k
+        first = (first or "").strip()
+        if first.startswith("specifiedwindowframe") or _ORDER_SUFFIX.search(
+            first
+        ):
+            out.append(first)
+    return out
+
 
 _SWEPT = [
     n
@@ -96,7 +170,7 @@ _SWEPT = [
 
 
 @pytest.mark.parametrize("name", _SWEPT)
-def test_no_cartesian_and_bnlj_allowlisted(spark, name):
+def test_no_cartesian_bnlj_and_global_windows_allowlisted(spark, name):
     df = spark_queries()[name](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name}: cartesian join"
@@ -105,3 +179,32 @@ def test_no_cartesian_and_bnlj_allowlisted(spark, name):
             f"{name}: new BroadcastNestedLoopJoin — constant-size build side? "
             "add to allowlist with justification or re-shape to a keyed join"
         )
+    specs = unpartitioned_window_specs(plan)
+    if specs:
+        assert name in _GLOBAL_WINDOW_ALLOWED, (
+            f"{name}: Window with empty partition spec ({specs[0][:80]}) — "
+            "single-partition at scale. Use _util.global_rank / "
+            "orderBy().limit(k), or allowlist with a boundedness justification"
+        )
+
+
+def test_sweep_detects_planted_global_window(spark):
+    """The detector itself: a planted empty-partition window is caught,
+    a partitioned one is not."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).withColumn("g", F.col("id") % 5)
+    planted = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    plan = planted._jdf.queryExecution().executedPlan().toString()
+    assert unpartitioned_window_specs(plan), "planted global window missed"
+
+    ok = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+    )
+    plan = ok._jdf.queryExecution().executedPlan().toString()
+    assert not unpartitioned_window_specs(plan), (
+        "partitioned window falsely flagged"
+    )

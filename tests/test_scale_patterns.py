@@ -185,3 +185,64 @@ def test_knn_join_is_cell_bucketed_not_all_pairs(spark):
     assert re.search(
         r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[cell", plan
     )
+
+
+def test_global_rank_matches_single_partition_window(spark):
+    """The two-pass distributed rank must equal the textbook
+    single-partition window: same global row numbers and running sums,
+    over a deliberately skewed value distribution with many tied
+    partitions possible."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tpctools_spark.queries._util import global_rank
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"),
+        # heavy-tailed, heavily tied values exercise range boundaries
+        (F.col("id") % 97 * (F.col("id") % 13)).cast("bigint").alias("v"),
+    )
+    got = (
+        global_rank(
+            df,
+            [F.col("v").desc(), F.col("k")],
+            rn="rn",
+            cumsums={"cv": F.col("v")},
+        )
+        .select("k", "rn", "cv")
+        .collect()
+    )
+    w = Window.orderBy(F.col("v").desc(), "k")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    want = df.select(
+        "k",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.sum("v").over(wc).alias("cv"),
+    ).collect()
+    assert sorted((r.k, r.rn, r.cv) for r in got) == sorted(
+        (r.k, r.rn, r.cv) for r in want
+    )
+
+
+def test_global_rank_reuses_one_range_exchange(spark):
+    """global_rank's correctness requires both passes to observe the
+    SAME spark_partition_id assignment — i.e. the range exchange must
+    be planned once and reused (ReusedExchange), never duplicated into
+    two independently-sampled range partitioners."""
+    from pyspark.sql import functions as F
+
+    from tpctools_spark.queries._util import global_rank
+
+    df = spark.range(5_000).select(
+        F.col("id").alias("k"), (F.col("id") % 101).cast("bigint").alias("v")
+    )
+    out = global_rank(df, [F.col("v").desc(), F.col("k")], rn="rn")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    live = 0
+    for line in final.splitlines():
+        if "rangepartitioning" in line and "ReusedExchange" not in line:
+            live += 1
+    assert live == 1, f"expected 1 live range exchange, got {live}"
+    assert "ReusedExchange" in final

@@ -71,3 +71,99 @@ def sql_trunc_digits(expr: str, k: int) -> str:
 # DuckDB-side twins (string templates for oracle SQL).
 def sql_dsum(expr: str) -> str:
     return f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(12,2))) AS DOUBLE), 2)"
+
+
+def global_rank(df, order_by, rn="rn", cumsums=None, partitions=None):
+    """Globally-correct ``ROW_NUMBER() OVER (ORDER BY ...)`` (and
+    optional running sums) WITHOUT an empty-partition window.
+
+    An unpartitioned window funnels every row through one partition —
+    fine on a vocabulary, fatal on anything that grows with the data.
+    This is the scale-safe two-pass form:
+
+    1. ``repartitionByRange(order_by)`` gives each shuffle partition a
+       contiguous, ordered key range; a window partitioned by
+       ``spark_partition_id()`` then computes LOCAL ranks / running
+       sums fully in parallel.
+    2. Per-partition ``(count, sum…)`` stats — one row per shuffle
+       partition, constant-size in the DATA — are collapsed into a
+       single sorted array and prefix-summed with ``F.aggregate`` over
+       ``F.slice`` (no window, no collect), then hash-broadcast back:
+       ``global rank = local rank + Σ counts of earlier partitions``.
+
+    Both passes read the SAME range exchange — Catalyst de-duplicates
+    the identical subplan (``ReusedExchange``), which also guarantees
+    the partition-id assignment both passes see is one and the same
+    RDD (asserted in ``tests/test_scale_patterns.py``).
+
+    ``cumsums`` maps output-column name → Column to running-sum in the
+    same global order (``ROWS UNBOUNDED PRECEDING``).  ``order_by``
+    must be a total order (include a tiebreaker) — with duplicate sort
+    keys, range partitioning may split a tie group across partitions
+    and local ranks would double-count.
+    """
+    from pyspark.sql.window import Window
+
+    cumsums = dict(cumsums or {})
+    sess = df.sparkSession
+    n = int(
+        partitions
+        or sess.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = df.repartitionByRange(n, *order_by).withColumn(
+        "_gp", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_gp").orderBy(*order_by)
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    local = ranged.withColumn("_lrn", F.row_number().over(w))
+    for name, col in cumsums.items():
+        local = local.withColumn(f"_lc_{name}", F.sum(col).over(wc))
+
+    stat_aggs = [F.count(F.lit(1)).cast("bigint").alias("_cnt")]
+    for name, col in cumsums.items():
+        stat_aggs.append(F.sum(col).alias(f"_s_{name}"))
+    stats = ranged.groupBy("_gp").agg(*stat_aggs)
+    stat_types = dict(stats.dtypes)
+    arr = stats.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("_gp", *[c for c in stats.columns if c != "_gp"])
+            )
+        ).alias("_a")
+    )
+    prefix = F.slice("_a", F.lit(1), F.col("_i"))  # the _i EARLIER partitions
+    off_cols = [
+        F.col("_e._gp").alias("_gp"),
+        F.aggregate(
+            prefix, F.lit(0).cast("bigint"), lambda a, x: a + x["_cnt"]
+        ).alias("_rn_off"),
+    ]
+    def _sum_of(field):
+        # PySpark infers merge-fn arity from the signature, so the
+        # field name must be captured by a factory, not a default arg.
+        return lambda a, x: a + x[field]
+
+    for name in cumsums:
+        off_cols.append(
+            F.aggregate(
+                prefix,
+                F.lit(0).cast(stat_types[f"_s_{name}"]),
+                _sum_of(f"_s_{name}"),
+            ).alias(f"_off_{name}")
+        )
+    offsets = arr.select("_a", F.posexplode("_a").alias("_i", "_e")).select(
+        *off_cols
+    )
+
+    out = local.join(F.broadcast(offsets), "_gp").withColumn(
+        rn, (F.col("_lrn") + F.col("_rn_off")).cast("bigint")
+    )
+    for name in cumsums:
+        out = out.withColumn(name, F.col(f"_lc_{name}") + F.col(f"_off_{name}"))
+    return out.drop(
+        "_gp",
+        "_lrn",
+        "_rn_off",
+        *[f"_lc_{name}" for name in cumsums],
+        *[f"_off_{name}" for name in cumsums],
+    )

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tpctools_spark.catalog import table
-from tpctools_spark.queries._util import money, trunc_digits
+from tpctools_spark.queries._util import global_rank, money, trunc_digits
 from tpctools_spark.registry import query
 
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
@@ -440,10 +440,11 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sequential pattern mining's workhorse shape: two LEADs over the
     per-user event order turn each position into its 3-step window —
     one sort per user partition, no self-joins (the join formulation
-    shuffles the event table twice more). The trigram count table is
-    vocabulary-sized, so the global top-20 rank is a single-partition
-    afterthought; the (ts, event_id) tie-break and (count, path)
-    rank order keep both engines' top-20 identical.
+    shuffles the event table twice more). The top-20 is a distributed
+    ``orderBy().limit(20)`` (TakeOrderedAndProject) BEFORE the rank
+    window, so the only unpartitioned window runs over 20 rows; the
+    (ts, event_id) tie-break and (count, path) rank order keep both
+    engines' top-20 identical.
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     steps = table(spark, sf_dir, "events").select(
@@ -459,8 +460,9 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rk = Window.orderBy(F.col("n").desc(), F.col("path"))
     return (
-        trigrams.select("path", "n", F.row_number().over(rk).alias("rk"))
-        .filter(F.col("rk") <= 20)
+        trigrams.orderBy(F.col("n").desc(), F.col("path"))
+        .limit(20)
+        .select("path", "n", F.row_number().over(rk).alias("rk"))
     )
 
 
@@ -1094,12 +1096,12 @@ def events_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     by integer cross-multiplication (cx·5 ≥ s·4), and Gini from the
     rank identity G = (2·Σ iₐ·xₐ − (n+1)·Σx)/(n·Σx) using ascending
     index iₐ = n − rn + 1 — no second sort. The one-row (n, s) totals
-    ride a broadcast. At 100 TB the global order runs over n_users
-    rows (already aggregated); beyond that you'd bucket by value range
-    first — same numbers, two passes.
+    ride a broadcast. User-cardinality is unbounded, so the global
+    rank + running sum use the two-pass distributed form
+    (``global_rank``: range-partitioned local windows + broadcast
+    per-partition offsets) — no stage ever holds more than one
+    partition's users.
     """
-    from pyspark.sql.window import Window
-
     per_user = (
         table(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -1109,13 +1111,12 @@ def events_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("x")
         )
     )
-    w = Window.orderBy(F.col("x").desc(), "user_id")
-    wc = w.rowsBetween(Window.unboundedPreceding, 0)
-    ranked = per_user.select(
-        "x",
-        F.row_number().over(w).alias("rn"),
-        F.sum("x").over(wc).alias("cx"),
-    )
+    ranked = global_rank(
+        per_user,
+        [F.col("x").desc(), F.col("user_id")],
+        rn="rn",
+        cumsums={"cx": F.col("x")},
+    ).select("x", "rn", "cx")
     tot = per_user.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("s"),

@@ -446,9 +446,11 @@ _KS_CRIT_X10K = 18442
            (CAST(floor(CAST(MAX(abs(cdf.c1 * tot.n2 - cdf.c2 * tot.n1))
                   AS DOUBLE) / (tot.n1 * tot.n2) * 1000000) AS DOUBLE)
               / 1000000) AS d_stat,
-           (MAX(abs(cdf.c1 * tot.n2 - cdf.c2 * tot.n1))
-              * MAX(abs(cdf.c1 * tot.n2 - cdf.c2 * tot.n1)) * 10000
-            > {_KS_CRIT_X10K} * (tot.n1 + tot.n2) * tot.n1 * tot.n2)
+           (CAST(MAX(abs(cdf.c1 * tot.n2 - cdf.c2 * tot.n1)) AS DECIMAL(38,0))
+              * CAST(MAX(abs(cdf.c1 * tot.n2 - cdf.c2 * tot.n1)) AS DECIMAL(38,0))
+              * 10000
+            > {_KS_CRIT_X10K}
+              * CAST(tot.n1 + tot.n2 AS DECIMAL(38,0)) * tot.n1 * tot.n2)
              AS reject_05
     FROM cdf, tot
     GROUP BY tot.n1, tot.n2
@@ -464,7 +466,12 @@ def quality_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-value table — never the raw rows), and
     ds = max |c1·n2 − c2·n1|, so D = ds/(n1·n2) with the α=0.05
     decision made by integer cross-multiplication (see _KS_CRIT_X10K) —
-    bit-identical across engines, no sqrt near a boundary. The global
+    bit-identical across engines, no sqrt near a boundary. The
+    cross-multiplication runs in exact DECIMAL(38,0) on both engines
+    (ds ≤ n1·n2, so ds²·10⁴ blows past int64 at n1·n2 ≈ 3·10⁷);
+    128-bit decimals keep the decision exact to n1·n2 ≈ 3·10¹⁶
+    (~10⁸ rows per cohort), beyond which both engines fail loud
+    (overflow error) rather than flip the verdict silently. The global
     window rides the distinct-value relation (map-side-combined first);
     at 100 TB you'd quantize values to a fixed grid first, which only
     shrinks that relation — same plan.
@@ -501,8 +508,8 @@ def quality_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ds.cast("double") / (F.col("n1") * F.col("n2")), 6
             ).alias("d_stat"),
             (
-                ds * ds * 10000
-                > _KS_CRIT_X10K
+                ds.cast("decimal(38,0)") * ds.cast("decimal(38,0)") * 10000
+                > F.lit(_KS_CRIT_X10K).cast("decimal(38,0)")
                 * (F.col("n1") + F.col("n2"))
                 * F.col("n1")
                 * F.col("n2")

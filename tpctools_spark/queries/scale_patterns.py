@@ -440,27 +440,36 @@ def scan_bucket_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # The planner drops bucketed scans when no operator exploits the
     # bucket distribution — but that heuristic also forfeits bucket
-    # PRUNING, which is the whole point here. Pin the bucketed scan on.
-    spark.conf.set(
-        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
-    )
-    tag = uuid.uuid4().hex[:8]
-    base = os.path.join(tempfile.gettempdir(), f"tpctools_bprune_{tag}")
-    name = f"orders_bp_{tag}"
-    (
-        table(spark, sf_dir, "orders")
-        .write.bucketBy(_BUCKETS, "o_custkey")
-        .sortBy("o_custkey")
-        .option("path", os.path.join(base, "orders"))
-        .mode("overwrite")
-        .saveAsTable(name)
-    )
-    return (
-        spark.table(name)
-        .filter(F.col("o_custkey") == 37)
-        .select(
-            "o_orderkey",
-            "o_orderstatus",
-            F.round("o_totalprice", 2).alias("total"),
+    # PRUNING, which is the whole point here. Pin the bucketed scan on
+    # only long enough to fix THIS query's physical plan: the conf is
+    # read at planning time, so force executedPlan inside the scope and
+    # restore the caller's value (QueryExecution caches the plan, so
+    # the returned DataFrame keeps its pruned scan).
+    conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prior = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "false")
+    try:
+        tag = uuid.uuid4().hex[:8]
+        base = os.path.join(tempfile.gettempdir(), f"tpctools_bprune_{tag}")
+        name = f"orders_bp_{tag}"
+        (
+            table(spark, sf_dir, "orders")
+            .write.bucketBy(_BUCKETS, "o_custkey")
+            .sortBy("o_custkey")
+            .option("path", os.path.join(base, "orders"))
+            .mode("overwrite")
+            .saveAsTable(name)
         )
-    )
+        out = (
+            spark.table(name)
+            .filter(F.col("o_custkey") == 37)
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                F.round("o_totalprice", 2).alias("total"),
+            )
+        )
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        spark.conf.set(conf_key, prior)

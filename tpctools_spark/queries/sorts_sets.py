@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tpctools_spark.catalog import table
+from tpctools_spark.queries._util import global_rank
 from tpctools_spark.registry import query
 
 
@@ -27,20 +28,28 @@ from tpctools_spark.registry import query
 def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key sort with explicit null placement, verified via rank.
 
-    The global ROW_NUMBER (no partition) is the verification device for
-    the order-insensitive hash; at 100 TB you'd verify sortedness with
-    range-partitioned ranks instead of a single-partition window.
+    The global ROW_NUMBER is the verification device for the
+    order-insensitive hash; customer-cardinality grows with the data,
+    so it is computed with the two-pass distributed rank
+    (``global_rank``: range-partitioned local windows + broadcast
+    per-partition offsets) — never a single-partition window.
     """
-    w = Window.orderBy(
-        F.col("c_mktsegment").asc(),
-        F.col("c_acctbal").desc_nulls_last(),
-        F.col("c_custkey"),
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
     )
-    return table(spark, sf_dir, "customer").select(
+    return global_rank(
+        cust,
+        [
+            F.col("c_mktsegment").asc(),
+            F.col("c_acctbal").desc_nulls_last(),
+            F.col("c_custkey"),
+        ],
+        rn="sort_rank",
+    ).select(
         "c_custkey",
         "c_mktsegment",
         F.round("c_acctbal", 2).alias("acctbal"),
-        F.row_number().over(w).alias("sort_rank"),
+        "sort_rank",
     )
 
 

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tpctools_spark.catalog import table
-from tpctools_spark.queries._util import trunc_digits
+from tpctools_spark.queries._util import global_rank, trunc_digits
 from tpctools_spark.registry import query
 
 
@@ -455,10 +455,13 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups: too steep) fails the health check. A standard one-number
     screen on web-scale training corpora.
 
-    Term counting map-side combines; ranking is one window over the
-    vocabulary (corpus-size-independent); the regression is a single
-    ``regr_slope``/``regr_r2`` aggregate — no driver-side math. Output
-    truncated to 4 decimals (cross-engine float contract).
+    Term counting map-side combines; vocabulary grows with the corpus,
+    so the global frequency rank uses the two-pass distributed form
+    (``global_rank``: range-partitioned local windows + broadcast
+    per-partition offsets) rather than a single-partition window; the
+    regression is a single ``regr_slope``/``regr_r2`` aggregate — no
+    driver-side math. Output truncated to 4 decimals (cross-engine
+    float contract).
     """
     d = table(spark, sf_dir, "documents")
     freqs = (
@@ -467,11 +470,8 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    from pyspark.sql.window import Window
-
-    ranked = freqs.withColumn(
-        "rank",
-        F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("word"))),
+    ranked = global_rank(
+        freqs, [F.desc("freq"), F.asc("word")], rn="rank"
     )
     lf, lr = F.log("freq"), F.log("rank")
     return ranked.agg(

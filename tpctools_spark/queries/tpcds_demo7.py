@@ -449,9 +449,12 @@ def tpcds_q44(spark: SparkSession, sf_dir: str) -> DataFrame:
     ascending, one descending — self-joined on rank position, then
     resolved to product names. The ordering key folds the item key
     into the cents total (cents·1e6 + sk) so both rankings are total
-    orders: rank ties are impossible and the pairing is deterministic
-    on both engines. One aggregate, two windows over it, a tiny
-    self-join.
+    orders: rank ties are impossible (rank ≡ row_number) and the
+    pairing is deterministic on both engines. Only positions ≤ 10
+    survive the join, so each ranking is a distributed
+    ``orderBy().limit(10)`` (TakeOrderedAndProject) with the rank
+    window running over its 10-row result — the item-grain aggregate
+    never funnels through one partition.
     """
     ss = _t(spark, "store_sales")
     perf = ss.groupBy("ss_item_sk").agg(
@@ -459,13 +462,22 @@ def tpcds_q44(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
     key = F.col("cents") * 1000000 + F.col("ss_item_sk")
-    ranked = perf.select(
-        "ss_item_sk",
-        F.rank().over(Window.orderBy(key.asc())).alias("worst"),
-        F.rank().over(Window.orderBy(key.desc())).alias("best"),
+    r = (
+        perf.orderBy(key.asc())
+        .limit(10)
+        .select(
+            F.col("ss_item_sk").alias("worst_sk"),
+            F.rank().over(Window.orderBy(key.asc())).alias("worst"),
+        )
     )
-    r = ranked.select(F.col("ss_item_sk").alias("worst_sk"), "worst")
-    r2 = ranked.select(F.col("ss_item_sk").alias("best_sk"), "best")
+    r2 = (
+        perf.orderBy(key.desc())
+        .limit(10)
+        .select(
+            F.col("ss_item_sk").alias("best_sk"),
+            F.rank().over(Window.orderBy(key.desc())).alias("best"),
+        )
+    )
     it1 = F.broadcast(
         _t(spark, "item").select(
             F.col("i_item_sk").alias("sk1"), F.col("i_product_name").alias("best_performing")

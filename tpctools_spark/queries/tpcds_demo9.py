@@ -111,10 +111,13 @@ def tpcds_q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells exceeding 5% of the overall per-cell average.
 
     The sold⋈returned composite-key join rolled to (name, color)
-    cells, then the spec's ``> 0.05 · avg(all cells)`` gate as a
-    global window with exact cross-multiplication (paid·n·20 > total).
-    The global window is a single-partition exchange over the (small)
-    cell table, not the fact.
+    cells, then the spec's ``> 0.05 · avg(all cells)`` gate with exact
+    cross-multiplication (paid·n·20 > total).  The global statistics
+    come from a one-row aggregate broadcast back onto the cell table
+    (``crossJoin(broadcast(...))``) — never an empty-partition window,
+    which would funnel every customer-grain cell through a single
+    partition.  Catalyst reuses the grouped exchange between the two
+    branches (``ReusedExchange``), so the cell table is shuffled once.
     """
     cust = F.broadcast(
         _t(spark, "customer").select("c_customer_sk", "c_last_name", "c_first_name")
@@ -135,13 +138,12 @@ def tpcds_q24(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_last_name", "c_first_name", "i_color")
         .agg(F.sum((F.col("ss_net_paid") * 100).cast("bigint")).alias("paid_cents"))
     )
-    w = Window.partitionBy()
+    totals = cells.agg(
+        F.sum("paid_cents").cast("bigint").alias("all_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    )
     return (
-        cells.select(
-            "c_last_name", "c_first_name", "i_color", "paid_cents",
-            F.sum("paid_cents").over(w).cast("bigint").alias("all_cents"),
-            F.count(F.lit(1)).over(w).cast("bigint").alias("n_cells"),
-        )
+        cells.crossJoin(F.broadcast(totals))
         .filter(F.col("paid_cents") * F.col("n_cells") * 20 > F.col("all_cents"))
         .select("c_last_name", "c_first_name", "i_color", "paid_cents")
     )
