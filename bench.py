@@ -220,14 +220,22 @@ def main() -> None:
         ).save()
 
     try:
+        # Same cold/warm protocol as the query loop: the first timed
+        # pass pays plan+codegen compile (cold), the immediate rerun is
+        # the steady-state number that rides the suite total.
+        t0 = time.perf_counter()
         with ThreadPoolExecutor(8) as ex:
-            list(ex.map(lambda t: _noop_tpch(t, 0.001), TPCH_TABLES))
-            list(ex.map(lambda t: _noop_tpcds(t, 0.001), TPCDS_TABLES))
+            list(ex.map(lambda t: _noop_tpch(t, sf_num), TPCH_TABLES))
+        cold["gen_tpch"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         with ThreadPoolExecutor(8) as ex:
             list(ex.map(lambda t: _noop_tpch(t, sf_num), TPCH_TABLES))
         timings["gen_tpch"] = round(time.perf_counter() - t0, 3)
         total += timings["gen_tpch"]
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(8) as ex:
+            list(ex.map(lambda t: _noop_tpcds(t, sf_num), TPCDS_TABLES))
+        cold["gen_tpcds"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         with ThreadPoolExecutor(8) as ex:
             list(ex.map(lambda t: _noop_tpcds(t, sf_num), TPCDS_TABLES))
@@ -309,9 +317,11 @@ def main() -> None:
             build_table(spark, "lineitem", 1.0, 32).write.mode("overwrite").parquet(
                 li_path
             )
+        t0 = time.perf_counter()
         qs["agg_group_sum"](spark, sf1_dir).write.format("noop").mode(
             "overwrite"
-        ).save()  # warm: codegen compile
+        ).save()  # cold: pays codegen compile
+        cold["q1_sf1"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         qs["agg_group_sum"](spark, sf1_dir).write.format("noop").mode(
             "overwrite"
@@ -390,7 +400,9 @@ def main() -> None:
             )
             return det.count()
 
-        _jaccard_50k()  # warm: codegen compile
+        t0 = time.perf_counter()
+        _jaccard_50k()  # cold: pays codegen compile
+        cold["dedup_jaccard_50k"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         n_pairs = _jaccard_50k()
         timings["dedup_jaccard_50k"] = round(time.perf_counter() - t0, 3)
@@ -400,6 +412,50 @@ def main() -> None:
             )
     except Exception as exc:  # noqa: BLE001
         errors["dedup_jaccard_50k"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    # Full TPC-DS 99 at sf1: a decade above the per-query scratch
+    # fixtures (sf0.001). Materialized once (pure function of
+    # (table, sf), reused across rounds), then every registered
+    # tpcds_q* shape runs end-to-end into the noop sink. Single timed
+    # pass per query (compile cost included — same protocol every
+    # round, so the totals stay comparable); the compact line carries
+    # the suite total and the 10 slowest, the full map lands in
+    # bench_out.json. This is the anchor that catches join-order/AQE
+    # regressions the small fixtures can't express.
+    tpcds_sf1: dict[str, float] = {}
+    try:
+        from tpctools_spark.queries.tpcds_demo import _GEN_TABLES
+
+        tpcds_sf1_dir = os.path.join(sf1_dir, "tpcds")
+        marker = os.path.join(
+            tpcds_sf1_dir, f"_ALL_TABLES_OK_{len(_GEN_TABLES)}"
+        )
+        if not os.path.exists(marker):
+            def _mat(t: str) -> None:
+                build_tpcds_table(spark, t, 1.0, 32).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(tpcds_sf1_dir, t))
+
+            with ThreadPoolExecutor(8) as ex:
+                list(ex.map(_mat, _GEN_TABLES))
+            with open(marker, "w") as f:
+                f.write("ok\n")
+        os.environ["TPCTOOLS_TPCDS_DIR"] = tpcds_sf1_dir
+        try:
+            for name in sorted(n for n in qs if n.startswith("tpcds_q")):
+                try:
+                    t0 = time.perf_counter()
+                    qs[name](spark, SF_DIR).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    tpcds_sf1[name] = round(time.perf_counter() - t0, 3)
+                except Exception as exc:  # noqa: BLE001
+                    errors[f"sf1_{name}"] = f"{type(exc).__name__}: {exc}"[:200]
+        finally:
+            del os.environ["TPCTOOLS_TPCDS_DIR"]
+        timings["tpcds_sf1_suite"] = round(sum(tpcds_sf1.values()), 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["tpcds_sf1_suite"] = f"{type(exc).__name__}: {exc}"[:200]
 
     sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
     try:
@@ -414,6 +470,7 @@ def main() -> None:
         "queries": timings,
         "cold_queries": cold,
         "gen_throughput": gen_stats,
+        "tpcds_sf1_queries": tpcds_sf1,
         "errors": errors,
         "sf": sf_val,
     }
@@ -435,12 +492,25 @@ def main() -> None:
         "sf": sf_val,
         "detail": "bench_out.json",
     }
+    if tpcds_sf1:
+        compact["tpcds_sf1_suite"] = timings.get("tpcds_sf1_suite")
+        compact["tpcds_sf1_slowest"] = {
+            k.removeprefix("tpcds_"): v
+            for k, v in sorted(
+                tpcds_sf1.items(), key=lambda kv: -kv[1]
+            )[:10]
+        }
     if errors:
         # Names only on the compact line (messages live in bench_out.json)
         # so the line stays inside the driver's tail-capture budget.
         compact["errors"] = sorted(errors)
     line = json.dumps(compact)
     if len(line) >= 1800:  # never die on line length — shed detail instead
+        compact["tpcds_sf1_slowest"] = dict(
+            list(compact.get("tpcds_sf1_slowest", {}).items())[:3]
+        )
+        line = json.dumps(compact)
+    if len(line) >= 1800:
         compact["queries"] = dict(list(compact["queries"].items())[:8])
         compact.pop("errors", None)
         line = json.dumps(compact)

@@ -246,3 +246,87 @@ def test_global_rank_reuses_one_range_exchange(spark):
             live += 1
     assert live == 1, f"expected 1 live range exchange, got {live}"
     assert "ReusedExchange" in final
+
+
+def test_salting_spreads_planted_hot_key(spark):
+    """The salted join's point: a key with k rows must land in N_SALT
+    cells of ~k/N_SALT, not one. Uses the exact salt expression from
+    join_skew_salted over a planted 50k-row hot key (a salt derived
+    from the join key ALONE would put all 50k in one cell — the bug
+    this test exists to prevent)."""
+    from pyspark.sql import functions as F
+
+    from tpctools_spark.queries.scale_patterns import N_SALT
+
+    hot = spark.range(50_000).select(
+        F.lit(7).alias("l_orderkey"),
+        (F.col("id") % 7 + 1).cast("int").alias("l_linenumber"),
+        F.col("id").alias("row_id"),
+    )
+    salted = hot.select(
+        F.pmod(
+            F.xxhash64("l_orderkey", "l_linenumber", F.lit(42)),
+            F.lit(N_SALT),
+        ).alias("salt")
+    )
+    counts = [r.n for r in salted.groupBy("salt").count().withColumnRenamed("count", "n").collect()]
+    # NOTE: linenumber has only 7 distinct values, so at most 7 salt
+    # cells can be hit — still a 7x spread vs the single cell a
+    # key-only salt produces. Require at least 4 cells and no cell
+    # above half the rows.
+    assert len(counts) >= 4, f"hot key hit only {len(counts)} salt cells"
+    assert max(counts) <= 25_000, f"max salt cell {max(counts)} — not spread"
+
+
+def test_aqe_splits_planted_skew_join(spark):
+    """AQE's OptimizeSkewedJoin must fire on a planted skewed key once
+    the thresholds are in range: one key carries 200k padded rows, the
+    others one each. Asserts the final adaptive plan marks the join
+    skew=true AND the answer is right."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        pad = F.concat(F.lit("x" * 64), F.col("id").cast("string"))
+        fact = (
+            spark.range(200_000)
+            .select(F.lit(0).alias("k"), pad.alias("pad"))
+            .unionAll(
+                spark.range(1, 1001).select(
+                    F.col("id").alias("k"), F.lit("y").alias("pad")
+                )
+            )
+        )
+        dim = spark.range(0, 1001).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = fact.join(dim, "k")
+        got = j.collect()
+        from collections import Counter
+
+        per_key = Counter(r.k for r in got)
+        assert per_key[0] == 200_000 and per_key[17] == 1
+        final = (
+            j._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "skew=true" in final, "OptimizeSkewedJoin did not fire"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -96,6 +96,11 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows lands in N_SALT partitions of ~k/N_SALT instead of one — the
     manual version of what AQE skew-join does adaptively, needed when a
     single key alone exceeds a task's memory.
+
+    The salt MUST vary within a key, so it hashes a row-unique tuple
+    (orderkey, linenumber) — hashing the join key alone would map every
+    row of a hot key to one salt and spread nothing (property-tested in
+    tests/test_scale_patterns.py::test_salting_spreads_planted_hot_key).
     """
     o = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate").cast("date") >= F.lit("1997-01-01").cast("date")
@@ -106,7 +111,10 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_salted = li.select(
         "l_orderkey",
         "l_extendedprice",
-        F.pmod(F.xxhash64("l_orderkey", F.lit(42)), F.lit(N_SALT)).alias("salt"),
+        F.pmod(
+            F.xxhash64("l_orderkey", "l_linenumber", F.lit(42)),
+            F.lit(N_SALT),
+        ).alias("salt"),
     )
     return (
         o_salted.join(
