@@ -156,3 +156,35 @@ def test_corpus_cli_generate(spark, tmp_path):
     assert set(timings) == {"documents", "embeddings", "events"}
     assert spark.read.parquet(f"{out}/documents.parquet").count() == 10
     assert spark.read.parquet(f"{out}/events.parquet").count() == 200
+
+
+def test_corpus_dir_is_fixture_drop_in(spark, tmp_path):
+    """A corpus-generated directory must be a drop-in replacement for a
+    driver fixture directory: same column names/types through
+    catalog.table, and fixture-schema consumers (n_chars, typed ts,
+    value, props, float embeddings) must run over it unchanged."""
+    from pyspark.sql import functions as F
+
+    from tpctools_spark.catalog import table
+    from tpctools_spark.generate_corpus import generate
+    from tpctools_spark.registry import spark_queries
+
+    out = str(tmp_path / "corpus")
+    generate(spark, 0.001, 3, out)
+
+    fixture_sf = "/root/testdata/sf0.001"
+    for name in ["documents", "embeddings", "events"]:
+        got = {f.name: f.dataType.simpleString() for f in table(spark, out, name).schema.fields}
+        want = {f.name: f.dataType.simpleString() for f in table(spark, fixture_sf, name).schema.fields}
+        assert got == want, f"{name}: {got} != {want}"
+
+    # fixture-schema consumers over the corpus dir
+    qs = spark_queries()
+    gopher = qs["pipeline_quality_filter_gopher"](spark, out)  # n_chars
+    assert gopher.count() >= 0
+    sessions = qs["window_session"](spark, out)  # typed ts + value
+    assert sessions.count() > 0
+    js = qs["scalar_json"](spark, out)  # props JSON
+    assert js.count() > 0
+    topk = qs["sim_cosine_topk"](spark, out)  # float embeddings
+    assert topk.count() > 0

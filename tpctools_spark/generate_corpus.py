@@ -111,15 +111,19 @@ def gen_documents(
             word(i % vocab_size),
         ),
     ).otherwise(F.array_join(words, " "))
+    # Fixture-schema contract (TESTDATA documents): same column names,
+    # types, and order as /root/testdata/sf*/documents.parquet, so a
+    # corpus directory drops in anywhere a fixture directory does
+    # (catalog.table included).
     return spark.range(0, n_docs, 1, parts).select(
         i.alias("doc_id"),
-        F.concat(F.lit("src"), (i % 20).cast("string")).alias("source"),
+        text.alias("text"),
         F.element_at(
             F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("es")),
             (_h(i, 7) % 4 + 1).cast("int"),
         ).alias("lang"),
-        F.size(F.split(text, " ")).cast("bigint").alias("n_words"),
-        text.alias("text"),
+        F.concat(F.lit("src"), (i % 20).cast("string")).alias("source"),
+        F.length(text).cast("bigint").alias("n_chars"),
     )
 
 
@@ -135,28 +139,38 @@ def gen_embeddings(
         lambda j: (
             ((label * 1000 + j * 37) % 997 - 498).cast("double") / 1000.0
             + ((_h(i, j) % 401 - 200)).cast("double") / 1000.0
-        ),
+        ).cast("float"),
     )
+    # Fixture-schema contract (TESTDATA embeddings): float elements and
+    # the fixture's (vec_id, embedding, label) order. Components are
+    # k/1000 with |k| < 1000, so round(x·1000) recovers k losslessly
+    # from the float too.
     return spark.range(0, n_vecs, 1, parts).select(
-        i.alias("vec_id"), label.alias("label"), emb.alias("embedding")
+        i.alias("vec_id"), emb.alias("embedding"), label.alias("label")
     )
 
 
 def gen_events(spark: SparkSession, n_events: int, parts: int = 8) -> DataFrame:
-    """events(event_id, user_id, ts_us, event_type, value_cents) —
-    timestamps emitted as epoch micros (timezone-proof by construction;
-    wrap with ``timestamp_micros`` for a typed column)."""
+    """events in the fixture schema (TESTDATA events): event_id, typed
+    ``ts`` TIMESTAMP, user_id, event_type, ``value`` DOUBLE (exact
+    2-decimal: integer cents / 100), ``props`` JSON string — so a
+    corpus directory drops in anywhere a fixture directory does.
+    Internally every value is still derived from exact epoch-micros /
+    integer-cents hash arithmetic (timezone-proof, SQL-replicable)."""
     i = F.col("id")
     n_users = 500
     types = F.array(*[F.lit(t) for t in EVENT_TYPES])
     return spark.range(0, n_events, 1, parts).select(
         i.alias("event_id"),
+        F.timestamp_micros(F.lit(_BASE_US) + _h(i, 2) % _SPAN_US).alias("ts"),
         (_h(i, 1) % n_users).alias("user_id"),
-        (F.lit(_BASE_US) + _h(i, 2) % _SPAN_US).alias("ts_us"),
         F.element_at(types, (_h(i, 3) % len(EVENT_TYPES) + 1).cast("int")).alias(
             "event_type"
         ),
-        (_h(i, 4) % 30_000).alias("value_cents"),
+        ((_h(i, 4) % 30_000).cast("double") / 100.0).alias("value"),
+        F.concat(
+            F.lit('{"k": '), (_h(i, 5) % 100).cast("string"), F.lit("}")
+        ).alias("props"),
     )
 
 

@@ -54,15 +54,15 @@ _SQL_TYPES = "[" + ", ".join(f"'{t}'" for t in EVENT_TYPES) + "]"
       FROM prep
     )
     SELECT i AS doc_id,
-           'src' || CAST(i % 20 AS VARCHAR) AS source,
-           (['en', 'de', 'fr', 'es'])[({_sql_h('i', '7')}) % 4 + 1] AS lang,
-           CAST(len(string_split(
-             CASE WHEN i % 7 = 0 AND i > 0
-                  THEN body || ' ' || ({_SQL_VOCAB})[i % {len(VOCAB)} + 1]
-                  ELSE body END, ' ')) AS BIGINT) AS n_words,
            CASE WHEN i % 7 = 0 AND i > 0
                 THEN body || ' ' || ({_SQL_VOCAB})[i % {len(VOCAB)} + 1]
-                ELSE body END AS text
+                ELSE body END AS text,
+           (['en', 'de', 'fr', 'es'])[({_sql_h('i', '7')}) % 4 + 1] AS lang,
+           'src' || CAST(i % 20 AS VARCHAR) AS source,
+           CAST(len(
+             CASE WHEN i % 7 = 0 AND i > 0
+                  THEN body || ' ' || ({_SQL_VOCAB})[i % {len(VOCAB)} + 1]
+                  ELSE body END) AS BIGINT) AS n_chars
     FROM texted
     """,
 )
@@ -110,20 +110,31 @@ def generate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH ids AS (SELECT unnest(range(0, {_N_EVENTS})) AS i)
     SELECT i AS event_id,
-           ({_sql_h('i', '1')}) % 500 AS user_id,
            {_BASE_US} + ({_sql_h('i', '2')}) % {_SPAN_US} AS ts_us,
+           ({_sql_h('i', '1')}) % 500 AS user_id,
            ({_SQL_TYPES})[({_sql_h('i', '3')}) % {len(EVENT_TYPES)} + 1]
              AS event_type,
-           ({_sql_h('i', '4')}) % 30000 AS value_cents
+           CAST(({_sql_h('i', '4')}) % 30000 AS DOUBLE) / 100.0 AS value,
+           '{{"k": ' || CAST(({_sql_h('i', '5')}) % 100 AS VARCHAR) || '}}'
+             AS props
     FROM ids
     """,
 )
 def generate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-log generator contract: hash-assigned users, one-week
-    timestamp spread in epoch micros (timezone-proof), integer-cents
-    values — full-row value check against the SQL re-derivation.
+    timestamp spread, exact 2-decimal values, JSON props — full-row
+    value check against the SQL re-derivation. The typed ``ts`` is
+    checked as ``unix_micros`` (instant-based, timezone-proof — string
+    rendering would depend on the session timezone).
     """
-    return gen_events(spark, _N_EVENTS)
+    return gen_events(spark, _N_EVENTS).select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
 
 
 @query(

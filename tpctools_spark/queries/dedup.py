@@ -594,8 +594,9 @@ def _shared_gram_counts(
     # Per-doc distinct gram set and its size, entirely row-local —
     # array_distinct replaces a 260k-row DISTINCT shuffle, and carrying
     # n (the set size) through the join replaces a sizes aggregation +
-    # two rejoin shuffles. The whole pipeline has exactly two exchanges:
-    # the postings self-join on gram and the pair-count aggregation.
+    # two rejoin shuffles. The whole pipeline has exactly two
+    # postings-sized exchanges: the per-gram posting-list aggregation
+    # and the pair-count aggregation.
     gs = F.array_distinct(_shingles_rx())
     # Cache at the gram-array level: without the barrier CollapseProject
     # inlines the (interpreted) shingle+array_distinct pipeline into all
@@ -613,6 +614,9 @@ def _shared_gram_counts(
     # docs' worth of postings), and broadcast-anti-join them away. The
     # postings never shuffle for this step; doc gram-set sizes `n` stay
     # FULL sizes so the Jaccard denominator is unaffected by the cap.
+    # Counting FIRST (never collect_list on uncapped grams) keeps
+    # per-group aggregation memory bounded even on boilerplate grams
+    # with millions of postings.
     hot = (
         prep.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -620,14 +624,34 @@ def _shared_gram_counts(
         .select("gram")
     )
     kept = prep.join(F.broadcast(hot), "gram", "left_anti")
-    a = kept.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "gram")
-    b = kept.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "gram")
-    return (
-        a.join(b, "gram")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    # Pair generation from the per-gram posting list (≤ JACCARD_DF_CAP
+    # entries by construction): ONE postings shuffle + a row-local
+    # double-explode, instead of shuffling both legs of a self-join.
+    pg = (
+        kept.groupBy("gram")
+        .agg(F.collect_list(F.struct("doc_id", "n")).alias("ps"))
+        .filter(F.size("ps") >= 2)
     )
+    pairs = (
+        pg.select(F.explode("ps").alias("x"), "ps")
+        .select("x", F.explode("ps").alias("y"))
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+    )
+    # The candidate-pair table is the shared working set of jaccard /
+    # containment / keep-longest / cluster-components — cache it so the
+    # shingle → postings → pair pass is paid once per session, not once
+    # per consumer ("materialize candidates once, score many policies").
+    # Pure optimization: correct uncached; MEMORY_AND_DISK spills at
+    # scale, and the cap bounds it at ≤ CAP²/2 pairs per gram.
+    shared = pairs.groupBy(
+        F.col("x.doc_id").alias("doc_a"),
+        F.col("y.doc_id").alias("doc_b"),
+        F.col("x.n").alias("na"),
+        F.col("y.n").alias("nb"),
+    ).agg(F.count(F.lit(1)).alias("n_shared")).cache()
+    if caches is not None:
+        caches.append(shared)
+    return shared
 
 
 def _jaccard_pairs(

@@ -311,6 +311,73 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(joined, "append")
 
 
+def _latest_view_gen(out: str) -> str | None:
+    """Highest committed generation dir (``view-<batch_id>``), if any."""
+    gens = [d for d in os.listdir(out) if d.startswith("view-")]
+    if not gens:
+        return None
+    return max(gens, key=lambda d: int(d.rsplit("-", 1)[1]))
+
+
+def start_merge_view(stream: DataFrame, out: str):
+    """Start the foreachBatch incremental-view query over *stream*,
+    committing one generation dir per micro-batch into *out*.
+
+    Idempotent per batch id (the at-least-once contract): the merged
+    view for batch N is written to a scratch dir and atomically renamed
+    to ``view-N``; a replayed batch N finds ``view-N`` committed and
+    returns without touching anything, so a crash anywhere —
+    mid-merge, after commit but before the checkpoint records it —
+    reconverges to the exact batch answer on restart.
+    """
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        committed = os.path.join(out, f"view-{batch_id}")
+        if os.path.exists(committed):  # replay after crash-post-commit
+            return
+        part = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("value_dec"),
+        )
+        s = batch_df.sparkSession
+        latest = _latest_view_gen(out)
+        if latest is not None:
+            prev = s.read.parquet(os.path.join(out, latest))
+            part = (
+                prev.unionByName(part)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("n_events").cast("bigint").alias("n_events"),
+                    F.sum("value_dec")
+                    .cast("decimal(12,2)")
+                    .alias("value_dec"),
+                )
+            )
+        gen = os.path.join(out, f"gen-{batch_id}")
+        part.write.mode("overwrite").parquet(gen)
+        os.rename(gen, committed)  # atomic commit of this generation
+        for d in os.listdir(out):  # prune superseded generations
+            if d.startswith("view-") and int(d.rsplit("-", 1)[1]) < batch_id:
+                shutil.rmtree(os.path.join(out, d), ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(out, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_merge_view(spark: SparkSession, out: str) -> DataFrame:
+    """The current committed view, in the oracle's output shape."""
+    latest = _latest_view_gen(out)
+    return spark.read.parquet(os.path.join(out, latest)).select(
+        "event_type",
+        "n_events",
+        F.round(F.col("value_dec").cast("double"), 2).alias("total_value"),
+    )
+
+
 @query(
     "stream_foreach_batch_view",
     oracle="""
@@ -335,52 +402,24 @@ def stream_foreach_batch_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     lives in the sink table, not executor memory: per-batch work is
     O(batch + |view|), and at scale the read-merge-write becomes a
     key-partitioned MERGE on the same plan.
+
+    foreachBatch is at-least-once: after a crash the in-flight batch
+    REPLAYS, so the merge must be idempotent per batch id. Each merge
+    commits to a generation dir named by its batch id via atomic
+    rename; a replayed id finds its generation already committed and
+    skips — restart-recovery is proven by
+    ``tests/test_streaming_recovery.py``, which kills the query
+    mid-drain and resumes it from the same checkpoint.
     """
     out = os.path.join(
         os.path.abspath(_SCRATCH), f"febview-{uuid.uuid4().hex[:8]}"
     )
-    view_dir = os.path.join(out, "view")
-
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        part = batch_df.groupBy("event_type").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(12,2)")).alias("value_dec"),
-        )
-        s = batch_df.sparkSession
-        if os.path.exists(view_dir):
-            prev = s.read.parquet(view_dir)
-            part = (
-                prev.unionByName(part)
-                .groupBy("event_type")
-                .agg(
-                    F.sum("n_events").cast("bigint").alias("n_events"),
-                    F.sum("value_dec")
-                    .cast("decimal(12,2)")
-                    .alias("value_dec"),
-                )
-            )
-        # write to a fresh generation dir, then swap (no partial reads)
-        gen = os.path.join(out, f"gen-{batch_id}")
-        part.write.mode("overwrite").parquet(gen)
-        if os.path.exists(view_dir):
-            shutil.rmtree(view_dir)
-        os.rename(gen, view_dir)
-
-    stream = _stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
-    q = (
-        stream.writeStream.foreachBatch(merge_batch)
-        .option(
-            "checkpointLocation", os.path.join(out, "ckpt")
-        )
-        .trigger(availableNow=True)
-        .start()
+    os.makedirs(out, exist_ok=True)
+    q = start_merge_view(
+        _stream_events(spark, sf_dir).withWatermark("ts", "10 minutes"), out
     )
     q.awaitTermination()
-    return spark.read.parquet(view_dir).select(
-        "event_type",
-        "n_events",
-        F.round(F.col("value_dec").cast("double"), 2).alias("total_value"),
-    )
+    return read_merge_view(spark, out)
 
 
 @query(
