@@ -103,7 +103,6 @@ _BNLJ_ALLOWED = {
 _GLOBAL_WINDOW_ALLOWED = {
     "events_path_trigrams",  # rank over the 20-row TakeOrderedAndProject head
     "events_survival_km",  # duration census — observation-window-bounded domain
-    "pipeline_deterministic_shuffle",  # documented value-check half; production form stated in docstring
     "pipeline_interleave_stride",  # rank over the 60-row TakeOrderedAndProject head
     "pipeline_weighted_sample",  # rank over the k-row TakeOrderedAndProject head
     "quality_ks_test",  # distinct-cents census — value-domain-bounded

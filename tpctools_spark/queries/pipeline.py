@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from tpctools_spark.catalog import table
-from tpctools_spark.queries._util import trunc_digits
+from tpctools_spark.queries._util import global_rank, trunc_digits
 from tpctools_spark.registry import query
 
 # Packing capacity (tokens per training sequence). Small relative to
@@ -468,15 +468,13 @@ def pipeline_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFram
 
     The shard key is the arithmetic multiplicative hash (same family as
     the LSH/SimHash/CMS ops), so the permutation is a pure function of
-    doc_id. At 100 TB you stop at ``repartitionByRange(shard_key,
-    doc_id)`` + per-file local sort (each output shard is internally
-    ordered; readers stream shards in any order) — the global
-    ROW_NUMBER here exists to value-check the full permutation, and its
-    single-partition window is the one piece you'd drop at scale
-    (documented, not hidden). Output limited to the first 500 positions.
+    doc_id. The global position is the two-pass distributed rank
+    (``global_rank``: ``repartitionByRange(shard_key, doc_id)`` +
+    per-partition local ranks + broadcast offsets) — exactly the
+    production shard layout (each range partition is one internally
+    ordered output shard) with exact global positions and no
+    single-partition stage. Output limited to the first 500 positions.
     """
-    from pyspark.sql.window import Window
-
     d = table(spark, sf_dir, "documents")
     hashed = d.select(
         "doc_id",
@@ -486,8 +484,8 @@ def pipeline_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFram
         ).alias("shard_key"),
     )
     return (
-        hashed.withColumn(
-            "shuffle_pos", F.row_number().over(Window.orderBy("shard_key", "doc_id"))
+        global_rank(
+            hashed, [F.col("shard_key"), F.col("doc_id")], rn="shuffle_pos"
         )
         .orderBy("shuffle_pos")
         .limit(500)
