@@ -230,74 +230,195 @@ K_CLUSTERS = 8
 KMEANS_ITERS = 3
 
 
-@query("kmeans_embeddings")  # iterative algorithm → rows-only
+_KM_DIM = 64  # fixture embedding dimensionality (FIXTURES.md)
+_KM_SHIFT = 1000  # makes every quantized component positive (|e| < 1)
+
+# Quantized-fixed-point prep, shared by kmeans and medoid oracles:
+# x'_j = floor(e_j·1000) + SHIFT. floor of the identical IEEE product is
+# bit-deterministic in both engines (the trunc_digits principle); the
+# shift keeps everything positive so floor-division == truncating
+# division in BOTH engines (they disagree on negatives).
+_SQL_FX_PTS = f"""pts AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)
+                    + {_KM_SHIFT}) AS x
+      FROM embeddings
+    )"""
+_SQL_FX_D2 = (
+    "list_sum(list_transform(range(1, " + str(_KM_DIM + 1) + "), "
+    "j -> (1000 * {p}.x[j] - {c}.c[j]) * (1000 * {p}.x[j] - {c}.c[j])))"
+)
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled SQL twin of the fixed-point k-means: the iteration
+    count is a constant, so the 'iterative' loop is KMEANS_ITERS
+    mechanical CTE stages — assignment (cross join + rank-1 window over
+    |points|·K rows), per-dimension integer sums, floor-div centroid
+    update, with empty clusters keeping their previous centroid."""
+    sql = f"""
+    WITH {_SQL_FX_PTS}, c0 AS (
+      SELECT vec_id AS k, list_transform(x, v -> 1000 * v) AS c
+      FROM pts WHERE vec_id < {K_CLUSTERS}
+    )"""
+    prev = "c0"
+    for i in range(1, KMEANS_ITERS + 1):
+        d2 = _SQL_FX_D2.format(p="p", c="c")
+        sql += f"""
+    , a{i} AS (
+      SELECT vec_id, x, k FROM (
+        SELECT p.vec_id, p.x, c.k,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {d2}, c.k) AS rn
+        FROM pts p CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ), s{i} AS (
+      SELECT k, j, SUM(x[j]) AS s, COUNT(*) AS n
+      FROM a{i}, range(1, {_KM_DIM + 1}) t(j)
+      GROUP BY k, j
+    ), u{i} AS (
+      SELECT k, list((1000 * s) // n ORDER BY j) AS c
+      FROM s{i} GROUP BY k
+    ), c{i} AS (
+      SELECT p.k, COALESCE(u.c, p.c) AS c
+      FROM {prev} p LEFT JOIN u{i} u ON p.k = u.k
+    )"""
+        prev = f"c{i}"
+    d2 = _SQL_FX_D2.format(p="p", c="c")
+    sql += f"""
+    , afinal AS (
+      SELECT vec_id, k FROM (
+        SELECT p.vec_id, c.k,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {d2}, c.k) AS rn
+        FROM pts p CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    )
+    SELECT CAST(k AS INTEGER) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
+    FROM afinal GROUP BY k ORDER BY cluster
+    """
+    return sql
+
+
+@query("kmeans_embeddings", oracle=_kmeans_oracle())
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic k-means over the embedding column (3 iterations).
+    """Deterministic fixed-point k-means over the embedding column
+    (KMEANS_ITERS iterations).
 
     The iterative-algorithm pattern Spark handles with a driver-side
     loop over *tiny* state: each iteration scans the data once to
     assign points to the nearest centroid (pure row-local expressions
     against broadcast literal centroids) and recomputes centroids with
-    an exact decimal component mean (order-independent, so the result
-    is identical under any partitioning). Only K×dim doubles ever reach
-    the driver — the dataset itself never does. At 100 TB each
-    iteration is one scan + one ~K·dim-row aggregate.
+    an exact integer aggregate. Only K×dim integers ever reach the
+    driver — the dataset itself never does. At 100 TB each iteration
+    is one scan + one ~K·dim-row aggregate.
 
-    Seeds are the first K vectors by vec_id (deterministic); ties in
-    assignment break toward the lower cluster id.
+    All arithmetic is quantized fixed-point — components as
+    floor(e·1000)+1000 (positive BIGINT), centroids as floor-div
+    integer means at 1/10⁶ granularity — so the whole trajectory is
+    EXACT and the fixed iteration count unrolls into a pure-SQL oracle
+    (``_kmeans_oracle``): the formerly rows-only op is value-checked.
+    Seeds are the first K vectors by vec_id; assignment ties break
+    toward the lower cluster id.
     """
     emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda v: F.floor(v.cast("double") * 1000).cast("bigint")
+            + _KM_SHIFT,
+        ).alias("x"),
     )
     emb = emb.cache()
 
-    seeds = (
-        emb.filter(F.col("vec_id") < K_CLUSTERS)
-        .orderBy("vec_id")
-        .collect()
-    )
-    centroids = [list(r.e) for r in seeds]
+    seeds = emb.filter(F.col("vec_id") < K_CLUSTERS).orderBy("vec_id").collect()
+    centroids = {int(r.vec_id): [1000 * int(v) for v in r.x] for r in seeds}
 
-    def assign_col(cents: list[list[float]]) -> F.Column:
-        """cluster id of the nearest centroid (squared L2, row-local)."""
+    def assign_col(cents: dict[int, list[int]]) -> F.Column:
+        """cluster id of the nearest centroid (squared L2, row-local,
+        exact integers; ties to the lower cluster id)."""
         pairs = []
-        for k, c in enumerate(cents):
-            lit_c = F.array(*[F.lit(float(v)) for v in c])
+        for k in sorted(cents):
+            lit_c = F.array(*[F.lit(int(v)) for v in cents[k]])
             d2 = F.aggregate(
-                F.zip_with(F.col("e"), lit_c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
+                F.zip_with(
+                    F.col("x"),
+                    lit_c,
+                    lambda a, b: (a * 1000 - b) * (a * 1000 - b),
+                ),
+                F.lit(0).cast("bigint"),
                 lambda acc, v: acc + v,
             )
             pairs.append(F.struct(d2.alias("d"), F.lit(k).alias("k")))
         return F.array_min(F.array(*pairs)).getField("k").alias("cluster")
 
     for _ in range(KMEANS_ITERS):
-        assigned = emb.select("vec_id", "e", assign_col(centroids))
-        comp = assigned.select(
-            "cluster", F.posexplode("e").alias("pos", "val")
-        ).groupBy("cluster", "pos").agg(
-            (
-                F.sum(F.col("val").cast("decimal(30,15)")) / F.count(F.lit(1))
-            ).cast("double").alias("m")
+        assigned = emb.select("vec_id", "x", assign_col(centroids))
+        comp = (
+            assigned.select("cluster", F.posexplode("x").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum("val").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
         )
         rows = comp.collect()
-        new_c = {k: dict() for k in range(K_CLUSTERS)}
+        new_c: dict[int, dict[int, int]] = {}
         for r in rows:
-            new_c[r.cluster][r.pos] = r.m
-        centroids = [
-            [new_c[k][p] for p in sorted(new_c[k])] if new_c[k] else centroids[k]
-            for k in range(K_CLUSTERS)
-        ]
+            # floor division on positive integers == both engines' //
+            new_c.setdefault(r.cluster, {})[r.pos] = (1000 * r.s) // r.n
+        centroids = {
+            k: (
+                [new_c[k][p] for p in sorted(new_c[k])]
+                if k in new_c
+                else centroids[k]
+            )
+            for k in centroids
+        }
 
     final = emb.select("vec_id", assign_col(centroids))
     return (
         final.groupBy("cluster")
-        .agg(F.count(F.lit(1)).alias("n_points"), F.min("vec_id").alias("min_vec_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
         .orderBy("cluster")
     )
 
 
-@query("embedding_group_medoid")  # grouped pandas op → rows-only
+_MEDOID_ORACLE = f"""
+    WITH {_SQL_FX_PTS.replace("SELECT vec_id,", "SELECT vec_id, label,")},
+    sums AS (
+      SELECT label, j, SUM(x[j]) AS s, COUNT(*) AS n
+      FROM pts, range(1, {_KM_DIM + 1}) t(j)
+      GROUP BY label, j
+    ), cent AS (
+      SELECT label, list((1000 * s) // n ORDER BY j) AS c, MAX(n) AS n
+      FROM sums GROUP BY label
+    ), scored AS (
+      SELECT p.vec_id, p.label, c.n,
+             {_SQL_FX_D2.format(p="p", c="c")} AS d2
+      FROM pts p JOIN cent c USING (label)
+    ), best AS (
+      SELECT label, n, vec_id, d2,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY d2, vec_id) AS rn
+      FROM scored
+    )
+    SELECT CAST(label AS INTEGER) AS label,
+           CAST(n AS BIGINT) AS n_vecs,
+           CAST(vec_id AS BIGINT) AS medoid_vec_id,
+           CAST(floor(sqrt(CAST(d2 AS DOUBLE)) / 100) / 10000 AS DOUBLE)
+             AS medoid_dist
+    FROM best WHERE rn = 1 ORDER BY label
+    """
+
+
+@query("embedding_group_medoid", oracle=_MEDOID_ORACLE)
 def embedding_group_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label medoid via grouped ``applyInPandas`` + numpy.
 
@@ -308,6 +429,14 @@ def embedding_group_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction so results are identical under any input partitioning.
     At 100 TB the label is the shuffle key; group size — not dataset
     size — bounds worker memory.
+
+    The numpy math is the same quantized fixed-point as
+    ``kmeans_embeddings`` (floor(e·1000)+1000 components, floor-div
+    integer centroid, exact int64 squared distances), so the grouped
+    Python path has a bit-exact SQL twin — formerly rows-only, now
+    value-checked. The reported distance is sqrt of the exact integer
+    (IEEE sqrt is correctly rounded, identical in both engines),
+    truncated to 4 decimals.
     """
     import numpy as np
     import pandas as pd
@@ -321,15 +450,17 @@ def embedding_group_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
     def medoid(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-        centroid = mat.mean(axis=0)
-        dists = np.sqrt(((mat - centroid) ** 2).sum(axis=1))
-        i = int(dists.argmin())  # ties: lowest index = lowest vec_id
+        fx = np.floor(mat * 1000).astype(np.int64) + _KM_SHIFT
+        cent = (1000 * fx.sum(axis=0)) // len(fx)  # positive floor-div
+        d2 = ((1000 * fx - cent) ** 2).sum(axis=1)
+        i = int(d2.argmin())  # ties: lowest index = lowest vec_id
+        dist = float(np.floor(np.sqrt(float(d2[i])) / 100) / 10000)
         return pd.DataFrame(
             {
                 "label": [int(pdf["label"].iloc[0])],
                 "n_vecs": [len(pdf)],
                 "medoid_vec_id": [int(pdf["vec_id"].iloc[i])],
-                "medoid_dist": [float(np.floor(dists[i] * 10000) / 10000)],
+                "medoid_dist": [dist],
             }
         )
 
