@@ -948,10 +948,14 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The loop consumed edges and the shingle base fully (the final
     # labels generation is materialized in cache by its sum-agg above) —
     # release them so back-to-back multi-query sessions don't accumulate
-    # dead cached RDDs. `labels` itself must STAY cached: the returned
-    # DataFrame reads it.
+    # dead cached RDDs. `labels` itself must STAY cached (the returned
+    # DataFrame reads it), and so must the LAST pair_caches entry — the
+    # candidate-pair table is the deliberate cross-query working set
+    # shared with jaccard/containment/keep-longest (see
+    # _shared_gram_counts); only the upstream gram-array cache is dead
+    # weight here.
     edges.unpersist()
-    for c in pair_caches:
+    for c in pair_caches[:-1]:
         c.unpersist()
     # Window only over the edge-node labels (graph-sized shuffle); the
     # full corpus joins in as singletons via a broadcast anti-join —
