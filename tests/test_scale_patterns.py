@@ -330,3 +330,62 @@ def test_aqe_splits_planted_skew_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_fixture_embedding_dim_matches_km_constant(spark):
+    """_KM_DIM is baked into the generated k-means/medoid oracle SQL —
+    if the fixture dimensionality ever drifts, fail HERE, not with a
+    silent hash mismatch."""
+    from pyspark.sql import functions as F
+
+    from tpctools_spark.catalog import table
+    from tpctools_spark.queries.similarity import _KM_DIM
+
+    dims = (
+        table(spark, "/root/testdata/sf0.001", "embeddings")
+        .select(F.size("embedding").alias("d"))
+        .distinct()
+        .collect()
+    )
+    assert [r.d for r in dims] == [_KM_DIM]
+
+
+def test_global_rank_property_random_shapes(spark):
+    """Property: for arbitrary (skewed, tied, negative) key data and
+    any partition count, global_rank == the single-partition window."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tpctools_spark.queries._util import global_rank
+
+    rng = random.Random(20260814)
+    for trial in range(4):
+        n = rng.choice([1, 7, 500, 4096])
+        parts = rng.choice([1, 3, 32, 100])
+        rows = [
+            (i, rng.choice([-5, -1, 0, 3, rng.randint(-1000, 1000)]))
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "k long, v long")
+        got = (
+            global_rank(
+                df,
+                [F.col("v").desc(), F.col("k")],
+                rn="rn",
+                cumsums={"cv": F.col("v")},
+                partitions=parts,
+            )
+            .select("k", "rn", "cv")
+            .collect()
+        )
+        w = Window.orderBy(F.col("v").desc(), "k")
+        want = df.select(
+            "k",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cv"),
+        ).collect()
+        assert sorted((r.k, r.rn, r.cv) for r in got) == sorted(
+            (r.k, r.rn, r.cv) for r in want
+        ), f"trial {trial}: n={n} parts={parts}"
