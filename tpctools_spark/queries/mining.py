@@ -169,6 +169,154 @@ def mining_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# text_bpe_encode
+
+_BPE_MERGES = 6  # learned merge rounds (unrolled in the oracle)
+_BPE_PASSES = 3  # replace passes per merge (fixpoint for fixture-length runs)
+_BPE_SEP = "\x1f"  # unit separator — never occurs in document text
+
+
+def _bpe_oracle() -> str:
+    """Unrolled SQL twin of the BPE learn+encode loop: each round is
+    three CTEs — adjacent-pair counts over the current symbol stream,
+    the arg-max pair (count desc, then lexicographic), and the merged
+    stream via _BPE_PASSES nested plain-string ``replace`` calls (plain
+    replace scans left-to-right without overlap IDENTICALLY in Spark
+    and DuckDB, which is what makes the whole trajectory twinnable)."""
+    sep = "chr(31)"
+    syms = f"list_filter(string_split(s, {sep}), x -> x <> '')"
+    sql = f"""
+    WITH s0 AS (
+      SELECT source, lower(text) AS t,
+             {sep} || regexp_replace(lower(text), '(.)', '\\1' || {sep}, 'g')
+               AS s
+      FROM documents
+    )"""
+    prev = "s0"
+    for r in range(1, _BPE_MERGES + 1):
+        pat = f"{sep} || m.a || {sep} || m.b || {sep}"
+        rep = f"{sep} || m.a || m.b || {sep}"
+        merged = "x.s"
+        for _ in range(_BPE_PASSES):
+            merged = f"replace({merged}, {pat}, {rep})"
+        sql += f"""
+    , p{r} AS (
+      SELECT syms[i] AS a, syms[i + 1] AS b, COUNT(*) AS n
+      FROM (
+        SELECT syms, unnest(range(1, len(syms))) AS i
+        FROM (SELECT {syms} AS syms FROM {prev})
+      )
+      GROUP BY 1, 2
+    ), m{r} AS (
+      SELECT a, b FROM p{r} ORDER BY n DESC, a, b LIMIT 1
+    ), s{r} AS (
+      SELECT x.source, x.t, {merged} AS s
+      FROM {prev} x CROSS JOIN m{r} m
+    )"""
+        prev = f"s{r}"
+    sql += f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(t)) AS BIGINT) AS total_chars,
+           CAST(SUM(len({syms})) AS BIGINT) AS total_tokens,
+           {sql_trunc_digits("CAST(SUM(length(t)) AS DOUBLE) / SUM(len(" + syms + "))", 4)}
+             AS compression
+    FROM {prev} GROUP BY source ORDER BY source
+    """
+    return sql
+
+
+@query("text_bpe_encode", oracle=_bpe_oracle())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding learn + apply: run _BPE_MERGES true
+    sequential BPE rounds over the corpus character stream (count
+    adjacent symbol pairs → merge the most frequent → recount on the
+    MERGED stream), then report per-source token mass and compression
+    under the learned vocabulary — the tokenizer half that
+    ``mining_bpe_pairs`` (first-round statistics only) stops short of.
+
+    The iterative pattern is the same as k-means: a driver loop whose
+    per-round state is ONE (pair) row; the corpus only ever moves
+    through scans and a |distinct pairs|-sized aggregate (map-side
+    combined), and merge application is a row-local string replace —
+    embarrassingly parallel at any scale. Symbol streams ride a
+    separator char (U+001F, absent from text), and merges apply as
+    plain non-overlapping left-to-right ``replace`` — identical
+    semantics in Spark and DuckDB — repeated _BPE_PASSES times to
+    reach the fixpoint on fixture-length repeat runs. The fixed round
+    count unrolls into a pure-SQL oracle (``_bpe_oracle``). At 100 TB
+    you learn merges on a sampled subset (the counting rounds are the
+    only multi-pass piece) and apply them in one pass.
+    """
+    sep = _BPE_SEP
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        F.lower(F.col("text")).alias("t"),
+        F.concat(
+            F.lit(sep),
+            F.regexp_replace(F.lower(F.col("text")), "(.)", "$1" + sep),
+        ).alias("s"),
+    )
+    cur = base.cache()
+
+    def syms_col():
+        return F.filter(
+            F.split(F.col("s"), sep), lambda x: x != F.lit("")
+        )
+
+    # Adjacent symbol pairs via ONE compiled zero-width-lookahead regex
+    # scan per row (the mining_bpe_pairs trick) — a higher-order
+    # element_at(i)/element_at(i+1) formulation re-evaluates the
+    # filter(split(...)) chain per index (interpreted, O(len²) per
+    # row: measured 11 s vs ~0.5 s per round on the sf0.001 corpus).
+    # The extracted group is the "a␟b" pair STRING; ordering by it
+    # equals ordering by (a, b) because the separator sorts below
+    # every text character in both engines' binary collation.
+    pair_rx = f"(?={sep}([^{sep}]+{sep}[^{sep}]+){sep})"
+    for _ in range(_BPE_MERGES):
+        top = (
+            cur.select(
+                F.explode(
+                    F.regexp_extract_all(
+                        F.col("s"), F.lit(pair_rx), F.lit(1)
+                    )
+                ).alias("p")
+            )
+            .groupBy("p")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "p")
+            .limit(1)
+            .collect()
+        )
+        a, b = top[0].p.split(sep)
+        pat, rep = sep + a + sep + b + sep, sep + a + b + sep
+        ns = F.col("s")
+        for _ in range(_BPE_PASSES):
+            ns = F.replace(ns, F.lit(pat), F.lit(rep))
+        new = cur.select("source", "t", ns.alias("s")).cache()
+        new.count()  # materialize before releasing the parent
+        cur.unpersist()
+        cur = new
+
+    out = cur.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("t")).cast("bigint").alias("total_chars"),
+        F.sum(F.size(syms_col())).cast("bigint").alias("total_tokens"),
+    )
+    final = out.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        trunc_digits(
+            F.col("total_chars").cast("double") / F.col("total_tokens"), 4
+        ).alias("compression"),
+    ).orderBy("source")
+    return final
+
+
+# ---------------------------------------------------------------------------
 # pipeline_weighted_sample
 
 _WS_PRIME = 1000003
