@@ -450,8 +450,18 @@ def main() -> None:
                 list(ex.map(_mat, _GEN_TABLES))
             with open(marker, "w") as f:
                 f.write("ok\n")
+        # Soft wall-clock budget: the driver's bench capture must never
+        # be lost to this (round 3 lost its whole record to one crash);
+        # if the suite overruns, stop, record how many shapes were
+        # skipped, and still print the compact line.
+        budget_s = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "600"))
+        suite_t0 = time.perf_counter()
+        skipped_for_budget = 0
         try:
             for name in sorted(n for n in qs if n.startswith("tpcds_q")):
+                if time.perf_counter() - suite_t0 > budget_s:
+                    skipped_for_budget += 1
+                    continue
                 try:
                     os.environ.pop("TPCTOOLS_TPCDS_DIR", None)
                     qs[name](spark, SF_DIR).write.format("noop").mode(
@@ -467,6 +477,11 @@ def main() -> None:
                     errors[f"sf1_{name}"] = f"{type(exc).__name__}: {exc}"[:200]
         finally:
             os.environ.pop("TPCTOOLS_TPCDS_DIR", None)
+        if skipped_for_budget:
+            errors["tpcds_sf1_budget"] = (
+                f"budget {budget_s:.0f}s hit: {skipped_for_budget} of 99 "
+                "shapes not timed this run"
+            )
         timings["tpcds_sf1_suite"] = round(sum(tpcds_sf1.values()), 3)
     except Exception as exc:  # noqa: BLE001
         errors["tpcds_sf1_suite"] = f"{type(exc).__name__}: {exc}"[:200]
