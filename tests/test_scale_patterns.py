@@ -389,3 +389,42 @@ def test_global_rank_property_random_shapes(spark):
         assert sorted((r.k, r.rn, r.cv) for r in got) == sorted(
             (r.k, r.rn, r.cv) for r in want
         ), f"trial {trial}: n={n} parts={parts}"
+
+
+def test_global_rank_correct_with_aqe_disabled(spark):
+    """global_rank's one-exchange invariant must hold under BOTH reuse
+    mechanisms: AQE stage reuse (default) and the static ReuseExchange
+    rule (adaptive off) — pid assignment consistency is correctness,
+    not an optimization."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tpctools_spark.queries._util import global_rank
+
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = spark.range(10_000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 89 * (F.col("id") % 11)).cast("bigint").alias("v"),
+        )
+        got = global_rank(
+            df, [F.col("v").desc(), F.col("k")], rn="rn"
+        ).select("k", "rn")
+        rows = got.collect()
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        live = sum(
+            1
+            for line in plan.splitlines()
+            if "rangepartitioning" in line and "ReusedExchange" not in line
+        )
+        assert live == 1 and "ReusedExchange" in plan
+        w = Window.orderBy(F.col("v").desc(), "k")
+        want = df.select(
+            "k", F.row_number().over(w).cast("bigint").alias("rn")
+        ).collect()
+        assert sorted((r.k, r.rn) for r in rows) == sorted(
+            (r.k, r.rn) for r in want
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)

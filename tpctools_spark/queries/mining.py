@@ -176,15 +176,20 @@ _BPE_PASSES = 3  # replace passes per merge (fixpoint for fixture-length runs)
 _BPE_SEP = "\x1f"  # unit separator — never occurs in document text
 
 
-def _bpe_oracle() -> str:
-    """Unrolled SQL twin of the BPE learn+encode loop: each round is
-    three CTEs — adjacent-pair counts over the current symbol stream,
-    the arg-max pair (count desc, then lexicographic), and the merged
-    stream via _BPE_PASSES nested plain-string ``replace`` calls (plain
-    replace scans left-to-right without overlap IDENTICALLY in Spark
-    and DuckDB, which is what makes the whole trajectory twinnable)."""
+_BPE_SQL_SYMS = (
+    "list_filter(string_split(s, chr(31)), x -> x <> '')"
+)
+
+
+def _bpe_rounds_sql() -> tuple[str, str]:
+    """The shared unrolled learn loop: per round, three CTEs —
+    adjacent-pair counts over the current symbol stream, the arg-max
+    pair (count desc, then lexicographic), and the merged stream via
+    _BPE_PASSES nested plain-string ``replace`` calls (plain replace
+    scans left-to-right without overlap IDENTICALLY in Spark and
+    DuckDB, which is what makes the whole trajectory twinnable).
+    Returns (WITH-clause SQL, name of the final stream CTE)."""
     sep = "chr(31)"
-    syms = f"list_filter(string_split(s, {sep}), x -> x <> '')"
     sql = f"""
     WITH s0 AS (
       SELECT source, lower(text) AS t,
@@ -204,26 +209,95 @@ def _bpe_oracle() -> str:
       SELECT syms[i] AS a, syms[i + 1] AS b, COUNT(*) AS n
       FROM (
         SELECT syms, unnest(range(1, len(syms))) AS i
-        FROM (SELECT {syms} AS syms FROM {prev})
+        FROM (SELECT {_BPE_SQL_SYMS} AS syms FROM {prev})
       )
       GROUP BY 1, 2
     ), m{r} AS (
-      SELECT a, b FROM p{r} ORDER BY n DESC, a, b LIMIT 1
+      SELECT a, b, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1
     ), s{r} AS (
       SELECT x.source, x.t, {merged} AS s
       FROM {prev} x CROSS JOIN m{r} m
     )"""
         prev = f"s{r}"
-    sql += f"""
+    return sql, prev
+
+
+def _bpe_oracle() -> str:
+    withs, prev = _bpe_rounds_sql()
+    return withs + f"""
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(length(t)) AS BIGINT) AS total_chars,
-           CAST(SUM(len({syms})) AS BIGINT) AS total_tokens,
-           {sql_trunc_digits("CAST(SUM(length(t)) AS DOUBLE) / SUM(len(" + syms + "))", 4)}
+           CAST(SUM(len({_BPE_SQL_SYMS})) AS BIGINT) AS total_tokens,
+           {sql_trunc_digits("CAST(SUM(length(t)) AS DOUBLE) / SUM(len(" + _BPE_SQL_SYMS + "))", 4)}
              AS compression
     FROM {prev} GROUP BY source ORDER BY source
     """
-    return sql
+
+
+def _bpe_vocab_oracle() -> str:
+    withs, _ = _bpe_rounds_sql()
+    rows = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS merge_rank, a, b, a || b AS merged, "
+        f"CAST(n AS BIGINT) AS n FROM m{r}"
+        for r in range(1, _BPE_MERGES + 1)
+    )
+    return withs + f"""
+    SELECT * FROM ({rows}) ORDER BY merge_rank
+    """
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str):
+    """Run the _BPE_MERGES sequential learn rounds. Returns the merge
+    list [(a, b, pair_count), …] and the final (cached) symbol-stream
+    DataFrame (source, t, s)."""
+    sep = _BPE_SEP
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        F.lower(F.col("text")).alias("t"),
+        F.concat(
+            F.lit(sep),
+            F.regexp_replace(F.lower(F.col("text")), "(.)", "$1" + sep),
+        ).alias("s"),
+    )
+    cur = base.cache()
+    # Adjacent symbol pairs via ONE compiled zero-width-lookahead regex
+    # scan per row (the mining_bpe_pairs trick) — a higher-order
+    # element_at(i)/element_at(i+1) formulation re-evaluates the
+    # filter(split(...)) chain per index (interpreted, O(len²) per
+    # row: measured 11 s vs ~0.5 s per round on the sf0.001 corpus).
+    # The extracted group is the "a␟b" pair STRING; ordering by it
+    # equals ordering by (a, b) because the separator sorts below
+    # every text character in both engines' binary collation.
+    pair_rx = f"(?={sep}([^{sep}]+{sep}[^{sep}]+){sep})"
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(_BPE_MERGES):
+        top = (
+            cur.select(
+                F.explode(
+                    F.regexp_extract_all(
+                        F.col("s"), F.lit(pair_rx), F.lit(1)
+                    )
+                ).alias("p")
+            )
+            .groupBy("p")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "p")
+            .limit(1)
+            .collect()
+        )
+        a, b = top[0].p.split(sep)
+        merges.append((a, b, int(top[0].n)))
+        pat, rep = sep + a + sep + b + sep, sep + a + b + sep
+        ns = F.col("s")
+        for _ in range(_BPE_PASSES):
+            ns = F.replace(ns, F.lit(pat), F.lit(rep))
+        new = cur.select("source", "t", ns.alias("s")).cache()
+        new.count()  # materialize before releasing the parent
+        cur.unpersist()
+        cur = new
+    return merges, cur
 
 
 @query("text_bpe_encode", oracle=_bpe_oracle())
@@ -248,56 +322,13 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     you learn merges on a sampled subset (the counting rounds are the
     only multi-pass piece) and apply them in one pass.
     """
+    _, cur = _bpe_learn(spark, sf_dir)
     sep = _BPE_SEP
-    docs = table(spark, sf_dir, "documents")
-    base = docs.select(
-        "source",
-        F.lower(F.col("text")).alias("t"),
-        F.concat(
-            F.lit(sep),
-            F.regexp_replace(F.lower(F.col("text")), "(.)", "$1" + sep),
-        ).alias("s"),
-    )
-    cur = base.cache()
 
     def syms_col():
         return F.filter(
             F.split(F.col("s"), sep), lambda x: x != F.lit("")
         )
-
-    # Adjacent symbol pairs via ONE compiled zero-width-lookahead regex
-    # scan per row (the mining_bpe_pairs trick) — a higher-order
-    # element_at(i)/element_at(i+1) formulation re-evaluates the
-    # filter(split(...)) chain per index (interpreted, O(len²) per
-    # row: measured 11 s vs ~0.5 s per round on the sf0.001 corpus).
-    # The extracted group is the "a␟b" pair STRING; ordering by it
-    # equals ordering by (a, b) because the separator sorts below
-    # every text character in both engines' binary collation.
-    pair_rx = f"(?={sep}([^{sep}]+{sep}[^{sep}]+){sep})"
-    for _ in range(_BPE_MERGES):
-        top = (
-            cur.select(
-                F.explode(
-                    F.regexp_extract_all(
-                        F.col("s"), F.lit(pair_rx), F.lit(1)
-                    )
-                ).alias("p")
-            )
-            .groupBy("p")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy(F.desc("n"), "p")
-            .limit(1)
-            .collect()
-        )
-        a, b = top[0].p.split(sep)
-        pat, rep = sep + a + sep + b + sep, sep + a + b + sep
-        ns = F.col("s")
-        for _ in range(_BPE_PASSES):
-            ns = F.replace(ns, F.lit(pat), F.lit(rep))
-        new = cur.select("source", "t", ns.alias("s")).cache()
-        new.count()  # materialize before releasing the parent
-        cur.unpersist()
-        cur = new
 
     out = cur.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -314,6 +345,29 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("compression"),
     ).orderBy("source")
     return final
+
+
+@query("text_bpe_vocab", oracle=_bpe_vocab_oracle())
+def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table itself: rank, the merged pair, the
+    new symbol, and the pair's frequency at merge time — the artifact
+    a tokenizer ships (merges.txt) and the auditable record of WHAT
+    ``text_bpe_encode`` compressed with.
+
+    Same driver loop as the encode query (merges are K rows of driver
+    state, the honest shape for iterative learning); the returned
+    table is built from that state, and the unrolled SQL oracle
+    re-derives every round's arg-max pair independently — a full
+    value-check of the learning trajectory, not just the end state.
+    """
+    merges, cur = _bpe_learn(spark, sf_dir)
+    cur.unpersist()  # vocab doesn't read the final stream
+    rows = [
+        (r + 1, a, b, a + b, n) for r, (a, b, n) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "merge_rank int, a string, b string, merged string, n bigint"
+    ).orderBy("merge_rank")
 
 
 # ---------------------------------------------------------------------------
