@@ -83,6 +83,7 @@ _BNLJ_ALLOWED = {
     "sim_cosine_topk",
     "sim_cosine_topk_ivf",
     "sim_ivf_recall",  # composes the two probe-broadcast retrievals
+    "sim_ivf_nprobe_curve",  # probe broadcast on every sweep leg
     "sim_pq_recall",  # one-row probe-vector broadcast on the exact side
     "sim_matryoshka_eval",  # one-row probe broadcast on both retrieval legs
     "sim_cosine_topk_quantized",
@@ -108,6 +109,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "quality_ks_test",  # distinct-cents census — value-domain-bounded
     "quality_mann_whitney",  # distinct-cents census — value-domain-bounded
     "sim_cosine_topk",  # rank over the k-row TakeOrderedAndProject head
+    "sim_ivf_nprobe_curve",  # k-row post-limit ranks on the brute + ivf legs
     "sim_cosine_topk_quantized",  # rank over the k-row TakeOrderedAndProject head
     "sim_pq_topk",  # rank over the k-row TakeOrderedAndProject head
     "text_bm25_search",  # rank over the k-row TakeOrderedAndProject head

@@ -186,6 +186,12 @@ def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-invariant), so cell selection — and therefore the whole
     pruned result — has a bitwise SQL twin despite being "approximate".
     """
+    return _ivf_topk(spark, sf_dir, nprobe=3)
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """The IVF pipeline parameterized by the number of probed cells —
+    shared by the nprobe=3 query and the recall-vs-nprobe curve."""
     emb = table(spark, sf_dir, "embeddings")
     prep = emb.select("vec_id", "label", _as_double(F.col("embedding")).alias("e"))
 
@@ -206,7 +212,7 @@ def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top_cells = (
         cell_scores.orderBy(F.col("cell_cos").desc(), F.col("cell"))
-        .limit(3)
+        .limit(nprobe)
         .select("cell")
     )
 
@@ -648,6 +654,88 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         (F.col("n_hits").cast("double") / TOP_K).alias("recall_at_k"),
     )
+
+
+_NPROBE_SWEEP = (1, 2, 3, 4)
+
+
+def _ivf_curve_oracle() -> str:
+    """SQL twin of the nprobe sweep: one brute CTE, one centroid-score
+    CTE, then per-setting (cells, ivf, hit-count) chains unioned."""
+    dot_e_e = _SQL_DOT.format(a="e", b="e")
+    parts = []
+    for n in _NPROBE_SWEEP:
+        dot_pe = _SQL_DOT.format(a="p.e", b="pe")
+        dot_pp = _SQL_DOT.format(a="p.e", b="p.e")
+        parts.append(f"""
+    , cells{n} AS (
+      SELECT cell FROM cellscore ORDER BY cell_cos DESC, cell LIMIT {n}
+    ), ivf{n} AS (
+      SELECT p.vec_id
+      FROM prep p JOIN cells{n} t ON p.label = t.cell, probe
+      WHERE p.vec_id <> {PROBE_VEC_ID}
+      ORDER BY {dot_pe} / (sqrt({dot_pp}) * sqrt(p_sq)) DESC, vec_id
+      LIMIT {TOP_K}
+    )""")
+    union = "\n      UNION ALL ".join(
+        f"""SELECT CAST({n} AS INTEGER) AS nprobe,
+             CAST({TOP_K} AS INTEGER) AS k,
+             CAST((SELECT COUNT(*) FROM brute b JOIN ivf{n} i
+                    ON b.vec_id = i.vec_id) AS BIGINT) AS n_hits"""
+        for n in _NPROBE_SWEEP
+    )
+    return f"""
+    WITH {_SQL_PREP}, {_SQL_CENT}, probe AS (
+      SELECT e AS pe, {dot_e_e} AS p_sq FROM prep
+      WHERE vec_id = {PROBE_VEC_ID}
+    ), brute AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               {_SQL_DOT.format(a="e", b="pe")} / (sqrt({dot_e_e}) * sqrt(p_sq))
+                 AS cos_raw
+        FROM prep, probe WHERE vec_id <> {PROBE_VEC_ID}
+      ) ORDER BY cos_raw DESC, vec_id LIMIT {TOP_K}
+    ), cellscore AS (
+      SELECT cell,
+             {_SQL_DOT.format(a="centroid", b="pe")}
+               / (sqrt({_SQL_DOT.format(a="centroid", b="centroid")})
+                  * sqrt({_SQL_DOT.format(a="pe", b="pe")})) AS cell_cos
+      FROM cent, probe
+    ){''.join(parts)}
+    SELECT nprobe, k, n_hits,
+           CAST(n_hits AS DOUBLE) / {TOP_K} AS recall_at_k
+    FROM ({union}) ORDER BY nprobe
+    """
+
+
+@query("sim_ivf_nprobe_curve", oracle=_ivf_curve_oracle())
+def sim_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN tuning curve: recall@k of the IVF index at nprobe =
+    1..4 against the brute-force ground truth — the artifact that
+    picks an operating point on the recall/cost frontier (each probed
+    cell costs ~1/ncells of a full scan), rather than trusting a
+    single setting.
+
+    One brute-force leg + one centroid-scoring pass shared across the
+    sweep; each setting adds only a cell-pruned exact-rescore leg and
+    a 10-row id-set intersection. At 100 TB the sweep runs over a
+    sampled probe set; the per-setting structure is unchanged.
+    """
+    brute = sim_cosine_topk(spark, sf_dir).select(F.col("vec_id").alias("b_id"))
+    out = None
+    for n in _NPROBE_SWEEP:
+        ivf = _ivf_topk(spark, sf_dir, n).select(F.col("vec_id").alias("i_id"))
+        hits = brute.join(ivf, F.col("b_id") == F.col("i_id")).agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        row = hits.select(
+            F.lit(n).alias("nprobe"),
+            F.lit(TOP_K).alias("k"),
+            "n_hits",
+            (F.col("n_hits").cast("double") / TOP_K).alias("recall_at_k"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("nprobe")
 
 
 _SEMANTIC_TAU = 0.3
