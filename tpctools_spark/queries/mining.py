@@ -249,8 +249,10 @@ def _bpe_vocab_oracle() -> str:
 
 def _bpe_learn(spark: SparkSession, sf_dir: str):
     """Run the _BPE_MERGES sequential learn rounds. Returns the merge
-    list [(a, b, pair_count), …] and the final (cached) symbol-stream
-    DataFrame (source, t, s)."""
+    list [(a, b, pair_count), …], the final symbol-stream DataFrame
+    (source, t, s — derived lazily from the cached base), and the
+    cached base itself (so callers that don't consume the stream can
+    release it)."""
     sep = _BPE_SEP
     docs = table(spark, sf_dir, "documents")
     base = docs.select(
@@ -272,6 +274,11 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
     # every text character in both engines' binary collation.
     pair_rx = f"(?={sep}([^{sep}]+{sep}[^{sep}]+){sep})"
     merges: list[tuple[str, str, int]] = []
+    # Each round extends the stream expression with _BPE_PASSES more
+    # replace calls over the CACHED base — merge application is cheap
+    # row-local string work, so re-deriving the round-r stream from
+    # base (r·PASSES replaces) beats materializing a cache per round
+    # (one job per round instead of two; ~2x faster loop).
     for _ in range(_BPE_MERGES):
         top = (
             cur.select(
@@ -293,11 +300,8 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
         ns = F.col("s")
         for _ in range(_BPE_PASSES):
             ns = F.replace(ns, F.lit(pat), F.lit(rep))
-        new = cur.select("source", "t", ns.alias("s")).cache()
-        new.count()  # materialize before releasing the parent
-        cur.unpersist()
-        cur = new
-    return merges, cur
+        cur = cur.select("source", "t", ns.alias("s"))
+    return merges, cur, base
 
 
 @query("text_bpe_encode", oracle=_bpe_oracle())
@@ -322,7 +326,7 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     you learn merges on a sampled subset (the counting rounds are the
     only multi-pass piece) and apply them in one pass.
     """
-    _, cur = _bpe_learn(spark, sf_dir)
+    _, cur, _base = _bpe_learn(spark, sf_dir)
     sep = _BPE_SEP
 
     def syms_col():
@@ -360,8 +364,8 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives every round's arg-max pair independently — a full
     value-check of the learning trajectory, not just the end state.
     """
-    merges, cur = _bpe_learn(spark, sf_dir)
-    cur.unpersist()  # vocab doesn't read the final stream
+    merges, _cur, base = _bpe_learn(spark, sf_dir)
+    base.unpersist()  # vocab doesn't read the final stream
     rows = [
         (r + 1, a, b, a + b, n) for r, (a, b, n) in enumerate(merges)
     ]
