@@ -486,6 +486,84 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["tpcds_sf1_suite"] = f"{type(exc).__name__}: {exc}"[:200]
 
+    # Full TPC-H 22 at sf1 — the symmetric anchor. 14 fixture-form
+    # queries (incl. Q1=agg_group_sum, Q6=filter_pred) run over the
+    # materialized generator tables in fixture layout; the 8 spec-form
+    # queries over the generator's own layout via TPCTOOLS_TPCH_DIR.
+    # Same warm-on-tiny protocol and its own soft budget.
+    tpch_sf1: dict[str, float] = {}
+    _TPCH_FIXTURE_FORM = [
+        "agg_group_sum", "filter_pred",
+        "tpch_q3_shipping_priority", "tpch_q4_order_priority",
+        "tpch_q5_local_supplier", "tpch_q7_volume_shipping",
+        "tpch_q8_market_share", "tpch_q10_returned_items",
+        "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+        "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
+        "tpch_q18_large_volume_customer",
+        "tpch_q22_global_sales_opportunity",
+    ]
+    _TPCH_GEN_FORM = [
+        "tpch_q2_min_cost_supplier", "tpch_q9_product_profit",
+        "tpch_q11_important_stock", "tpch_q12_shipmode_priority",
+        "tpch_q16_supplier_part_count", "tpch_q19_discounted_revenue",
+        "tpch_q20_potential_promotion", "tpch_q21_suppliers_kept_waiting",
+    ]
+    _TPCH_ALL_TABLES = (
+        "region", "nation", "supplier", "customer",
+        "part", "partsupp", "orders", "lineitem",
+    )
+    try:
+        for t in _TPCH_ALL_TABLES:  # fixture-layout materialization
+            p = os.path.join(sf1_dir, f"{t}.parquet")
+            if not os.path.exists(os.path.join(p, "_SUCCESS")):
+                build_table(spark, t, 1.0, 32).write.mode(
+                    "overwrite"
+                ).parquet(p)
+        tpch_gen_dir = os.path.join(sf1_dir, "tpch_gen")
+        marker = os.path.join(tpch_gen_dir, "_ALL_TABLES_OK")
+        if not os.path.exists(marker):
+            for t in _TPCH_ALL_TABLES:  # generator-layout materialization
+                build_table(spark, t, 1.0, 32).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(tpch_gen_dir, t))
+            with open(marker, "w") as f:
+                f.write("ok\n")
+        budget_s = float(
+            os.environ.get("SPARK_GRAFT_TPCH_SF1_BUDGET", "300")
+        )
+        suite_t0 = time.perf_counter()
+        skipped_for_budget = 0
+        try:
+            for name in _TPCH_FIXTURE_FORM + _TPCH_GEN_FORM:
+                if time.perf_counter() - suite_t0 > budget_s:
+                    skipped_for_budget += 1
+                    continue
+                try:
+                    os.environ.pop("TPCTOOLS_TPCH_DIR", None)
+                    # warm pass on the small default tables
+                    qs[name](spark, SF_DIR).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    if name in _TPCH_GEN_FORM:
+                        os.environ["TPCTOOLS_TPCH_DIR"] = tpch_gen_dir
+                    t0 = time.perf_counter()
+                    qs[name](spark, sf1_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    tpch_sf1[name] = round(time.perf_counter() - t0, 3)
+                except Exception as exc:  # noqa: BLE001
+                    errors[f"sf1_{name}"] = f"{type(exc).__name__}: {exc}"[:200]
+        finally:
+            os.environ.pop("TPCTOOLS_TPCH_DIR", None)
+        if skipped_for_budget:
+            errors["tpch_sf1_budget"] = (
+                f"budget {budget_s:.0f}s hit: {skipped_for_budget} of 22 "
+                "shapes not timed this run"
+            )
+        timings["tpch_sf1_suite"] = round(sum(tpch_sf1.values()), 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["tpch_sf1_suite"] = f"{type(exc).__name__}: {exc}"[:200]
+
     sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
     try:
         sf_val: float | str = float(sf)
@@ -500,6 +578,7 @@ def main() -> None:
         "cold_queries": cold,
         "gen_throughput": gen_stats,
         "tpcds_sf1_queries": tpcds_sf1,
+        "tpch_sf1_queries": tpch_sf1,
         "errors": errors,
         "sf": sf_val,
     }
@@ -521,6 +600,8 @@ def main() -> None:
         "sf": sf_val,
         "detail": "bench_out.json",
     }
+    if tpch_sf1:
+        compact["tpch_sf1_suite"] = timings.get("tpch_sf1_suite")
     if tpcds_sf1:
         compact["tpcds_sf1_suite"] = timings.get("tpcds_sf1_suite")
         compact["tpcds_sf1_slowest"] = {

@@ -68,6 +68,13 @@ def _materialize(spark: SparkSession) -> None:
 
 
 def _t(spark: SparkSession, name: str) -> DataFrame:
+    # Scale hook: when TPCTOOLS_TPCH_DIR points at a pre-materialized
+    # table directory (bench.py's sf1 suite), read it instead of the
+    # default sf0.01 scratch materialization. Query logic is
+    # scale-blind either way.
+    override = os.environ.get("TPCTOOLS_TPCH_DIR")
+    if override:
+        return spark.read.parquet(os.path.join(override, name))
     _materialize(spark)
     return spark.read.parquet(os.path.join(_GEN_DIR, name))
 
