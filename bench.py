@@ -311,6 +311,40 @@ def main() -> None:
     sf1_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".scratch", "bench_sf1"
     )
+
+    # Conversion throughput — the reference's other measured metric
+    # (printed per file, never published: src/lib.rs:174, 214): typed
+    # pipe-CSV lineitem at the bench SF → snappy parquet, end-to-end
+    # through convert_table. Reported as rows/s alongside generation.
+    try:
+        import shutil
+
+        from tpctools_spark.convert import convert_table
+
+        li_df = build_table(spark, "lineitem", sf_num, 32)
+        tbl_path = os.path.join(sf1_dir, f"lineitem_tbl_sf{sf_num}")
+        if not os.path.exists(os.path.join(tbl_path, "_SUCCESS")):
+            li_df.write.mode("overwrite").option("delimiter", "|").option(
+                "header", "false"
+            ).csv(tbl_path)
+        n_li = li_df.count()
+
+        def _convert_once() -> None:
+            out = os.path.join(sf1_dir, "lineitem_conv_tmp")
+            shutil.rmtree(out, ignore_errors=True)
+            convert_table(
+                spark, tbl_path, li_df.schema, out, file_ext=".csv"
+            )
+            shutil.rmtree(out, ignore_errors=True)
+
+        _convert_once()  # warm: codegen + committer setup
+        t0 = time.perf_counter()
+        _convert_once()
+        gen_stats["convert_lineitem_rows_per_s"] = round(
+            n_li / (time.perf_counter() - t0)
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["convert_throughput"] = f"{type(exc).__name__}: {exc}"[:200]
     li_path = os.path.join(sf1_dir, "lineitem.parquet")
     try:
         if not os.path.exists(os.path.join(li_path, "_SUCCESS")):
