@@ -87,3 +87,37 @@ def test_split_hash_spark_agrees(spark):
         ).collect()
     }
     assert got == {i: (i * 2654435761) % 100 for i in ids}
+
+
+def test_bpe_encode_invariants(spark):
+    """Merging can only shrink the token stream: tokens <= chars,
+    compression >= 1, and totals are consistent per source."""
+    from tpctools_spark.registry import spark_queries
+
+    rows = spark_queries()["text_bpe_encode"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.total_tokens <= r.total_chars
+        assert r.compression >= 1.0
+        assert r.n_docs > 0
+
+
+def test_fixture_schemas_identical_across_sfs(spark):
+    """Schema drift guard: every fixture table must present the same
+    schema through catalog.table at every driver scale factor."""
+    from tpctools_spark.catalog import table
+
+    tables = [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]
+    sfs = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    for t in tables:
+        schemas = {
+            sf: [(f.name, f.dataType.simpleString()) for f in table(spark, sf, t).schema.fields]
+            for sf in sfs
+        }
+        vals = list(schemas.values())
+        assert vals[0] == vals[1], (t, schemas)
