@@ -33,3 +33,49 @@ def test_dsum_is_partition_order_invariant(spark):
         for p in (1, 3, 17)
     }
     assert len(results) == 1
+
+
+def test_trunc_digits_bitwise_matches_duckdb(spark):
+    """The cross-engine float contract the whole oracle program leans
+    on: floor(x*10^k)/10^k must produce BIT-IDENTICAL doubles in Spark
+    and DuckDB, including adversarial near-halfway and denormal-ish
+    values. 600 values, one job per engine."""
+    import random
+    import struct
+
+    import duckdb
+
+    from tpctools_spark.queries._util import sql_trunc_digits, trunc_digits
+    from pyspark.sql import functions as F
+
+    rng = random.Random(42)
+    vals = []
+    # near decimal halfway points at several magnitudes
+    for mag in (1e-3, 1.0, 1e3, 1e6):
+        for base in (0.00005, 0.123456789, 0.999999999):
+            for eps in (-1e-12, 0.0, 1e-12):
+                vals.append((base + eps) * mag)
+                vals.append(-(base + eps) * mag)
+    vals += [rng.uniform(-1e9, 1e9) for _ in range(500)]
+    vals += [0.0, -0.0, 1e-300, -1e-300]
+
+    for k in (2, 4, 6):
+        got = (
+            spark.createDataFrame([(v,) for v in vals], "x double")
+            .select(trunc_digits(F.col("x"), k).alias("t"))
+            .collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE vals (i INTEGER, x DOUBLE)")
+        con.executemany(
+            "INSERT INTO vals VALUES (?, ?)", list(enumerate(vals))
+        )
+        want = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {sql_trunc_digits('x', k)} FROM vals ORDER BY i"
+            ).fetchall()
+        ]
+        g = sorted(struct.pack("<d", r.t) for r in got)
+        w = sorted(struct.pack("<d", v) for v in want)
+        assert g == w, f"k={k}: bit mismatch"

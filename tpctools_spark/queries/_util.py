@@ -64,8 +64,13 @@ def trunc_digits(c: Column, k: int) -> Column:
 
 
 def sql_trunc_digits(expr: str, k: int) -> str:
+    # The leading `0.0 +` normalizes IEEE negative zero: Spark's floor
+    # returns BIGINT (so −0.0 → 0 → +0.0) while DuckDB's floor keeps
+    # DOUBLE −0.0 — the one bit pattern where the engines' results
+    # diverge (pinned in tests/test_util.py). 0.0 + x is an exact
+    # identity for every other double.
     scale = 10**k
-    return f"(CAST(floor(({expr}) * {scale}) AS DOUBLE) / {scale})"
+    return f"(0.0 + CAST(floor(({expr}) * {scale}) AS DOUBLE) / {scale})"
 
 
 # DuckDB-side twins (string templates for oracle SQL).
