@@ -58,6 +58,12 @@ def trunc_digits(c: Column, k: int) -> Column:
     in both, so truncation is the cross-engine-safe way to emit
     fractional results of divisions/cosines. Use ROUND only on values
     that are exact decimals by construction (decimal sums cast back).
+
+    Domain: |x|·10^k must stay under 2^63 (Spark's floor returns
+    BIGINT) — fine for the ratios/cosines/averages this is used on;
+    large absolute money totals go through ``dsum`` instead.
+    Bit-equality against the DuckDB twin (including the −0.0
+    normalization) is pinned in ``tests/test_util.py``.
     """
     scale = 10**k
     return F.floor(c * scale).cast("double") / scale
