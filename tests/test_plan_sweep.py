@@ -1,6 +1,6 @@
 """Blanket physical-plan sweep over the WHOLE registry.
 
-Three invariants that must hold for every registered query, forever:
+Four invariants that must hold for every registered query, forever:
 
 1. No ``CartesianProduct`` anywhere — an unkeyed join of two
    multi-row relations is never acceptable at scale.
@@ -16,6 +16,16 @@ Three invariants that must hold for every registered query, forever:
    and documented value-check forms. Anything data-sized must use
    ``tpctools_spark.queries._util.global_rank`` (two-pass
    range-partitioned rank) or an ``orderBy().limit(k)`` head-cap.
+4. No BROADCAST hint whose build subtree is a bare scan (only
+   Project/Filter/SubqueryAlias above it) of a table whose cardinality
+   scales with the scale factor (``customer`` / ``customer_address``:
+   100k×sf and 50k×sf rows in this generator, 12 M / 6 M at spec
+   sf1000). An explicit hint overrides AQE's size check, so at large
+   sf the plan ships gigabytes to every executor and OOMs the driver.
+   Subtrees containing an Aggregate/Limit are exempt here (their
+   output cardinality is shape-dependent, judged at review time);
+   bare scans of these tables must stay unhinted so AQE decides
+   broadcast-vs-shuffle from actual runtime sizes.
 
 Planning-only (no jobs run): executedPlan().toString() forces physical
 planning but not execution, so the sweep covers ~260 queries in about
@@ -120,6 +130,68 @@ _GLOBAL_WINDOW_ALLOWED = {
 
 _ORDER_SUFFIX = re.compile(r"\b(ASC|DESC) NULLS (FIRST|LAST)$")
 
+# Invariant 4: tables whose row count scales with sf (this generator:
+# customer = 100k×sf, customer_address = 50k×sf; TPC-DS spec sf1000:
+# 12 M / 6 M). Detected in Relation lines by their signature leading
+# column. item/store/date_dim etc. are fixed or spec-sublinear-bounded
+# (item caps at 502k rows at sf100k) — broadcastable by policy.
+_SF_SCALING_SIGNATURES = {
+    "customer": "c_customer_sk#",
+    "customer_address": "ca_address_sk#",
+}
+
+# Node names that cannot change the cardinality class of their input:
+# a hint subtree made only of these over an sf-scaling scan broadcasts
+# a relation that grows linearly with the data. Aggregate / limits /
+# joins change cardinality in shape-dependent ways and are judged at
+# review time, not by this sweep.
+_CARDINALITY_PRESERVING = {
+    "Project",
+    "Filter",
+    "SubqueryAlias",
+    "View",
+    "Relation",
+    "LogicalRelation",
+}
+
+
+def _line_depth(line: str) -> int:
+    """Depth of a node line in a Catalyst ``treeString``: the tree
+    prints 3-char rails (``:  `` / ``   ``) then ``+- `` or ``:- ``;
+    the root has no marker."""
+    for marker in ("+- ", ":- "):
+        i = line.find(marker)
+        if i >= 0:
+            return i // 3 + 1
+    return 0
+
+
+def broadcast_hints_over_scaling_scans(analyzed: str) -> list[str]:
+    """Names of sf-scaling tables that appear under a broadcast
+    ``ResolvedHint`` with only cardinality-preserving nodes between the
+    hint and the scan."""
+    lines = analyzed.splitlines()
+    offenders: list[str] = []
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line or "broadcast" not in line.lower():
+            continue
+        hint_depth = _line_depth(line)
+        bare = True
+        hit = None
+        for sub in lines[i + 1 :]:
+            d = _line_depth(sub)
+            if d <= hint_depth:
+                break
+            node = sub[sub.find("- ") + 2 :].split(" ", 1)[0].split("[", 1)[0]
+            if node not in _CARDINALITY_PRESERVING:
+                bare = False
+            for tbl, sig in _SF_SCALING_SIGNATURES.items():
+                if node in ("Relation", "LogicalRelation") and sig in sub:
+                    hit = tbl
+        if bare and hit:
+            offenders.append(hit)
+    return offenders
+
 
 def unpartitioned_window_specs(plan: str) -> list[str]:
     """First arguments of every ``windowspecdefinition(...)`` in *plan*
@@ -187,6 +259,14 @@ def test_no_cartesian_bnlj_and_global_windows_allowlisted(spark, name):
             "single-partition at scale. Use _util.global_rank / "
             "orderBy().limit(k), or allowlist with a boundedness justification"
         )
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    offenders = broadcast_hints_over_scaling_scans(analyzed)
+    assert not offenders, (
+        f"{name}: explicit broadcast hint over bare scan of sf-scaling "
+        f"table(s) {sorted(set(offenders))} — overrides AQE's size check "
+        "and ships an sf-proportional relation to every executor at "
+        "scale. Drop the hint and let AQE decide."
+    )
 
 
 def test_sweep_detects_planted_global_window(spark):
@@ -208,4 +288,40 @@ def test_sweep_detects_planted_global_window(spark):
     plan = ok._jdf.queryExecution().executedPlan().toString()
     assert not unpartitioned_window_specs(plan), (
         "partitioned window falsely flagged"
+    )
+
+
+def test_sweep_detects_planted_scaling_broadcast(spark):
+    """Invariant-4 detector: a planted broadcast hint on a bare
+    customer scan is caught; an unhinted join, a hint on a fixed-size
+    table, and a hint over an Aggregate are not."""
+    from pyspark.sql import functions as F
+
+    from tpctools_spark.queries.tpcds_demo import _t
+
+    cust = _t(spark, "customer").select("c_customer_sk", "c_birth_year")
+    dd = _t(spark, "date_dim").select("d_date_sk")
+
+    planted = cust.join(F.broadcast(cust.alias("b")), "c_customer_sk")
+    analyzed = planted._jdf.queryExecution().analyzed().toString()
+    assert broadcast_hints_over_scaling_scans(analyzed) == ["customer"], (
+        "planted customer broadcast hint missed"
+    )
+
+    unhinted = cust.join(cust.alias("b"), "c_customer_sk")
+    analyzed = unhinted._jdf.queryExecution().analyzed().toString()
+    assert not broadcast_hints_over_scaling_scans(analyzed)
+
+    fixed_ok = cust.crossJoin(F.broadcast(dd.limit(1)))
+    analyzed = fixed_ok._jdf.queryExecution().analyzed().toString()
+    assert not broadcast_hints_over_scaling_scans(analyzed), (
+        "fixed-size date_dim hint falsely flagged"
+    )
+
+    agg_ok = cust.crossJoin(
+        F.broadcast(cust.agg(F.max("c_birth_year").alias("mx")))
+    )
+    analyzed = agg_ok._jdf.queryExecution().analyzed().toString()
+    assert not broadcast_hints_over_scaling_scans(analyzed), (
+        "aggregate-bounded subtree falsely flagged"
     )

@@ -295,9 +295,11 @@ def tpcds_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     or select-state buyers in one quarter.
 
     The disjunctive residual (zip prefix OR state OR price) cannot prune
-    at any single scan, so it evaluates post-join; the customer→address
-    chain stays broadcast while the fact shuffles once for the zip
-    grouping.
+    at any single scan, so it evaluates post-join. The customer→address
+    chain is deliberately UNHINTED — both tables scale with sf (100k×sf
+    / 50k×sf here, 12 M / 6 M at spec sf1000), so AQE picks
+    broadcast-vs-shuffle from runtime sizes; the fact shuffles once for
+    the zip grouping.
     """
     cs = _t(spark, "catalog_sales")
     c = _t(spark, "customer").select("c_customer_sk", "c_current_addr_sk")
@@ -314,8 +316,8 @@ def tpcds_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cs.join(dd, cs.cs_sold_date_sk == dd.d_date_sk)
-        .join(F.broadcast(c), cs.cs_bill_customer_sk == c.c_customer_sk)
-        .join(F.broadcast(ca), c.c_current_addr_sk == ca.ca_address_sk)
+        .join(c, cs.cs_bill_customer_sk == c.c_customer_sk)
+        .join(ca, c.c_current_addr_sk == ca.ca_address_sk)
         .filter(keep)
         .groupBy("ca_zip")
         .agg(F.round(F.sum("cs_sales_price").cast("double"), 2).alias("sum_sales"))
@@ -513,7 +515,7 @@ def tpcds_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("sr_store_sk")
     st = F.broadcast(_t(spark, "store").select("s_store_sk"))
-    c = F.broadcast(
+    c = (
         _t(spark, "customer").select("c_customer_sk", "c_customer_id")
     )
     return (
@@ -1237,8 +1239,8 @@ def tpcds_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("i_manager_id") <= 500)
         .select("i_item_sk", "i_brand_id", "i_brand", "i_manufact_id", "i_manufact")
     )
-    c = F.broadcast(_t(spark, "customer").select("c_customer_sk", "c_current_addr_sk"))
-    ca = F.broadcast(_t(spark, "customer_address").select("ca_address_sk", "ca_zip"))
+    c = _t(spark, "customer").select("c_customer_sk", "c_current_addr_sk")
+    ca = _t(spark, "customer_address").select("ca_address_sk", "ca_zip")
     st = F.broadcast(_t(spark, "store").select("s_store_sk", "s_zip"))
     return (
         ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
@@ -1469,14 +1471,14 @@ def tpcds_q68(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents("ss_ext_tax").alias("exttax_cents"),
         )
     )
-    c = F.broadcast(
+    c = (
         _t(spark, "customer").select(
             "c_customer_sk", "c_current_addr_sk", "c_first_name", "c_last_name"
         )
     )
     ca = _t(spark, "customer_address").select("ca_address_sk", "ca_city")
-    bought = F.broadcast(ca).alias("bought")
-    current = F.broadcast(ca).alias("current")
+    bought = ca.alias("bought")
+    current = ca.alias("current")
     dollars = lambda c_: F.round(F.col(c_).cast("double") / 100, 2)  # noqa: E731
     return (
         tickets.join(c, F.col("ss_customer_sk") == c.c_customer_sk)

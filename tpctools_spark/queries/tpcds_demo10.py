@@ -94,7 +94,7 @@ def tpcds_q54(spark: SparkSession, sf_dir: str) -> DataFrame:
     ss = _t(spark, "store_sales")
     revenue = (
         ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
-        .join(F.broadcast(targets), ss.ss_customer_sk == targets.cust, "left_semi")
+        .join(targets, ss.ss_customer_sk == targets.cust, "left_semi")
         .groupBy("ss_customer_sk")
         .agg(
             F.sum((F.col("ss_ext_sales_price") * 100).cast("bigint")).alias("cents")
@@ -154,7 +154,7 @@ def tpcds_q64(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction). The CTE materializes once and feeds both sides of
     the self-join.
     """
-    cust = F.broadcast(_t(spark, "customer").select("c_customer_sk"))
+    cust = _t(spark, "customer").select("c_customer_sk")
     it = F.broadcast(_t(spark, "item").select("i_item_sk", "i_item_id"))
     dd = F.broadcast(
         _t(spark, "date_dim")

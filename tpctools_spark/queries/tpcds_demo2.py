@@ -80,8 +80,8 @@ def tpcds_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
         .join(F.broadcast(pricey), ss.ss_item_sk == pricey.i_item_sk)
-        .join(F.broadcast(cust), ss.ss_customer_sk == cust.c_customer_sk)
-        .join(F.broadcast(addr), cust.c_current_addr_sk == addr.ca_address_sk)
+        .join(cust, ss.ss_customer_sk == cust.c_customer_sk)
+        .join(addr, cust.c_current_addr_sk == addr.ca_address_sk)
         .groupBy(F.col("ca_state").alias("state"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= 2)
@@ -233,7 +233,7 @@ def tpcds_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     hd = F.broadcast(
         _t(spark, "household_demographics").select("hd_demo_sk", "hd_dep_count")
     )
-    ca = F.broadcast(
+    ca = (
         _t(spark, "customer_address").select("ca_address_sk", "ca_state", "ca_country")
     )
     price = F.col("ss_sales_price")
@@ -685,7 +685,8 @@ def tpcds_q94(spark: SparkSession, sf_dir: str) -> DataFrame:
     order number with an inequality residual, plus an anti join against
     returns. Both subqueries reduce to order-number-keyed joins, so at
     100 TB they shuffle on the same key as the main aggregation (AQE
-    coalesces the exchanges); date/address dims broadcast.
+    coalesces the exchanges); date_dim broadcasts, and the sf-scaling
+    address table stays unhinted so AQE sizes the join at runtime.
     """
     ws = _t(spark, "web_sales")
     dd = F.broadcast(
@@ -693,7 +694,7 @@ def tpcds_q94(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d_date").between("2000-02-01", "2000-07-31"))
         .select("d_date_sk")
     )
-    ca = F.broadcast(
+    ca = (
         _t(spark, "customer_address")
         .filter(
             F.col("ca_state").isin(

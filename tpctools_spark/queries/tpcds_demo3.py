@@ -102,7 +102,7 @@ def tpcds_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     w2 = ws.filter(F.col("d_year") == 2001).select(
         F.col("cust").alias("c4"), F.col("total_cents").alias("web_y2")
     )
-    cust = F.broadcast(_t(spark, "customer").select("c_customer_sk", "c_customer_id"))
+    cust = _t(spark, "customer").select("c_customer_sk", "c_customer_id")
     return (
         cust.join(s1, cust.c_customer_sk == s1.c1)
         .join(s2, cust.c_customer_sk == s2.c2)
@@ -173,7 +173,7 @@ def tpcds_q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d_year").isin(2000, 2001))
         .select("d_date_sk", "d_year")
     )
-    ca = F.broadcast(
+    ca = (
         _t(spark, "customer_address").select("ca_address_sk", "ca_county")
     )
 
@@ -289,7 +289,7 @@ def tpcds_q35(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ss_c, F.col("c_customer_sk") == ss_c.k, "left_semi")
         .join(remote, F.col("c_customer_sk") == remote.k, "left_semi")
     )
-    ca = F.broadcast(
+    ca = (
         _t(spark, "customer_address").select("ca_address_sk", "ca_state")
     )
     cd = F.broadcast(

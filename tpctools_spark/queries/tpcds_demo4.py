@@ -851,7 +851,7 @@ def tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             fact.join(dd_m, F.col(date_col) == dd_m.d_date_sk)
             .join(F.broadcast(freq), F.col(item_col) == freq.i_item_sk, "left_semi")
-            .join(F.broadcast(best), F.col(cust_col) == best.cust, "left_semi")
+            .join(best, F.col(cust_col) == best.cust, "left_semi")
             .select(
                 F.lit(src).alias("src"),
                 (F.col(q) * F.col(p) * 100).cast("bigint").alias("cents"),

@@ -89,8 +89,9 @@ def tpcds_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     1998-2000 vs 2001-2003 (single years leave the web leg too sparse
     at the materialized scale), and the formula's ~zero-mean uniforms
     make the >0 gates live rather than vacuous. All six legs shuffle
-    on the same customer key — AQE co-partitions the self-joins; only
-    the customer dim broadcasts.
+    on the same customer key — AQE co-partitions the self-joins; the
+    sf-scaling customer dim is unhinted (AQE decides), date_dim
+    broadcasts.
     """
     dd = F.broadcast(
         _t(spark, "date_dim").select(
@@ -130,7 +131,7 @@ def tpcds_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cust").alias(f"k_{out}"), F.col("cents").alias(out)
         )
 
-    cust = F.broadcast(_t(spark, "customer").select("c_customer_sk", "c_customer_id"))
+    cust = _t(spark, "customer").select("c_customer_sk", "c_customer_id")
     j = (
         cust.join(leg(ss, 1, "store_y1"), cust.c_customer_sk == F.col("k_store_y1"))
         .join(leg(ss, 2, "store_y2"), cust.c_customer_sk == F.col("k_store_y2"))
@@ -167,7 +168,7 @@ def _channel_customers(spark: SparkSession, fact: str, cust: str, date: str) -> 
         .filter(F.col("d_month_seq").between(_MSEQ_LO, _MSEQ_HI))
         .select("d_date_sk", "d_date")
     )
-    c = F.broadcast(
+    c = (
         _t(spark, "customer").select("c_customer_sk", "c_last_name", "c_first_name")
     )
     f_ = _t(spark, fact)
@@ -505,7 +506,7 @@ def _basket(spark: SparkSession, bp: list[str], ratio: bool,
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         .filter(F.col("cnt").between(lo, hi))
     )
-    cust = F.broadcast(
+    cust = (
         _t(spark, "customer").select("c_customer_sk", "c_last_name", "c_first_name")
     )
     return baskets.join(cust, baskets.ss_customer_sk == cust.c_customer_sk).select(

@@ -139,10 +139,10 @@ def tpcds_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cd_gender") == "F")
         .select("cd_demo_sk", "cd_gender", "cd_marital_status", "cd_dep_count")
     )
-    cust = F.broadcast(
+    cust = (
         _t(spark, "customer").select("c_customer_sk", "c_current_addr_sk")
     )
-    ca = F.broadcast(_t(spark, "customer_address").select("ca_address_sk", "ca_state"))
+    ca = _t(spark, "customer_address").select("ca_address_sk", "ca_state")
     dd = F.broadcast(
         _t(spark, "date_dim").filter(F.col("d_year") == 2001).select("d_date_sk")
     )
@@ -242,12 +242,12 @@ def _returns_above_state_avg_sql(rfact: str, pfx: str, cust_col: str) -> str:
 def _returns_above_state_avg(
     spark: SparkSession, rfact: str, pfx: str, cust_col: str
 ) -> DataFrame:
-    cust = F.broadcast(
+    cust = (
         _t(spark, "customer").select(
             "c_customer_sk", "c_customer_id", "c_current_addr_sk"
         )
     )
-    ca = F.broadcast(_t(spark, "customer_address").select("ca_address_sk", "ca_state"))
+    ca = _t(spark, "customer_address").select("ca_address_sk", "ca_state")
     dd = F.broadcast(
         _t(spark, "date_dim").filter(F.col("d_year") == 2001).select("d_date_sk")
     )
@@ -269,7 +269,7 @@ def _returns_above_state_avg(
         F.sum("ret_cents").over(w).alias("state_cents"),
         F.count(F.lit(1)).over(w).alias("state_n"),
     ).filter(F.col("ret_cents") * F.col("state_n") * 10 > F.col("state_cents") * 12)
-    names = F.broadcast(_t(spark, "customer").select("c_customer_sk", "c_customer_id"))
+    names = _t(spark, "customer").select("c_customer_sk", "c_customer_id")
     return gated.join(names, gated.cust == names.c_customer_sk).select(
         "c_customer_id", "ca_state", "ret_cents"
     )
@@ -525,10 +525,10 @@ def tpcds_q45(spark: SparkSession, sf_dir: str) -> DataFrame:
     a literal IN (the spec's subquery is a fixed tiny list). Geography
     rollup follows on the gated stream.
     """
-    cust = F.broadcast(
+    cust = (
         _t(spark, "customer").select("c_customer_sk", "c_current_addr_sk")
     )
-    ca = F.broadcast(
+    ca = (
         _t(spark, "customer_address").select("ca_address_sk", "ca_zip", "ca_city")
     )
     it = F.broadcast(_t(spark, "item").select("i_item_sk"))
@@ -596,7 +596,7 @@ def tpcds_q46(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("hd_dep_count") == 4) | (F.col("hd_vehicle_count") == 3))
         .select("hd_demo_sk")
     )
-    ca = F.broadcast(_t(spark, "customer_address").select("ca_address_sk", "ca_city"))
+    ca = _t(spark, "customer_address").select("ca_address_sk", "ca_city")
     dd = F.broadcast(
         _t(spark, "date_dim").filter(F.col("d_year") == 2001).select("d_date_sk")
     )
@@ -617,12 +617,12 @@ def tpcds_q46(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    cust = F.broadcast(
+    cust = (
         _t(spark, "customer").select(
             "c_customer_sk", "c_customer_id", "c_current_addr_sk"
         )
     )
-    home = F.broadcast(
+    home = (
         _t(spark, "customer_address").select(
             F.col("ca_address_sk").alias("home_sk"), F.col("ca_city").alias("home_city")
         )

@@ -50,8 +50,8 @@ def tpcds_q48(spark: SparkSession, sf_dir: str) -> DataFrame:
     Q13's sibling: the disjunction couples a broadcast-dim attribute
     (marital × education) with a fact measure band (sales price), so
     the residual evaluates after the cd broadcast join; the state list
-    gates via the address broadcast. One fact scan, zero shuffles
-    before the single-row aggregate. Price bands widened to the
+    gates via the (unhinted, AQE-sized) address join. One fact scan
+    feeding the single-row aggregate. Price bands widened to the
     generator's uniform [0, 10000) price domain (spec's are
     dollars-tens; documented).
     """
@@ -60,7 +60,7 @@ def tpcds_q48(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cd_demo_sk", "cd_marital_status", "cd_education_status"
         )
     )
-    ca = F.broadcast(
+    ca = (
         _t(spark, "customer_address")
         .filter(F.col("ca_state").isin("CA", "TX", "NY", "FL", "OH", "IL"))
         .select("ca_address_sk")
@@ -787,7 +787,7 @@ def tpcds_q74(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cust").alias(f"k_{out}"), F.col("qty").alias(out)
         )
 
-    cust = F.broadcast(_t(spark, "customer").select("c_customer_sk", "c_customer_id"))
+    cust = _t(spark, "customer").select("c_customer_sk", "c_customer_id")
     j = (
         cust.join(leg(ss, 1, "store_y1"), cust.c_customer_sk == F.col("k_store_y1"))
         .join(leg(ss, 2, "store_y2"), cust.c_customer_sk == F.col("k_store_y2"))

@@ -53,7 +53,7 @@ def tpcds_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast semi join against the store dim, which then gates the
     fact scan — the two-level derived-dim-gates-fact shape.
     """
-    ca = F.broadcast(_t(spark, "customer_address").select("ca_address_sk", "ca_zip"))
+    ca = _t(spark, "customer_address").select("ca_address_sk", "ca_zip")
     pref = (
         _t(spark, "customer")
         .filter(F.col("c_preferred_cust_flag") == "Y")
@@ -119,7 +119,7 @@ def tpcds_q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition.  Catalyst reuses the grouped exchange between the two
     branches (``ReusedExchange``), so the cell table is shuffled once.
     """
-    cust = F.broadcast(
+    cust = (
         _t(spark, "customer").select("c_customer_sk", "c_last_name", "c_first_name")
     )
     it = F.broadcast(_t(spark, "item").select("i_item_sk", "i_color"))
@@ -398,7 +398,7 @@ def tpcds_q79(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("ss_net_profit") * 100).cast("bigint")).alias("profit"),
         )
     )
-    cust = F.broadcast(
+    cust = (
         _t(spark, "customer").select("c_customer_sk", "c_last_name", "c_first_name")
     )
     return (
@@ -502,15 +502,15 @@ def tpcds_q84(spark: SparkSession, sf_dir: str) -> DataFrame:
     demographic chain (address → cdemo → hdemo → income band) matched
     to their store returns.
 
-    The five-dim resolution chain is all broadcast joins; the only
-    fact is store_returns. The spec links returns by shared
+    The fixed-size demographic dims broadcast; the sf-scaling address
+    table is unhinted (AQE decides); the only fact is store_returns. The spec links returns by shared
     demographic row (sr_cdemo_sk) — dead against the fixed 1.92M-row
     demographics table at the materialized scale, so the linkage is
     the customer key instead (documented; same star shape). Spec gates on city and
     an income window; the generator's city strings come from the word
     pool, so the gate is the location-type disjunction (documented).
     """
-    ca = F.broadcast(
+    ca = (
         _t(spark, "customer_address")
         .filter(
             (F.col("ca_city") == "apartment")
@@ -615,7 +615,7 @@ def tpcds_q91(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims resolved through the customer row, buy-potential gated at
     the broadcast)."""
     cc = F.broadcast(_t(spark, "call_center").select("cc_call_center_sk", "cc_name"))
-    cust = F.broadcast(
+    cust = (
         _t(spark, "customer").select(
             "c_customer_sk", "c_current_cdemo_sk", "c_current_hdemo_sk"
         )
