@@ -72,6 +72,48 @@ def test_tpcds_sf1_anchor_matches_spec(name):
         assert rows_for(name, 0.01) == want, f"{name} must not scale"
 
 
+# TPC-DS spec Table 3-2 at the sf10 / sf100 / sf1000 discrete scale
+# points — the sublinear dimensions. Hard-coded independently of
+# generate_tpcds.SPEC_SUBLINEAR_ROWS so both tables must agree with
+# the published spec, not merely with each other.
+_TPCDS_SUBLINEAR_ANCHORS = {
+    # name: {sf: rows}
+    "customer": {10: 500_000, 100: 2_000_000, 1000: 12_000_000},
+    "customer_address": {10: 250_000, 100: 1_000_000, 1000: 6_000_000},
+    "item": {10: 102_000, 100: 204_000, 1000: 300_000},
+    "store": {10: 102, 100: 402, 1000: 1_002},
+    "warehouse": {10: 10, 100: 15, 1000: 20},
+    "promotion": {10: 500, 100: 1_000, 1000: 1_500},
+    "reason": {10: 45, 100: 55, 1000: 65},
+    "call_center": {10: 24, 100: 30, 1000: 42},
+    "catalog_page": {10: 12_000, 100: 20_400, 1000: 30_000},
+    "web_page": {10: 200, 100: 2_040, 1000: 3_000},
+    # web_site's sf100 dip is per spec (sites retire over time)
+    "web_site": {10: 42, 100: 24, 1000: 54},
+    # inventory = 261 weeks x (item/2) x warehouses, exact at anchors
+    "inventory": {10: 133_110_000, 100: 399_330_000, 1000: 783_000_000},
+}
+
+
+@pytest.mark.parametrize("name", sorted(_TPCDS_SUBLINEAR_ANCHORS))
+def test_tpcds_sublinear_scaling_matches_spec(name):
+    """rows_for must reproduce the spec's sublinear dimension scaling
+    at sf10/sf100/sf1000 — a linear base×sf rule fails every one of
+    these (customer at sf1000 would be 100 M, spec says 12 M)."""
+    for sf, want in _TPCDS_SUBLINEAR_ANCHORS[name].items():
+        assert rows_for(name, float(sf)) == want, (name, sf)
+
+
+def test_tpcds_sublinear_interpolation_monotone_and_bounded():
+    """Between anchors rows_for interpolates: values stay within the
+    bracketing anchors and below-sf1 behavior is unchanged pro-rata."""
+    assert rows_for("customer", 0.01) == 1_000  # historical fixture size
+    mid = rows_for("customer", 30.0)
+    assert 500_000 < mid < 2_000_000
+    big = rows_for("customer", 30_000.0)  # beyond last anchor: keeps growing
+    assert big > 65_000_000
+
+
 @pytest.mark.parametrize("sf", [0.01])
 @pytest.mark.parametrize(
     "name",

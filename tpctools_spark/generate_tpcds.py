@@ -176,9 +176,68 @@ SPEC_INT_RANGES: dict[str, int] = {
 }
 
 
+# TPC-DS spec Database Scaling table (v2.13 §3.2, Table 3-2): the
+# dimension tables below grow SUBLINEARLY with the scale factor —
+# customer at sf1000 is 12 M rows, not the 100 M a linear base×sf rule
+# would give. Anchors are the spec's published row counts at the
+# discrete scale factors {1, 10, 100, 1000, 3000, 10000}; between
+# anchors rows_for interpolates log-log (the spec only defines the
+# discrete points — documented choice), beyond 10000 it extends the
+# last segment's log-log slope, and below sf1 it pro-rates the sf1
+# count (test/bench fixtures at sf<1 keep their historical sizes).
+# Note web_site's sf100 dip (42 → 24) is per spec — sites retire.
+# Reference parity: src/tpcds.rs:34-104 generates at a fixed scale and
+# never encodes the scaling table; this engine must, because query
+# planning (broadcast-vs-shuffle calculus) depends on true dimension
+# cardinalities at large sf.
+_SPEC_SCALE_POINTS = (1.0, 10.0, 100.0, 1_000.0, 3_000.0, 10_000.0)
+SPEC_SUBLINEAR_ROWS: dict[str, tuple[int, ...]] = {
+    "call_center": (6, 24, 30, 42, 48, 54),
+    "catalog_page": (11_718, 12_000, 20_400, 30_000, 36_000, 40_000),
+    "customer": (100_000, 500_000, 2_000_000, 12_000_000, 30_000_000, 65_000_000),
+    "customer_address": (50_000, 250_000, 1_000_000, 6_000_000, 15_000_000, 32_500_000),
+    "item": (18_000, 102_000, 204_000, 300_000, 360_000, 402_000),
+    "promotion": (300, 500, 1_000, 1_500, 1_800, 2_000),
+    "reason": (35, 45, 55, 65, 67, 70),
+    "store": (12, 102, 402, 1_002, 1_350, 1_500),
+    "warehouse": (5, 10, 15, 20, 22, 25),
+    "web_page": (60, 200, 2_040, 3_000, 3_600, 4_002),
+    "web_site": (30, 42, 24, 54, 66, 78),
+}
+
+
+def _interp_spec(anchors: tuple[int, ...], scale: float) -> int:
+    """Log-log interpolation through the spec anchor points; beyond the
+    last anchor, continue the final segment's slope."""
+    import math
+
+    pts = _SPEC_SCALE_POINTS
+    if scale >= pts[-1]:
+        i = len(pts) - 2
+    else:
+        i = max(j for j in range(len(pts) - 1) if pts[j] <= scale)
+    s0, s1 = pts[i], pts[i + 1]
+    r0, r1 = anchors[i], anchors[i + 1]
+    t = (math.log(scale) - math.log(s0)) / (math.log(s1) - math.log(s0))
+    return max(1, round(math.exp(math.log(r0) + t * (math.log(r1) - math.log(r0)))))
+
+
 def rows_for(table: str, scale: float) -> int:
     base, fixed = CARDINALITY[table]
-    return base if fixed else max(1, int(base * scale))
+    if fixed:
+        return base
+    if scale > 1.0:
+        if table == "inventory":
+            # Spec: inventory = 261 weekly snapshots × (item/2) ×
+            # warehouses; exact at every anchor (sf1: 261×9000×5 =
+            # 11,745,000 … sf1000: 261×150000×20 = 783,000,000).
+            return 261 * (rows_for("item", scale) // 2) * rows_for(
+                "warehouse", scale
+            )
+        anchors = SPEC_SUBLINEAR_ROWS.get(table)
+        if anchors is not None:
+            return _interp_spec(anchors, scale)
+    return max(1, int(base * scale))
 
 
 def _seed(table: str, column: str) -> int:
