@@ -81,8 +81,8 @@ _BNLJ_ALLOWED = {
     "events_value_concentration",  # one-row (n, s) totals broadcast
     "text_source_divergence",  # one-row (n1, n2, vocab) totals broadcast
     "text_collocations_pmi",  # one-row corpus-totals broadcast
-    "graph_pagerank_power",
-    "mining_basket_lift",
+    "graph_pagerank_power",  # one-row node-count broadcast (teleport term, graph.py:117)
+    "mining_basket_lift",  # one-row n_orders total broadcast into the lift ratios (mining.py:86)
     "pipeline_curriculum_order",  # one-row quartile-cutpoint broadcast
     "pipeline_dedup_funnel",  # three one-row stage-count broadcasts (funnel row)
     "pipeline_mix_weights",
@@ -90,7 +90,7 @@ _BNLJ_ALLOWED = {
     "quality_benford_digits",
     "quality_referential_integrity",  # one-row per-edge rowcount broadcasts
     "quality_ks_test",  # one-row (n1, n2) cohort-totals broadcast
-    "sim_cosine_topk",
+    "sim_cosine_topk",  # one-row probe-vector broadcast into the scan (similarity.py:99)
     "sim_cosine_topk_ivf",
     "sim_ivf_recall",  # composes the two probe-broadcast retrievals
     "sim_ivf_nprobe_curve",  # probe broadcast on every sweep leg
@@ -116,7 +116,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "events_survival_km",  # duration census — observation-window-bounded domain
     "pipeline_interleave_stride",  # rank over the 60-row TakeOrderedAndProject head
     "pipeline_weighted_sample",  # rank over the k-row TakeOrderedAndProject head
-    "quality_ks_test",  # distinct-cents census — value-domain-bounded
+    "quality_ks_test",  # fixed cent-grid census — domain-bounded by construction
     "quality_mann_whitney",  # distinct-cents census — value-domain-bounded
     "sim_cosine_topk",  # rank over the k-row TakeOrderedAndProject head
     "sim_ivf_nprobe_curve",  # k-row post-limit ranks on the brute + ivf legs

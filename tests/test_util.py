@@ -61,8 +61,11 @@ def test_trunc_digits_bitwise_matches_duckdb(spark):
 
     for k in (2, 4, 6):
         got = (
-            spark.createDataFrame([(v,) for v in vals], "x double")
-            .select(trunc_digits(F.col("x"), k).alias("t"))
+            spark.createDataFrame(
+                [(i, v) for i, v in enumerate(vals)], "i int, x double"
+            )
+            .select("i", trunc_digits(F.col("x"), k).alias("t"))
+            .orderBy("i")
             .collect()
         )
         con = duckdb.connect()
@@ -76,6 +79,11 @@ def test_trunc_digits_bitwise_matches_duckdb(spark):
                 f"SELECT {sql_trunc_digits('x', k)} FROM vals ORDER BY i"
             ).fetchall()
         ]
-        g = sorted(struct.pack("<d", r.t) for r in got)
-        w = sorted(struct.pack("<d", v) for v in want)
-        assert g == w, f"k={k}: bit mismatch"
+        # Row-aligned by the carried index: per-input bit equality, not
+        # multiset equality (offsetting per-row mismatches can't hide).
+        g = [struct.pack("<d", r.t) for r in got]
+        w = [struct.pack("<d", v) for v in want]
+        assert g == w, (
+            f"k={k}: bit mismatch at rows "
+            f"{[i for i, (a, b) in enumerate(zip(g, w)) if a != b]}"
+        )

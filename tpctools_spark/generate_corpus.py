@@ -78,8 +78,8 @@ def gen_documents(
     parts: int = 8,
     vocab_size: int = len(VOCAB),
 ) -> DataFrame:
-    """documents(doc_id, source, lang, n_words, text) — near-dup pairs
-    planted at every id ≡ 0 (mod 7).
+    """documents(doc_id, text, lang, source, n_chars) — the fixture
+    schema — with near-dup pairs planted at every id ≡ 0 (mod 7).
 
     ``vocab_size`` scales lexical diversity with the corpus: the first
     31 word ids map to the fixture vocabulary, ids beyond synthesize

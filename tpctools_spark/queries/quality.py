@@ -411,70 +411,98 @@ def quality_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KS_A = "click"
 _KS_B = "purchase"
 # Reject at α=0.05: D > 1.358·sqrt((n1+n2)/(n1·n2)). Squaring both
-# sides and clearing denominators gives the integer test
-# ds² · 10⁴ > 18442 · (n1+n2) · n1 · n2  (1.358² = 1.8442 exactly at
-# 4 decimals), where ds = max |c1·n2 − c2·n1| is the integer-scaled
-# KS statistic — no sqrt, no FP comparison anywhere near the boundary.
+# sides gives D² · 10⁴ > 18442 · (n1+n2)/(n1·n2) (1.358² = 1.8442
+# exactly at 4 decimals). With the CDFs quantized to the fixed scale
+# _KS_S (t = ⌊c·S/n⌋, dq = max|t1−t2| ≤ S), the test becomes
+# dq² · 10⁴ > 18442 · (n1+n2) · S² / (n1·n2); comparing against the
+# FLOOR of the right side is exactly equivalent (for integers A and a
+# rational B/C: A > ⌊B/C⌋ ⟺ A·C > B), and every intermediate is
+# bounded independent of data size: dq²·10⁴ ≤ 10²⁰, the floored
+# quotient ≤ 18442·2·S² ≈ 3.7·10²⁰, the numerator
+# 18442·(n1+n2)·S² < 10³⁸ up to ~10¹⁸ total rows. No overflow at any
+# realistic scale — the old formulation's ds = max|c1·n2 − c2·n1|
+# grew as n1·n2 and blew DECIMAL(38,0) at ~10⁸ rows per cohort.
 _KS_CRIT_X10K = 18442
+_KS_S = 100_000_000  # CDF quantization scale: D resolved to 1e-8
+# The floored-quotient form's result fits int64 only when
+# min(n1,n2) ≥ 50 (bound 18442·S²·(1/n1+1/n2) ≤ 7.4·10¹⁸); below
+# that, cohorts are tiny so the direct product form is itself bounded
+# (dq²·10⁴·n1·n2 ≤ 5·10³⁶ for cohorts up to 10¹⁵ rows). Both engines
+# take the same data-determined branch.
+_KS_SMALL_N = 50
 
 
 @query(
     "quality_ks_test",
     oracle=f"""
     WITH src AS (
-      SELECT value,
+      SELECT CAST(floor(value * 100) AS BIGINT) AS cell,
              CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END AS f1,
              CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END AS f2
       FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
-    ), per_value AS (
-      SELECT value, SUM(f1) AS s1, SUM(f2) AS s2
-      FROM src GROUP BY value
+    ), per_cell AS (
+      SELECT cell, SUM(f1) AS s1, SUM(f2) AS s2
+      FROM src GROUP BY cell
     ), cdf AS (
-      SELECT SUM(s1) OVER (ORDER BY value
+      SELECT SUM(s1) OVER (ORDER BY cell
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
-             SUM(s2) OVER (ORDER BY value
+             SUM(s2) OVER (ORDER BY cell
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
-      FROM per_value
+      FROM per_cell
     ), tot AS (
       SELECT CAST(COUNT(*) FILTER (f1 = 1) AS BIGINT) AS n1,
              CAST(COUNT(*) FILTER (f2 = 1) AS BIGINT) AS n2
       FROM src
+    ), dq AS (
+      SELECT tot.n1, tot.n2,
+             MAX(abs(  CAST(cdf.c1 AS HUGEINT) * {_KS_S} // tot.n1
+                     - CAST(cdf.c2 AS HUGEINT) * {_KS_S} // tot.n2))
+               AS d_q
+      FROM cdf, tot
+      GROUP BY tot.n1, tot.n2
     )
-    SELECT tot.n1, tot.n2,
-           CAST(MAX(abs(cdf.c1 * tot.n2 - cdf.c2 * tot.n1)) AS BIGINT)
-             AS d_scaled,
-           (CAST(floor(CAST(MAX(abs(cdf.c1 * tot.n2 - cdf.c2 * tot.n1))
-                  AS DOUBLE) / (tot.n1 * tot.n2) * 1000000) AS DOUBLE)
+    SELECT n1, n2, CAST(d_q AS BIGINT) AS d_q8,
+           (CAST(floor(CAST(d_q AS DOUBLE) / {_KS_S} * 1000000) AS DOUBLE)
               / 1000000) AS d_stat,
-           (CAST(MAX(abs(cdf.c1 * tot.n2 - cdf.c2 * tot.n1)) AS DECIMAL(38,0))
-              * CAST(MAX(abs(cdf.c1 * tot.n2 - cdf.c2 * tot.n1)) AS DECIMAL(38,0))
-              * 10000
-            > {_KS_CRIT_X10K}
-              * CAST(tot.n1 + tot.n2 AS DECIMAL(38,0)) * tot.n1 * tot.n2)
-             AS reject_05
-    FROM cdf, tot
-    GROUP BY tot.n1, tot.n2
+           CASE WHEN least(n1, n2) < {_KS_SMALL_N} THEN
+             CAST(d_q AS HUGEINT) * d_q * 10000 * n1 * n2
+               > CAST({_KS_CRIT_X10K} AS HUGEINT) * (n1 + n2)
+                 * {_KS_S} * {_KS_S}
+           ELSE
+             CAST(d_q AS HUGEINT) * d_q * 10000
+               > CAST({_KS_CRIT_X10K} AS HUGEINT) * (n1 + n2)
+                 * {_KS_S} * {_KS_S} // (CAST(n1 AS HUGEINT) * n2)
+           END AS reject_05
+    FROM dq
     """,
 )
 def quality_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact two-sample Kolmogorov–Smirnov test between two event
-    cohorts' value distributions — the distribution-shift gate that
-    needs no binning choices (unlike the PSI screens).
+    """Two-sample Kolmogorov–Smirnov test between two event cohorts'
+    value distributions on a fixed cent grid — the distribution-shift
+    gate, shaped so no stage grows past a domain bound.
 
-    The statistic is computed in pure integers: per distinct value,
-    cumulative counts c1/c2 (one ordered window over the pre-aggregated
-    distinct-value table — never the raw rows), and
-    ds = max |c1·n2 − c2·n1|, so D = ds/(n1·n2) with the α=0.05
-    decision made by integer cross-multiplication (see _KS_CRIT_X10K) —
-    bit-identical across engines, no sqrt near a boundary. The
-    cross-multiplication runs in exact DECIMAL(38,0) on both engines
-    (ds ≤ n1·n2, so ds²·10⁴ blows past int64 at n1·n2 ≈ 3·10⁷);
-    128-bit decimals keep the decision exact to n1·n2 ≈ 3·10¹⁶
-    (~10⁸ rows per cohort), beyond which both engines fail loud
-    (overflow error) rather than flip the verdict silently. The global
-    window rides the distinct-value relation (map-side-combined first);
-    at 100 TB you'd quantize values to a fixed grid first, which only
-    shrinks that relation — same plan.
+    Scale posture (the whole point of this formulation):
+
+    - Values quantize to a FIXED grid (⌊value·100⌋ cents), so the
+      distinct-cell census the ordered window rides is bounded by the
+      value domain (~50k cells here), not by the row count — at 100 TB
+      the window input is the same size as at sf0.001.
+    - CDFs quantize to the fixed scale _KS_S: t = ⌊c·S/n⌋ by exact
+      integer floor division, so the statistic d_q = max|t1−t2| ≤ S is
+      bounded by CONSTRUCTION, unlike the classic ds = max|c1·n2−c2·n1|
+      which grows as n1·n2 and overflowed DECIMAL(38,0) at ~10⁸ rows
+      per cohort. D is resolved to 1/S = 10⁻⁸ (well under any
+      actionable effect size; the α=0.05 critical value at 10¹² rows
+      per cohort is ≈ 1.9·10⁻⁶).
+    - The α=0.05 decision is exact on the quantized statistic at any
+      scale: for integer A and rational B/C, A > ⌊B/C⌋ ⟺ A·C > B, so
+      comparing d_q²·10⁴ against the floored quotient is the true
+      inequality with every intermediate bounded (see _KS_CRIT_X10K /
+      _KS_SMALL_N notes). No overflow path exists, ANSI or not.
+
+    Cross-engine: Spark runs the divisions as decimal `div` (exact
+    integral division → bigint), DuckDB as HUGEINT `//` — both exact
+    floor division on nonnegative integers, bit-identical.
     """
     from pyspark.sql.window import Window
 
@@ -482,37 +510,47 @@ def quality_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "events")
         .filter(F.col("event_type").isin(_KS_A, _KS_B))
         .select(
-            "value",
+            F.floor(F.col("value") * 100).cast("bigint").alias("cell"),
             F.when(F.col("event_type") == _KS_A, 1).otherwise(0).alias("f1"),
             F.when(F.col("event_type") == _KS_B, 1).otherwise(0).alias("f2"),
         )
     )
-    per_value = src.groupBy("value").agg(
+    per_cell = src.groupBy("cell").agg(
         F.sum("f1").alias("s1"), F.sum("f2").alias("s2")
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    cdf = per_value.select(
+    w = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = per_cell.select(
         F.sum("s1").over(w).alias("c1"), F.sum("s2").over(w).alias("c2")
     )
     tot = src.agg(
         F.sum("f1").cast("bigint").alias("n1"),
         F.sum("f2").cast("bigint").alias("n2"),
     )
-    ds = F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")))
+    dec = "decimal(38,0)"
+    t1 = F.expr(f"cast(c1 as {dec}) * {_KS_S} div n1")
+    t2 = F.expr(f"cast(c2 as {dec}) * {_KS_S} div n2")
+    d_q = F.max(F.abs(t1 - t2))
+    s2_lit = f"cast({_KS_CRIT_X10K} as {dec}) * (n1 + n2) * {_KS_S}L * {_KS_S}L"
     return (
         cdf.crossJoin(F.broadcast(tot))
         .groupBy("n1", "n2")
-        .agg(
-            ds.cast("bigint").alias("d_scaled"),
-            trunc_digits(
-                ds.cast("double") / (F.col("n1") * F.col("n2")), 6
-            ).alias("d_stat"),
-            (
-                ds.cast("decimal(38,0)") * ds.cast("decimal(38,0)") * 10000
-                > F.lit(_KS_CRIT_X10K).cast("decimal(38,0)")
-                * (F.col("n1") + F.col("n2"))
-                * F.col("n1")
-                * F.col("n2")
+        .agg(d_q.alias("d_q"))
+        .select(
+            "n1",
+            "n2",
+            F.col("d_q").cast("bigint").alias("d_q8"),
+            trunc_digits(F.col("d_q").cast("double") / _KS_S, 6).alias(
+                "d_stat"
+            ),
+            F.expr(
+                f"""
+                CASE WHEN least(n1, n2) < {_KS_SMALL_N} THEN
+                  cast(d_q as {dec}) * d_q * 10000 * n1 * n2 > {s2_lit}
+                ELSE
+                  cast(d_q as {dec}) * d_q * 10000
+                    > ({s2_lit}) div (cast(n1 as {dec}) * n2)
+                END
+                """
             ).alias("reject_05"),
         )
     )

@@ -452,7 +452,13 @@ def scan_bucket_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only long enough to fix THIS query's physical plan: the conf is
     # read at planning time, so force executedPlan inside the scope and
     # restore the caller's value (QueryExecution caches the plan, so
-    # the returned DataFrame keeps its pruned scan).
+    # the returned DataFrame keeps its pruned scan). Limitation: the
+    # pin covers THIS DataFrame's own QueryExecution only — a
+    # write/save on the returned frame builds a fresh QueryExecution
+    # under the restored conf and may re-plan without the pruned
+    # bucketed scan (results stay correct; only the demonstration plan
+    # shape is at stake). Sink-path callers must set the conf for
+    # their own execution scope.
     conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     prior = spark.conf.get(conf_key)
     spark.conf.set(conf_key, "false")

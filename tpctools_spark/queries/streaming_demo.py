@@ -371,6 +371,11 @@ def start_merge_view(stream: DataFrame, out: str):
 def read_merge_view(spark: SparkSession, out: str) -> DataFrame:
     """The current committed view, in the oracle's output shape."""
     latest = _latest_view_gen(out)
+    if latest is None:
+        raise ValueError(
+            f"no committed merge view under {out!r}: the stream has not "
+            "completed any batch yet (or the output dir is wrong)"
+        )
     return spark.read.parquet(os.path.join(out, latest)).select(
         "event_type",
         "n_events",
