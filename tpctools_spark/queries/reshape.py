@@ -109,7 +109,9 @@ def corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, inserts unmatched ones, and untouched rows pass through —
     the relational core of ``MERGE INTO`` (Delta/Iceberg run exactly
     this full-outer-join plan under ACID commit protocols; the commit
-    is storage-layer, the dataflow is this).
+    is storage-layer, the dataflow is this). See README "Lakehouse
+    table formats: the emulation mapping" for the full primitive↔query
+    table and what changes when a real format is present.
 
     The incoming batch is derived deterministically from the corpus
     (every 10th doc revised, every 50th doc spawning a brand-new id)
@@ -326,7 +328,9 @@ def reshape_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the other half of the lakehouse pair: `corpus_upsert` is
     MERGE (base ⋈ batch), this is log→snapshot (no base table at all —
     the log IS the source of truth, the Kafka-compacted-topic /
-    Debezium-feed shape). One hash exchange on the key serves both the
+    Debezium-feed shape). README section "Lakehouse table formats: the
+    emulation mapping" maps both onto Delta CDF / Iceberg changelog
+    primitives. One hash exchange on the key serves both the
     row_number and the per-key op count (shared window partition);
     ties broken by event_id so replays are deterministic. At 100 TB
     compaction runs per key-range partition and the shuffle carries
