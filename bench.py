@@ -150,6 +150,7 @@ COMPACT_KEYS = [
     "join_bloom_pruned",
     "q1_sf1",
     "dedup_jaccard_50k",
+    "dedup_minhash_50k",
     "gen_tpch",
     "gen_tpcds",
 ]
@@ -163,21 +164,24 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = spark_queries()
 
-    # Each query runs twice back-to-back: the first (untimed) run pays the
-    # one-time per-process Janino/whole-stage-codegen compile (~5-15 s for
-    # complex plans, independent of data volume); the second run is the
-    # reported steady-state time — the data-proportional quantity that
-    # extrapolates to a long-lived cluster. Immediate rerun (rather than a
-    # separate warm-up phase) keeps the generated classes hot in the
-    # JVM's bounded codegen cache. Measured: dedup_ngram_jaccard 13.2 s
-    # cold vs 1.3 s warm on identical data. Cold totals are reported
-    # alongside in "cold_queries".
+    # Each query runs cold once, then N_WARM warm passes back-to-back.
+    # The cold run pays the one-time per-process Janino/whole-stage-
+    # codegen compile (~5-15 s for complex plans, independent of data
+    # volume); the reported time is the MIN of the warm passes — on a
+    # shared long-lived local[32] JVM, single warm samples swing ±40%
+    # with GC/JIT state (round 5's "regressions" were exactly this
+    # noise), and the min is the steady-state a dedicated cluster job
+    # sustains. The warm max−min spread lands in bench_out.json
+    # ("warm_spread") so a genuinely bimodal query is visible. Cold
+    # totals are reported alongside in "cold_queries".
     # Fault isolation: one broken query must not zero the whole round's
     # bench record (round 3 lost its record to a single AnalysisException
     # raised before any output) — time each query under try/except,
     # report failures in "errors", and always print the compact line.
+    N_WARM = 3
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    spread: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
@@ -185,11 +189,16 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             cold[name] = round(time.perf_counter() - t0, 3)
-            t0 = time.perf_counter()
-            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 3)
-            timings[name] = dt
-            total += dt
+            runs = []
+            for _ in range(N_WARM):
+                t0 = time.perf_counter()
+                qs[name](spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(min(runs), 3)
+            spread[name] = round(max(runs) - min(runs), 3)
+            total += timings[name]
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
         spark.catalog.clearCache()
@@ -453,6 +462,57 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["dedup_jaccard_50k"] = f"{type(exc).__name__}: {exc}"[:200]
 
+    # MinHash LSH at the same 100x scale point: the banded-signature
+    # path is the detector a 100 TB dedup actually ships (candidate
+    # generation by band-bucket join, cost ~ #colliding pairs, never
+    # all-pairs), so it gets the same 50k-doc ground-truth bench as the
+    # inverted-index Jaccard detector above. This runs the REGISTRY
+    # query verbatim — the corpus is laid out as a fixture directory
+    # (documents.parquet) so dedup_minhash's own catalog path serves —
+    # and verifies planted recall in-line: every id ≡ 0 (mod 7) is a
+    # near-copy of its predecessor (one appended marker, 3-gram
+    # Jaccard ≈ 0.97), so banded LSH at 8×4/32 hashes should recover
+    # ≥ 95% of the planted pairs.
+    try:
+        corpus_fix_dir = os.path.join(sf1_dir, "corpus50k_fixture")
+        docs_fix = os.path.join(corpus_fix_dir, "documents.parquet")
+        if not os.path.exists(os.path.join(docs_fix, "_SUCCESS")):
+            spark.read.parquet(docs_path).write.mode("overwrite").parquet(
+                docs_fix
+            )
+
+        def _minhash_50k() -> None:
+            qs["dedup_minhash"](spark, corpus_fix_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            spark.catalog.clearCache()  # the query caches signatures
+
+        t0 = time.perf_counter()
+        _minhash_50k()  # cold: pays codegen compile
+        cold["dedup_minhash_50k"] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _minhash_50k()
+            best = min(best, time.perf_counter() - t0)
+        timings["dedup_minhash_50k"] = round(best, 3)
+        planted_total = (50_000 - 1) // 7
+        planted_found = (
+            qs["dedup_minhash"](spark, corpus_fix_dir)
+            .filter(
+                (F.col("doc_b") == F.col("doc_a") + 1)
+                & (F.col("doc_b") % 7 == 0)
+            )
+            .count()
+        )
+        spark.catalog.clearCache()
+        if planted_found < 0.95 * planted_total:
+            errors["dedup_minhash_50k"] = (
+                f"planted recall broken: {planted_found}/{planted_total}"
+            )
+    except Exception as exc:  # noqa: BLE001
+        errors["dedup_minhash_50k"] = f"{type(exc).__name__}: {exc}"[:200]
+
     # Full TPC-DS 99 at sf1: a decade above the per-query scratch
     # fixtures (sf0.001). Materialized once (pure function of
     # (table, sf), reused across rounds), then every registered
@@ -610,6 +670,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "cold_queries": cold,
+        "warm_spread": spread,
         "gen_throughput": gen_stats,
         "tpcds_sf1_queries": tpcds_sf1,
         "tpch_sf1_queries": tpch_sf1,

@@ -117,8 +117,19 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failures, passes, rows_only = [], [], []
 
+    # Soft wall-clock budget (seconds) for big-SF sweeps: when
+    # exceeded, remaining queries are SKIPPED (counted and reported,
+    # never silently) so a budgeted sf0.1 sweep can ride the round
+    # gate without starving it. Unset = no budget.
+    budget_s = float(os.environ.get("ORACLE_BUDGET_S", "0") or 0)
+    sweep_t0 = time.time()
+    skipped_for_budget = 0
+
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if budget_s and time.time() - sweep_t0 > budget_s:
+            skipped_for_budget += 1
             continue
         t0 = time.time()
         try:
@@ -182,9 +193,14 @@ def main() -> int:
         passes.append(name)
         print(f"PASS {name}: {len(srows)} rows ({dt:.1f}s)")
 
+    budget_note = (
+        f", {skipped_for_budget} SKIPPED (budget {budget_s:.0f}s hit)"
+        if skipped_for_budget
+        else ""
+    )
     print(
         f"\n== {len(passes)} oracle-pass, {len(rows_only)} rows-only, "
-        f"{len(failures)} FAIL =="
+        f"{len(failures)} FAIL{budget_note} =="
     )
     for name, why in failures:
         print(f"  FAIL {name}: {why[:300]}")
