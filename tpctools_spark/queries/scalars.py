@@ -183,7 +183,8 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            CAST(len(embedding) AS BIGINT) AS dim,
            CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
-           ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_component
+           (0.0 + CAST(floor(CAST(embedding[1] AS DOUBLE) * 10000) AS DOUBLE)
+              / 10000) AS first_component
     FROM embeddings
     """,
 )
@@ -192,6 +193,14 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Higher-order functions (``filter``) run inside codegen — this is the
     JVM-side way to process array columns without exploding rows.
+
+    ``first_component`` is a full-precision double, so it is emitted
+    through ``trunc_digits`` (floor truncation), not ROUND — ROUND on
+    arbitrary doubles diverges between engines near decimal halfway
+    points and on the −0.0 bit pattern. Caught by the sf0.1 sweep
+    (round 10): 10k vectors hit the first sub-10⁻⁴-magnitude negative
+    component, which DuckDB rounds to −0.0 and Spark to +0.0; sf0.01's
+    1k vectors never sampled one.
     """
     return table(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -199,7 +208,7 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(F.col("embedding"), lambda x: x > 0))
         .cast("bigint")
         .alias("n_positive"),
-        F.round(F.element_at("embedding", 1).cast("double"), 4).alias(
+        trunc_digits(F.element_at("embedding", 1).cast("double"), 4).alias(
             "first_component"
         ),
     )

