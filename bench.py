@@ -151,6 +151,7 @@ COMPACT_KEYS = [
     "q1_sf1",
     "dedup_jaccard_50k",
     "dedup_minhash_50k",
+    "dedup_components_50k",
     "gen_tpch",
     "gen_tpcds",
 ]
@@ -512,6 +513,41 @@ def main() -> None:
             )
     except Exception as exc:  # noqa: BLE001
         errors["dedup_minhash_50k"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    # Connected components at the same 100x point — the stage that
+    # turns pairs into drop decisions (A~B~C with A≁C must dedup as
+    # one cluster). Runs the registry query verbatim over the fixture-
+    # layout corpus; ground truth: the planted pairs are ~7.1k DISJOINT
+    # 2-doc clusters (copies attach to non-copy predecessors), so the
+    # multi-doc component count must recover >= 95% of them.
+    try:
+        def _components_50k() -> int:
+            out = qs["dedup_cluster_components"](spark, corpus_fix_dir)
+            n_multi = (
+                out.filter(F.col("cluster_size") >= 2)
+                .select("cluster_id")
+                .distinct()
+                .count()
+            )
+            spark.catalog.clearCache()
+            return n_multi
+
+        t0 = time.perf_counter()
+        _components_50k()  # cold: pays codegen compile
+        cold["dedup_components_50k"] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_multi = _components_50k()
+            best = min(best, time.perf_counter() - t0)
+        timings["dedup_components_50k"] = round(best, 3)
+        planted_total = (50_000 - 1) // 7
+        if n_multi < 0.95 * planted_total:
+            errors["dedup_components_50k"] = (
+                f"planted clusters broken: {n_multi}/{planted_total}"
+            )
+    except Exception as exc:  # noqa: BLE001
+        errors["dedup_components_50k"] = f"{type(exc).__name__}: {exc}"[:200]
 
     # Full TPC-DS 99 at sf1: a decade above the per-query scratch
     # fixtures (sf0.001). Materialized once (pure function of

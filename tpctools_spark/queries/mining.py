@@ -74,8 +74,9 @@ def mining_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by (basket size)² per order — never |items|² globally —
     and the join is co-partitioned on the order key (one shuffle of
     the distinct item-order pairs). Per-item order counts are a
-    part-cardinality table (broadcast), and the order total is a
-    one-row broadcast. All counts are integers; the three ratios are
+    part-cardinality table — part scales with sf (200k×sf), so those
+    joins are UNHINTED and AQE sizes them at runtime; the order total
+    is a one-row broadcast. All counts are integers; the three ratios are
     single IEEE divisions of integers, so truncation is bit-stable
     against the oracle.
     """
@@ -97,8 +98,8 @@ def mining_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = item_n.select(F.col("p").alias("part_a"), F.col("n").alias("na"))
     nb = item_n.select(F.col("p").alias("part_b"), F.col("n").alias("nb"))
     return (
-        pairs.join(F.broadcast(na), "part_a")
-        .join(F.broadcast(nb), "part_b")
+        pairs.join(na, "part_a")
+        .join(nb, "part_b")
         .crossJoin(F.broadcast(tot))
         .select(
             "part_a",

@@ -365,7 +365,11 @@ def pipeline_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("tok") != "")
     model = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     scored = (
-        toks.join(F.broadcast(model), "tok")
+        # The LM table is vocabulary-sized — unbounded under Heaps'
+        # law at corpus scale — so the join is unhinted: AQE
+        # broadcasts it while it is small and shuffles on `tok` when
+        # it is not.
+        toks.join(model, "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
