@@ -87,3 +87,30 @@ def test_trunc_digits_bitwise_matches_duckdb(spark):
             f"k={k}: bit mismatch at rows "
             f"{[i for i, (a, b) in enumerate(zip(g, w)) if a != b]}"
         )
+
+
+def test_scratch_sweep_collects_only_dead_pid_dirs(monkeypatch):
+    """Scratch GC contract: pid-tagged dirs of dead processes are
+    removed at the next process's first allocation; live-pid dirs and
+    named caches (no pid tag) are never touched."""
+    import os
+
+    from tpctools_spark.queries import scans
+
+    monkeypatch.setattr(scans, "_swept", False)
+    dead = os.path.join(scans._SCRATCH, "probe-pid999999-x")
+    live = os.path.join(scans._SCRATCH, f"probe-pid{os.getpid()}-x")
+    cache = os.path.join(scans._SCRATCH, "probe_named_cache")
+    for d in (dead, live, cache):
+        os.makedirs(d, exist_ok=True)
+    try:
+        out = scans._scratch_dir("probe")
+        assert f"-pid{os.getpid()}-" in os.path.basename(out)
+        assert not os.path.exists(dead)
+        assert os.path.exists(live)
+        assert os.path.exists(cache)
+        os.rmdir(out)
+    finally:
+        for d in (live, cache):
+            if os.path.exists(d):
+                os.rmdir(d)

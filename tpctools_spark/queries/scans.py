@@ -9,6 +9,7 @@ src/tpch.rs:35-132) — re-expressed as Spark reads/writes.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import tempfile
 
@@ -20,10 +21,46 @@ from tpctools_spark.registry import query
 
 _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
 
+_swept = False
+
+
+def _sweep_dead_scratch() -> None:
+    """Garbage-collect scratch dirs left by processes that no longer
+    exist.
+
+    Scratch output is deliberately left on disk while its process
+    lives — the returned DataFrames are lazy file scans, so the files
+    must outlive the function call — which means no call site can
+    clean up after itself. Instead every dir name carries its owner's
+    pid (``<tag>-pid<N>[-suffix]``) and each NEW process sweeps the
+    orphans exactly once, before its first allocation. Only the
+    pid-tagged pattern is eligible: named caches (``bench_sf1``,
+    ``tpc*_gen_*``) never match and are never touched. Liveness is
+    ``kill(pid, 0)``; racing sweeps are harmless (rmtree errors are
+    ignored, and a dir both sweeps target is garbage by definition)."""
+    global _swept
+    if _swept:
+        return
+    _swept = True
+    if not os.path.isdir(_SCRATCH):
+        return
+    pat = re.compile(r"-pid(\d+)(-|$)")
+    for name in os.listdir(_SCRATCH):
+        m = pat.search(name)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(_SCRATCH, name), ignore_errors=True)
+        except PermissionError:
+            pass  # pid exists, owned by another user: leave it
+
 
 def _scratch_dir(tag: str) -> str:
+    _sweep_dead_scratch()
     os.makedirs(_SCRATCH, exist_ok=True)
-    return tempfile.mkdtemp(prefix=f"{tag}-", dir=_SCRATCH)
+    return tempfile.mkdtemp(prefix=f"{tag}-pid{os.getpid()}-", dir=_SCRATCH)
 
 
 @query(
@@ -63,6 +100,7 @@ def _stable_scratch(tag: str) -> str:
     session — can never race each other's mode=overwrite on the same
     directory. Stable WITHIN a process, which is all the lazy read-back
     needs."""
+    _sweep_dead_scratch()
     key = os.environ.get("SPARK_GRAFT_SCRATCH_KEY", f"pid{os.getpid()}")
     path = os.path.join(_SCRATCH, f"{tag}-{key}")
     os.makedirs(_SCRATCH, exist_ok=True)

@@ -21,7 +21,6 @@ from tpctools_spark.queries.mining import _PSI_ORACLE_SQL
 from tpctools_spark.registry import query
 from tpctools_spark.schemas import TESTDATA
 
-_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(__file__)), "..", ".scratch")
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -34,8 +33,9 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP(NANOS) → read as int64 and truncate to microseconds, same
     as the batch reader (catalog._events).
     """
-    stage = os.path.join(os.path.abspath(_SCRATCH), f"stream-{uuid.uuid4().hex[:8]}")
-    os.makedirs(stage, exist_ok=True)
+    from tpctools_spark.queries.scans import _scratch_dir
+
+    stage = _scratch_dir("stream")  # pid-tagged: swept once its owner dies
     shutil.copy(
         os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "part-0.parquet")
     )
@@ -416,10 +416,9 @@ def stream_foreach_batch_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_streaming_recovery.py``, which kills the query
     mid-drain and resumes it from the same checkpoint.
     """
-    out = os.path.join(
-        os.path.abspath(_SCRATCH), f"febview-{uuid.uuid4().hex[:8]}"
-    )
-    os.makedirs(out, exist_ok=True)
+    from tpctools_spark.queries.scans import _scratch_dir
+
+    out = _scratch_dir("febview")  # pid-tagged: swept once its owner dies
     q = start_merge_view(
         _stream_events(spark, sf_dir).withWatermark("ts", "10 minutes"), out
     )
