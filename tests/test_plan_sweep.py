@@ -77,6 +77,7 @@ _BNLJ_ALLOWED = {
     "events_survival_km",  # one-row MAX(day) observation-end anchor broadcast
     "events_decay_score",  # one-row MAX(ts) anchor broadcast
     "events_forecast_snaive",  # one-row MAX(hour) backtest-window anchor broadcast
+    "feature_quantile_bucket",  # one-row total-count N broadcast (bucket = rank·K div N)
     "feature_target_encode",  # one-row global-mean prior broadcast
     "events_value_concentration",  # one-row (n, s) totals broadcast
     "text_source_divergence",  # one-row (n1, n2, vocab) totals broadcast

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tpctools_spark.catalog import table
-from tpctools_spark.queries._util import trunc_digits
+from tpctools_spark.queries._util import global_rank, trunc_digits
 from tpctools_spark.registry import query
 
 # Closed vocabulary of the events fixture — one-hot needs a static
@@ -208,4 +208,75 @@ def feature_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select("doc_id", bucket.alias("bucket"))
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+@query(
+    "feature_quantile_bucket",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    r AS (
+      SELECT o_orderkey, cents,
+             ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rn,
+             COUNT(*) OVER () AS n
+      FROM c
+    )
+    SELECT CAST(((rn - 1) * 10) // n AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(cents) AS lo_cents,
+           MAX(cents) AS hi_cents
+    FROM r
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def feature_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) bucketing of a continuous feature — the
+    decile assignment every monotonic-binning / WoE / calibration
+    pipeline starts from.
+
+    Exact rank-based binning, not approx_percentile: the bucket is
+    ``((rank-1)·K) div N`` over the total order (cents, key) — the same
+    closed form both engines evaluate, so bucket membership is
+    bit-deterministic and ties are broken by the stable row key, never
+    by partition layout. The global rank comes from the two-pass
+    distributed ``_util.global_rank`` (range exchange + per-partition
+    ranks + prefix-summed offsets), NOT a single-partition window —
+    the oracle's ``ROW_NUMBER() OVER (ORDER BY ...)`` is the semantic
+    twin, but its physical plan would funnel every row through one
+    task, which is exactly what a 100 TB binning cannot do. N rides a
+    one-row broadcast. Output is the K-row bucket census with exact
+    integer-cent edges (a production run would also persist the edges
+    as the model's binning contract).
+    """
+    cents = (
+        F.col("o_totalprice").cast("decimal(12,2)") * 100
+    ).cast("bigint")
+    c = table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents.alias("cents")
+    )
+    ranked = global_rank(
+        c, [F.col("cents").asc(), F.col("o_orderkey").asc()], rn="rn"
+    )
+    # One-row total-count broadcast (the BNLJ the allowlist justifies):
+    # every bucket boundary needs N, a scalar.
+    n = c.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            F.expr("CAST(((rn - 1) * 10) div n AS INT)").alias("bucket"),
+            "cents",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .orderBy("bucket")
     )

@@ -116,3 +116,98 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(bucket >= 80)
     )
+
+
+# Poisson(1) inverse-CDF thresholds, floor(CDF(k) * 1e6) for k = 0..7:
+# a uniform draw u ∈ [0, 1e6) maps to replication count
+# k = #{t in thresholds : u >= t}. P(k=8) truncates ~1e-5 of mass —
+# documented cap, identical in both engines.
+_POIS1_CDF_1E6 = [367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989]
+_BOOT_REPS = 8
+
+
+def _poisson_bootstrap_sql() -> str:
+    ks = " + ".join(
+        f"CAST(u >= {t} AS BIGINT)" for t in _POIS1_CDF_1E6
+    )
+    return f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    draws AS (
+      SELECT r.rep, b.cents,
+             (b.o_orderkey * 2654435761 + (r.rep + 1) * 96431) % 1000000
+               AS u
+      FROM base b, (SELECT unnest(generate_series(0, {_BOOT_REPS - 1}))
+                    AS rep) r
+    ),
+    weighted AS (SELECT rep, cents, {ks} AS w FROM draws)
+    SELECT rep,
+           CAST(SUM(w) AS BIGINT) AS n_eff,
+           CAST(SUM(w * cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+             AS boot_mean_cents
+    FROM weighted
+    GROUP BY rep
+    ORDER BY rep
+    """
+
+
+@query("sample_poisson_bootstrap", oracle=_poisson_bootstrap_sql())
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap: B resampled replicates of a population mean in
+    ONE pass, with NO resampling shuffle — the only bootstrap that works
+    when the data cannot be materialized B times.
+
+    Classic bootstrap draws N rows with replacement per replicate —
+    an O(B·N) shuffle of data. The Poisson approximation replaces the
+    multinomial with per-row independent Poisson(1) replication
+    WEIGHTS: each row contributes to replicate r with weight k drawn
+    from Poisson(1), computed row-locally, so the whole estimate is one
+    explode(B) + one map-side-combinable weighted aggregation — B·P
+    partial rows shuffle, never the data. The draw is a multiplicative
+    hash of (stable key, replicate) pushed through the exact integer
+    inverse CDF (floor(CDF·1e6) thresholds), so every replicate is
+    reproducible across engines, runs, and repartitionings — no rand(),
+    no seed plumbing. Counts and cent-sums are exact integers; the mean
+    is a single IEEE division of two bigints, bit-stable cross-engine.
+    The spread of ``boot_mean_cents`` across the B rows IS the standard
+    error a 100 TB pipeline reports without a second pass.
+    """
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    draws = base.select(
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPS - 1))).alias("rep"),
+        F.col("o_orderkey"),
+    ).select(
+        "rep",
+        "cents",
+        (
+            (F.col("o_orderkey") * F.lit(2654435761).cast("bigint")
+             + (F.col("rep") + 1) * 96431) % 1000000
+        ).alias("u"),
+    )
+    w = sum(
+        (F.col("u") >= t).cast("bigint") for t in _POIS1_CDF_1E6
+    )
+    return (
+        draws.select("rep", "cents", w.alias("w"))
+        .groupBy("rep")
+        .agg(
+            F.sum("w").cast("bigint").alias("n_eff"),
+            F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("sum_cents"),
+            (
+                F.sum(F.col("w") * F.col("cents")).cast("double")
+                / F.sum("w").cast("double")
+            ).alias("boot_mean_cents"),
+        )
+        .orderBy("rep")
+    )

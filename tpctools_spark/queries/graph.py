@@ -318,3 +318,135 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("node").cast("bigint").alias("sum_node"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_label_propagation
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_sql() -> str:
+    """DuckDB twin: the same 3 synchronous LPA rounds, unrolled."""
+    rounds = []
+    prev = "l0"
+    for t in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""
+    c{t} AS (
+      SELECT e.dst AS node, l.label, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM edges e JOIN {prev} l ON e.src = l.node
+      GROUP BY e.dst, l.label
+    ),
+    m{t} AS (SELECT node, MAX(cnt) AS mc FROM c{t} GROUP BY node),
+    l{t} AS (
+      SELECT c.node, MIN(c.label) AS label
+      FROM c{t} c JOIN m{t} m ON c.node = m.node AND c.cnt = m.mc
+      GROUP BY c.node
+    )""")
+        prev = f"l{t}"
+    summaries = " UNION ALL ".join(
+        f"""
+    SELECT {t} AS round,
+           CAST(COUNT(DISTINCT label) AS BIGINT) AS n_communities,
+           (SELECT CAST(MAX(sz) AS BIGINT) FROM (
+              SELECT COUNT(*) AS sz FROM l{t} GROUP BY label) s{t}
+           ) AS max_size,
+           CAST(SUM(label) AS BIGINT) AS label_checksum
+    FROM l{t}"""
+        for t in range(1, _LPA_ROUNDS + 1)
+    )
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey % 97 AS a, l_partkey % 97 AS b
+      FROM lineitem WHERE l_suppkey % 97 <> l_partkey % 97
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION
+      SELECT b AS src, a AS dst FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),{",".join(rounds)}
+    {summaries}
+    ORDER BY round
+    """
+
+
+@query("graph_label_propagation", oracle=_lpa_sql())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (3 fixed
+    rounds) over the mod-97 residue graph of `graph_triangle_count`.
+
+    Classic LPA breaks ties randomly and is therefore irreproducible;
+    this formulation is bit-deterministic: each round every node takes
+    the neighbor label with the highest count, ties broken by SMALLEST
+    label — expressed as two aggregations (per-(node,label) counts,
+    then max-count per node, then min label among the maxima), never a
+    per-node window and never a random draw. Labels are integer node
+    ids throughout, so every round is exact and partitioning-invariant,
+    and the DuckDB oracle unrolls the identical rounds as CTEs.
+
+    Scale shape: one Pregel superstep = one edges⋈labels shuffle on the
+    node key plus two map-side-combinable aggregations; the label table
+    is node-sized. Synchronous (Jacobi) updates rather than the
+    sequential sweep of the original paper — the only LPA that
+    distributes. The output is the per-round coarsening trajectory
+    (community count, largest community, label checksum), which pins
+    every intermediate label table, not just the fixed point — on a
+    dense graph min-label LPA legitimately coarsens toward one giant
+    community, so the trajectory is the informative (and the testable)
+    object. Each row is node-bounded at any data scale.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.select(
+            (F.col("l_suppkey") % 97).alias("a"), (F.col("l_partkey") % 97).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    summaries = []
+    for t in range(1, _LPA_ROUNDS + 1):
+        counts = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        top = counts.groupBy("node").agg(F.max("cnt").alias("mc"))
+        labels = (
+            counts.join(top, "node")
+            .filter(F.col("cnt") == F.col("mc"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            # Node-bounded (≤97 rows here, |V| in general) and consumed
+            # twice — by round t+1 AND by round t's trajectory summary.
+            # Without the cache each summary branch re-derives every
+            # earlier round through the union, turning R rounds into
+            # R(R+1)/2 round-computations. This is the lineage-
+            # truncation point the PageRank docstring defers ("cache
+            # ranks ... with a fixed 3-round DAG neither is needed") —
+            # here the fan-out makes it needed at R=3.
+            .cache()
+        )
+        sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+        summaries.append(
+            sizes.agg(
+                F.lit(t).alias("round"),
+                F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+                F.max("sz").cast("bigint").alias("max_size"),
+                F.sum(F.col("label") * F.col("sz")).cast("bigint").alias(
+                    "label_checksum"
+                ),
+            )
+        )
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("round")
