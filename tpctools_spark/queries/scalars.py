@@ -607,3 +607,80 @@ def scalar_posexplode_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "word",
         )
     )
+
+
+@query(
+    "scalar_variant_shred",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             CAST(props->>'$.k' AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN cents % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(COUNT(*) AS BIGINT) AS n_missing_null
+    FROM base
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def scalar_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT: semi-structured documents parsed ONCE into the
+    binary variant encoding, then shredded into typed columns — the
+    ingestion pattern that replaces per-path get_json_object string
+    re-parsing.
+
+    Each event is wrapped into a nested document (object + array +
+    bool), parsed with ``parse_json``, and every downstream access is a
+    typed ``variant_get`` path — object field, array index, boolean —
+    plus a ``try_variant_get`` miss on a path that doesn't exist (null,
+    not error: the schema-drift contract). The oracle computes the same
+    aggregates DIRECTLY from the base columns, so the equality proves
+    the whole encode→parse→shred pipeline is lossless and exactly
+    typed, not merely self-consistent. Money rides as integer cents
+    inside the document — JSON doubles would destroy exactness.
+
+    Why this matters at 100 TB: ``get_json_object`` re-tokenizes the
+    string for every path (P paths = P parses); a variant column parses
+    once and every ``variant_get`` is a binary-offset walk, and with
+    Parquet variant shredding the typed paths land as their own column
+    chunks — predicate pushdown over semi-structured data. All
+    row-local projection: zero shuffle before the final census.
+    """
+    ev = table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    doc = F.to_json(
+        F.struct(
+            F.struct(F.col("event_type").alias("type")).alias("meta"),
+            F.array(cents, k).alias("vals"),
+            (cents % 2 == 0).alias("flag"),
+        )
+    )
+    v = F.parse_json(doc)
+    shredded = ev.select(
+        F.variant_get(v, "$.meta.type", "string").alias("event_type"),
+        F.variant_get(v, "$.vals[0]", "bigint").alias("cents"),
+        F.variant_get(v, "$.vals[1]", "bigint").alias("k"),
+        F.variant_get(v, "$.flag", "boolean").alias("flag"),
+        F.try_variant_get(v, "$.not_there", "bigint").alias("missing"),
+    )
+    return (
+        shredded.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.sum(F.col("flag").cast("bigint")).cast("bigint").alias("n_flagged"),
+            F.count_if(F.col("missing").isNull()).cast("bigint").alias(
+                "n_missing_null"
+            ),
+        )
+        .orderBy("event_type")
+    )
