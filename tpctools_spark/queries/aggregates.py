@@ -1169,3 +1169,138 @@ def agg_grouping_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("prio").cast("bigint").alias("is_total"),
         F.count(F.lit(1)).alias("n_orders"),
     ).select("prio", "is_total", "n_orders")
+
+
+# Fixed-grid histogram sketch: bucket width 2^14 cents ($163.84). The
+# bucket id is a pure function of the VALUE, so per-partition histograms
+# merge by adding counts — the mergeability approx_percentile gets from
+# its KLL sketch, here with a deterministic, engine-independent answer
+# (error bound = one bucket width, by construction).
+_HGQ_WIDTH = 1 << 14
+
+
+def _histogram_quantile_sql() -> str:
+    return f"""
+    WITH c AS (
+      SELECT o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    hist AS (
+      SELECT o_orderstatus, cents // {_HGQ_WIDTH} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM c GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT o_orderstatus, bucket, cnt,
+             SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY bucket)
+               AS cum,
+             SUM(cnt) OVER (PARTITION BY o_orderstatus) AS n
+      FROM hist
+    ),
+    edges AS (
+      SELECT o_orderstatus, CAST(MAX(n) AS BIGINT) AS n_rows,
+             MIN(CASE WHEN cum * 100 >= n * 50 THEN bucket END)
+               * {_HGQ_WIDTH} AS p50_edge_cents,
+             MIN(CASE WHEN cum * 100 >= n * 90 THEN bucket END)
+               * {_HGQ_WIDTH} AS p90_edge_cents,
+             MIN(CASE WHEN cum * 100 >= n * 99 THEN bucket END)
+               * {_HGQ_WIDTH} AS p99_edge_cents
+      FROM cum GROUP BY o_orderstatus
+    ),
+    exact AS (
+      SELECT o_orderstatus,
+             quantile_disc(cents, 0.50) AS e50,
+             quantile_disc(cents, 0.90) AS e90,
+             quantile_disc(cents, 0.99) AS e99
+      FROM c GROUP BY o_orderstatus
+    )
+    SELECT e.o_orderstatus, g.n_rows,
+           g.p50_edge_cents, g.p90_edge_cents, g.p99_edge_cents,
+           (e.e50 >= g.p50_edge_cents
+              AND e.e50 < g.p50_edge_cents + {_HGQ_WIDTH}
+            AND e.e90 >= g.p90_edge_cents
+              AND e.e90 < g.p90_edge_cents + {_HGQ_WIDTH}
+            AND e.e99 >= g.p99_edge_cents
+              AND e.e99 < g.p99_edge_cents + {_HGQ_WIDTH}) AS bound_ok
+    FROM edges g JOIN exact e ON g.o_orderstatus = e.o_orderstatus
+    ORDER BY e.o_orderstatus
+    """
+
+
+@query("agg_histogram_quantile", oracle=_histogram_quantile_sql())
+def agg_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-grid quantile sketch with a DETERMINISTIC answer
+    — the third point of the percentile triangle: `agg_percentile` is
+    exact but needs the values, `agg_approx_percentile` is bounded-
+    memory but engine-specific; this is bounded-memory AND engine-
+    independent, because the "sketch" is a value-keyed histogram.
+
+    Bucket = cents div 2^14: a pure function of the value, so per-
+    partition histograms merge by adding counts (map-side combine IS
+    the merge), state is value-domain-bounded (never data-sized), and
+    the quantile answer — the lower edge of the first bucket whose
+    cumulative count crosses ceil(q·n), integer cross-multiplied — is
+    identical on every engine with error ≤ one bucket width by
+    construction. The in-query `bound_ok` audit proves that bound
+    against the exact discrete percentile on both engines. The
+    cumulative window partitions by group over the DOMAIN-bounded
+    histogram, never over raw rows — at 100 TB rows stream through the
+    combine; only ≤(groups × buckets) rows reach the window.
+    """
+    from pyspark.sql.window import Window
+
+    c = table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    hist = c.groupBy(
+        "o_orderstatus", F.expr(f"cents div {_HGQ_WIDTH}").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    wk = Window.partitionBy("o_orderstatus")
+    cum = hist.select(
+        "o_orderstatus",
+        "bucket",
+        F.sum("cnt").over(wk.orderBy("bucket")).alias("cum"),
+        F.sum("cnt").over(wk).alias("n"),
+    )
+    def edge(q100: int):
+        return (
+            F.min(
+                F.when(F.col("cum") * 100 >= F.col("n") * q100, F.col("bucket"))
+            )
+            * _HGQ_WIDTH
+        )
+    edges = cum.groupBy("o_orderstatus").agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        edge(50).alias("p50_edge_cents"),
+        edge(90).alias("p90_edge_cents"),
+        edge(99).alias("p99_edge_cents"),
+    )
+    exact = c.groupBy("o_orderstatus").agg(
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY cents)").alias("e50"),
+        F.expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY cents)").alias("e90"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY cents)").alias("e99"),
+    )
+    within = lambda e, p: (F.col(e) >= F.col(p)) & (  # noqa: E731
+        F.col(e) < F.col(p) + _HGQ_WIDTH
+    )
+    return (
+        edges.join(exact, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "n_rows",
+            "p50_edge_cents",
+            "p90_edge_cents",
+            "p99_edge_cents",
+            (
+                within("e50", "p50_edge_cents")
+                & within("e90", "p90_edge_cents")
+                & within("e99", "p99_edge_cents")
+            ).alias("bound_ok"),
+        )
+        .orderBy("o_orderstatus")
+    )
