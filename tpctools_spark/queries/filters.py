@@ -124,6 +124,13 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # documented cap, identical in both engines.
 _POIS1_CDF_1E6 = [367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989]
 _BOOT_REPS = 8
+# Mixing prime for the (key, rep) draw. An affine map alone
+# (k·A + rep·B mod 1e6) would make one row's B replicate draws a
+# LATTICE — perfectly correlated, so the replicate spread understates
+# the true resampling variance. The quadratic round (h² mod P) is
+# nonlinear in rep, decorrelating replicates while staying exact
+# bigint arithmetic in both engines (h < P ≈ 1e9 ⇒ h² < 1e18 fits).
+_BOOT_P = 1_000_000_007
 
 
 def _poisson_bootstrap_sql() -> str:
@@ -137,12 +144,17 @@ def _poisson_bootstrap_sql() -> str:
                AS cents
       FROM orders
     ),
-    draws AS (
+    mixed AS (
       SELECT r.rep, b.cents,
-             (b.o_orderkey * 2654435761 + (r.rep + 1) * 96431) % 1000000
-               AS u
+             (b.o_orderkey * 2654435761 + (r.rep + 1) * 96431)
+               % {_BOOT_P} AS h
       FROM base b, (SELECT unnest(generate_series(0, {_BOOT_REPS - 1}))
                     AS rep) r
+    ),
+    draws AS (
+      SELECT rep, cents, ((h * h % {_BOOT_P}) * 97 + h) % {_BOOT_P}
+               % 1000000 AS u
+      FROM mixed
     ),
     weighted AS (SELECT rep, cents, {ks} AS w FROM draws)
     SELECT rep,
@@ -168,11 +180,12 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     WEIGHTS: each row contributes to replicate r with weight k drawn
     from Poisson(1), computed row-locally, so the whole estimate is one
     explode(B) + one map-side-combinable weighted aggregation — B·P
-    partial rows shuffle, never the data. The draw is a multiplicative
-    hash of (stable key, replicate) pushed through the exact integer
-    inverse CDF (floor(CDF·1e6) thresholds), so every replicate is
-    reproducible across engines, runs, and repartitionings — no rand(),
-    no seed plumbing. Counts and cent-sums are exact integers; the mean
+    partial rows shuffle, never the data. The draw hashes (stable key,
+    replicate) through an affine-then-QUADRATIC mix mod a prime (see
+    _BOOT_P: affine alone would lattice-correlate one row's replicates)
+    and the exact integer inverse CDF (floor(CDF·1e6) thresholds), so
+    every replicate is reproducible across engines, runs, and
+    repartitionings — no rand(), no seed plumbing. Counts and cent-sums are exact integers; the mean
     is a single IEEE division of two bigints, bit-stable cross-engine.
     The spread of ``boot_mean_cents`` across the B rows IS the standard
     error a 100 TB pipeline reports without a second pass.
@@ -183,6 +196,10 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
+    h = (
+        F.col("o_orderkey") * F.lit(2654435761).cast("bigint")
+        + (F.col("rep") + 1) * 96431
+    ) % _BOOT_P
     draws = base.select(
         "cents",
         F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPS - 1))).alias("rep"),
@@ -190,9 +207,14 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "rep",
         "cents",
+        h.alias("h"),
+    ).select(
+        "rep",
+        "cents",
         (
-            (F.col("o_orderkey") * F.lit(2654435761).cast("bigint")
-             + (F.col("rep") + 1) * 96431) % 1000000
+            ((F.col("h") * F.col("h") % _BOOT_P) * 97 + F.col("h"))
+            % _BOOT_P
+            % 1000000
         ).alias("u"),
     )
     w = sum(
