@@ -610,8 +610,11 @@ def _shared_gram_counts(
     )
     # df-cap (JACCARD_DF_CAP): hash-aggregate postings per gram (map-side
     # partial → the shuffled df table is |distinct grams|, not |postings|),
-    # keep only the hot grams (tiny by construction — every row is ≥ τ
-    # docs' worth of postings), and broadcast-anti-join them away. The
+    # keep only the hot grams (the Zipf head in practice, but only
+    # bounded by |postings|/τ in the worst case — so the anti-join is
+    # UNHINTED: AQE broadcasts the hot list while it is executor-small
+    # and falls back to a shuffled anti-join when a boilerplate-heavy
+    # corpus grows it), and anti-join them away. The
     # postings never shuffle for this step; doc gram-set sizes `n` stay
     # FULL sizes so the Jaccard denominator is unaffected by the cap.
     # Counting FIRST (never collect_list on uncapped grams) keeps
@@ -623,7 +626,7 @@ def _shared_gram_counts(
         .filter(F.col("df") > JACCARD_DF_CAP)
         .select("gram")
     )
-    kept = prep.join(F.broadcast(hot), "gram", "left_anti")
+    kept = prep.join(hot, "gram", "left_anti")
     # Pair generation from the per-gram posting list (≤ JACCARD_DF_CAP
     # entries by construction): ONE postings shuffle + a row-local
     # double-explode, instead of shuffling both legs of a self-join.
@@ -967,12 +970,14 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
     )
-    # Broadcast hint: the edge-node id set is graph-sized (near-dup
-    # pairs are a small fraction of any real corpus). If a pathological
-    # corpus made it executor-memory large, drop the hint and this
-    # becomes a shuffled anti-join — still one corpus shuffle total.
+    # The edge-node id set is graph-sized (near-dup pairs are a small
+    # fraction of any real corpus) — but graph-sized still GROWS with
+    # the corpus, so the anti-join is UNHINTED: AQE broadcasts the id
+    # set while it is executor-small and switches to a shuffled
+    # anti-join (one corpus shuffle) when a duplicate-heavy corpus
+    # grows it past the threshold.
     singles = docs.join(
-        F.broadcast(labels.select("doc_id")), "doc_id", "left_anti"
+        labels.select("doc_id"), "doc_id", "left_anti"
     ).select(
         "doc_id",
         F.col("doc_id").alias("cluster_id"),
