@@ -377,9 +377,14 @@ def main() -> None:
 
     # Dedup at 100x the fixture: the capped 3-gram Jaccard detector over
     # a 50k-doc generated corpus (scaled vocabulary; planted near-dup at
-    # every 7th doc). Timed warm like the registry entries; the planted
-    # recall is verified in-line — a scale point with ground truth, not
-    # just a wall time.
+    # every 7th doc). Runs the REGISTRY query verbatim over the fixture-
+    # layout corpus (like the minhash/components entries) — earlier
+    # rounds timed a hand-rolled twin that paired docs via a postings
+    # SELF-join, the exact shape dedup.py's single-postings-shuffle
+    # implementation exists to avoid, so it overstated the shipped
+    # path's cost ~3x (9.0 s vs ~3 s warm; cross-round series note in
+    # SURVEY §6). Planted recall is verified in-line — a scale point
+    # with ground truth, not just a wall time.
     try:
         from pyspark.sql import functions as F
 
@@ -388,62 +393,25 @@ def main() -> None:
         docs_path = os.path.join(sf1_dir, "corpus50k.parquet")
         if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
             gen_documents(spark, 50_000, parts=32, vocab_size=10_000)                .write.mode("overwrite").parquet(docs_path)
+        corpus_fix_dir = os.path.join(sf1_dir, "corpus50k_fixture")
+        docs_fix = os.path.join(corpus_fix_dir, "documents.parquet")
+        if not os.path.exists(os.path.join(docs_fix, "_SUCCESS")):
+            spark.read.parquet(docs_path).write.mode("overwrite").parquet(
+                docs_fix
+            )
 
         def _jaccard_50k() -> int:
-            d = spark.read.parquet(docs_path)
-            w = F.split(F.col("text"), " ")
-            grams = d.select(
-                "doc_id",
-                F.explode(
-                    F.transform(
-                        F.when(
-                            F.size(w) >= 3,
-                            F.sequence(F.lit(1), F.size(w) - 2),
-                        ).otherwise(F.array().cast("array<int>")),
-                        lambda k: F.concat_ws(
-                            " ",
-                            F.element_at(w, k),
-                            F.element_at(w, k + 1),
-                            F.element_at(w, k + 2),
-                        ),
-                    )
-                ).alias("gram"),
-            ).distinct()
-            capped = grams.groupBy("gram").agg(
-                F.count(F.lit(1)).alias("df")
-            ).filter(F.col("df") <= 50)
-            pruned = grams.join(capped.select("gram"), "gram")
-            sizes = grams.groupBy("doc_id").agg(
-                F.count(F.lit(1)).alias("ng")
-            )
-            a = pruned.select(F.col("doc_id").alias("da"), "gram")
-            b = pruned.select(F.col("doc_id").alias("db"), "gram")
-            cand = (
-                a.join(b, "gram")
-                .filter(F.col("da") < F.col("db"))
-                .groupBy("da", "db")
-                .agg(F.count(F.lit(1)).alias("inter"))
-            )
-            det = (
-                cand.join(
-                    sizes.select(
-                        F.col("doc_id").alias("da"), F.col("ng").alias("nga")
-                    ),
-                    "da",
-                )
-                .join(
-                    sizes.select(
-                        F.col("doc_id").alias("db"), F.col("ng").alias("ngb")
-                    ),
-                    "db",
-                )
+            n = (
+                qs["dedup_ngram_jaccard"](spark, corpus_fix_dir)
                 .filter(
-                    F.col("inter").cast("double")
-                    / (F.col("nga") + F.col("ngb") - F.col("inter"))
-                    >= 0.5
+                    (F.col("doc_b") == F.col("doc_a") + 1)
+                    & (F.col("doc_b") % 7 == 0)
                 )
+                .count()
             )
-            return det.count()
+            spark.catalog.clearCache()  # the query caches grams/pairs
+            return n
+
 
         t0 = time.perf_counter()
         _jaccard_50k()  # cold: pays codegen compile
