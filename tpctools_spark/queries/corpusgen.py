@@ -443,3 +443,32 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("decision"),
         )
     )
+
+
+def sql_docs_words(n_docs: int = _N_DOCS) -> str:
+    """DuckDB re-derivation of ``gen_documents(n_docs)`` ending in
+    ``words(i, w, fp)`` — the shared scaffold of the incremental-dedup
+    twins (batch `pipeline_incremental_dedup` above and the streaming
+    `stream_incremental_dedup` in streaming_demo). Returns CTE bodies
+    (no leading WITH) so callers can chain their own CTEs after it."""
+    return f"""
+    ids AS (SELECT unnest(range(0, {n_docs})) AS i),
+    base AS (
+      SELECT i, CASE WHEN i % 7 = 0 AND i > 0 THEN i - 1 ELSE i END AS b
+      FROM ids
+    ), prep AS (
+      SELECT i, b, ({_sql_h('b', '0')}) % 60 + 20 AS n FROM base
+    ), texted AS (
+      SELECT i,
+             CASE WHEN i % 7 = 0 AND i > 0
+                  THEN body || ' ' || ({_SQL_VOCAB})[i % {len(VOCAB)} + 1]
+                  ELSE body END AS text
+      FROM (SELECT i, b, n,
+                   array_to_string(list_transform(
+                     range(1, CAST(n AS INTEGER) + 1),
+                     p -> ({_SQL_VOCAB})[({_sql_h('b', 'p')}) % {len(VOCAB)} + 1]),
+                     ' ') AS body
+            FROM prep)
+    ), words AS (
+      SELECT i, string_split(text, ' ') AS w, md5(text) AS fp FROM texted
+    )"""

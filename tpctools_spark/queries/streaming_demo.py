@@ -840,3 +840,191 @@ def stream_approx_distinct_window(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("int")
         .alias("approx_ok"),
     )
+
+
+def _stream_incr_dedup_sql() -> str:
+    """Oracle for the STREAMING incremental dedup: identical shape to
+    pipeline_incremental_dedup's, except the df-cap is computed over
+    the CORPUS postings only — the production semantics, since at
+    ingest time the standing index's document frequencies are all the
+    admitter has (the batch twin caps over corpus+batch because it
+    sees both at once)."""
+    from tpctools_spark.queries.corpusgen import sql_docs_words
+
+    return f"""
+    WITH {sql_docs_words()},
+    grams AS (
+      SELECT DISTINCT i AS doc_id, g AS gram
+      FROM words,
+           unnest([concat_ws(' ', w[k], w[k+1], w[k+2])
+                   for k in range(1, len(w) - 1)]) AS t(g)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS ng FROM grams GROUP BY doc_id),
+    cg AS (SELECT * FROM grams WHERE NOT (doc_id % 7 = 0 AND doc_id > 0)),
+    bg AS (SELECT * FROM grams WHERE doc_id % 7 = 0 AND doc_id > 0),
+    capped AS (SELECT gram FROM cg GROUP BY gram HAVING COUNT(*) <= 50),
+    pc AS (SELECT c.doc_id, c.gram FROM cg c JOIN capped USING (gram)),
+    pb AS (SELECT b.doc_id, b.gram FROM bg b JOIN capped USING (gram)),
+    exact_hit AS (
+      SELECT DISTINCT b.i AS doc_id
+      FROM words b JOIN words c ON b.fp = c.fp
+      WHERE b.i % 7 = 0 AND b.i > 0 AND NOT (c.i % 7 = 0 AND c.i > 0)
+    ),
+    near_hit AS (
+      SELECT DISTINCT a.doc_id
+      FROM pb a JOIN pc c ON a.gram = c.gram
+      JOIN sizes sa ON sa.doc_id = a.doc_id
+      JOIN sizes sc ON sc.doc_id = c.doc_id
+      GROUP BY a.doc_id, c.doc_id, sa.ng, sc.ng
+      HAVING CAST(COUNT(*) AS DOUBLE)
+             / (sa.ng + sc.ng - COUNT(*)) >= 0.5
+    )
+    SELECT i AS doc_id,
+           CASE WHEN i IN (SELECT doc_id FROM exact_hit) THEN 'exact_dup'
+                WHEN i IN (SELECT doc_id FROM near_hit) THEN 'near_dup'
+                ELSE 'accept' END AS decision
+    FROM ids WHERE i % 7 = 0 AND i > 0
+    ORDER BY doc_id
+    """
+
+
+def _doc_grams(d: DataFrame) -> DataFrame:
+    """doc_id → distinct 3-gram rows (row-local explode, no shuffle)."""
+    w = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.when(
+                        F.size(w) >= 3, F.sequence(F.lit(1), F.size(w) - 2)
+                    ).otherwise(F.array().cast("array<int>")),
+                    lambda k: F.concat_ws(
+                        " ",
+                        F.element_at(w, k),
+                        F.element_at(w, k + 1),
+                        F.element_at(w, k + 2),
+                    ),
+                )
+            )
+        ).alias("gram"),
+    )
+
+
+@query("stream_incremental_dedup", oracle=_stream_incr_dedup_sql())
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup as a CONTINUOUS admission stream: incoming
+    documents arrive in micro-batches and each batch is probed against
+    the standing corpus index built ONCE — the streaming form of
+    `pipeline_incremental_dedup`, which is how a 100 TB ingest pipeline
+    actually runs (per-ingest admission, never full re-dedup).
+
+    The decision for a document depends only on (document, standing
+    index) — batch-internal pairs are excluded by design — so the
+    result is INVARIANT to how the stream is micro-batched; the drain
+    here forces 4 separate batches (maxFilesPerTrigger=1) and the
+    output still equals the one-shot oracle. The index's df-cap is
+    computed over CORPUS postings only (at ingest time the standing
+    index's document frequencies are all the admitter has) — the one
+    deliberate semantic difference from the batch twin, encoded in
+    both engines. Each foreachBatch probe is ingest-sized: exact
+    fingerprint semi-join, then batch-postings × corpus-postings on the
+    shared gram key — the cached standing index (postings, sizes,
+    fingerprints; corpus-bounded) serves every batch without recompute.
+    """
+    import os
+
+    from tpctools_spark.generate_corpus import gen_documents
+    from tpctools_spark.queries.scans import _scratch_dir
+
+    docs = gen_documents(spark, 500)
+    is_batch = (F.col("doc_id") % 7 == 0) & (F.col("doc_id") > 0)
+    corpus = docs.filter(~is_batch)
+    incoming = docs.filter(is_batch)
+
+    # Standing index: postings pruned by the corpus-only df-cap, per-doc
+    # gram counts, and exact fingerprints. Cached — the static side of
+    # every micro-batch probe.
+    cg = _doc_grams(corpus)
+    capped = (
+        cg.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 50)
+        .select("gram")
+        .cache()
+    )
+    pc = (
+        cg.join(capped, "gram")
+        .select(F.col("doc_id").alias("cd"), "gram")
+        .cache()
+    )
+    sizes_c = (
+        cg.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("ngc"))
+        .select(F.col("doc_id").alias("cd"), "ngc")
+        .cache()
+    )
+    fps_c = corpus.select(F.md5("text").alias("fp")).distinct().cache()
+
+    stage = _scratch_dir("incrdedup")
+    in_dir = os.path.join(stage, "in")
+    out_dir = os.path.join(stage, "out")
+    incoming.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(
+        in_dir
+    )
+
+    def _admit(bdf: DataFrame, batch_id: int) -> None:
+        bg = _doc_grams(bdf)
+        sizes_b = bg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ngb"))
+        pb = bg.join(capped, "gram").select(
+            F.col("doc_id").alias("bd"), "gram"
+        )
+        near = (
+            pb.join(pc, "gram")
+            .groupBy("bd", "cd")
+            .agg(F.count(F.lit(1)).alias("inter"))
+            .join(sizes_b.select(F.col("doc_id").alias("bd"), "ngb"), "bd")
+            .join(sizes_c, "cd")
+            .filter(
+                F.col("inter").cast("double")
+                / (F.col("ngb") + F.col("ngc") - F.col("inter"))
+                >= 0.5
+            )
+            .select(F.col("bd").alias("doc_id"))
+            .distinct()
+            .withColumn("near", F.lit(1))
+        )
+        exact = (
+            bdf.select("doc_id", F.md5("text").alias("fp"))
+            .join(fps_c, "fp", "left_semi")
+            .select("doc_id")
+            .withColumn("ex", F.lit(1))
+        )
+        (
+            bdf.select("doc_id")
+            .join(exact, "doc_id", "left")
+            .join(near, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("ex") == 1, "exact_dup")
+                .when(F.col("near") == 1, "near_dup")
+                .otherwise("accept")
+                .alias("decision"),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", os.path.join(stage, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select("doc_id", "decision").orderBy(
+        "doc_id"
+    )
