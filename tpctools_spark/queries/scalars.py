@@ -684,3 +684,93 @@ def scalar_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_BIGMAX = 9223372036854775807
+
+
+@query(
+    "scalar_try_arith",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents,
+             o_custkey % 5 AS div5,
+             o_orderkey % 2 AS odd,
+             o_orderpriority AS pri
+      FROM orders
+    ),
+    tried AS (
+      SELECT o_orderstatus,
+             CASE WHEN div5 = 0 THEN NULL
+                  ELSE CAST(cents AS DOUBLE) / div5 END AS d,
+             CASE WHEN odd = 1 THEN NULL ELSE {_BIGMAX} END AS a,
+             TRY_CAST(pri AS INTEGER) AS c,
+             str_split(pri, '-')[3] AS e
+      FROM base
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(d) AS BIGINT) AS n_div_null,
+           CAST(SUM(CAST(floor(d) AS BIGINT)) AS BIGINT) AS div_floor_sum,
+           CAST(COUNT(*) - COUNT(a) AS BIGINT) AS n_add_null,
+           CAST(COUNT(*) - COUNT(c) AS BIGINT) AS n_cast_null,
+           CAST(COUNT(*) - COUNT(e) AS BIGINT) AS n_elem_null
+    FROM tried
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``try_*`` ANSI-safe arithmetic family: division by zero,
+    bigint overflow, failed string→int cast, and out-of-bounds array
+    access each yield NULL instead of a runtime error.
+
+    Under ANSI mode (Spark 4's default, and the external driver's) a
+    single bad row kills the whole job — ``try_divide`` / ``try_add``
+    / ``try_cast`` / ``try_element_at`` are the row-local escape
+    hatches that keep a 100 TB job alive through dirty data while
+    staying auditable: this census counts exactly which rows nulled
+    out, per status. The oracle emulates each failure condition
+    explicitly (CASE for the division/overflow, DuckDB's native
+    TRY_CAST and out-of-bounds list access for the rest), so NULL
+    semantics match bit-for-bit. The overflow probe adds to
+    LONG_MAX on odd keys — real overflow trials, not a mock.
+    """
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        (F.col("o_custkey") % 5).alias("div5"),
+        (F.col("o_orderkey") % 2).alias("odd"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    tried = base.select(
+        "o_orderstatus",
+        F.try_divide(F.col("cents"), F.col("div5")).alias("d"),
+        F.try_add(F.lit(_BIGMAX), F.col("odd")).alias("a"),
+        F.expr("try_cast(pri AS INT)").alias("c"),
+        F.try_element_at(F.split("pri", "-"), F.lit(3)).alias("e"),
+    )
+    cnt = F.count(F.lit(1)).cast("bigint")
+    return (
+        tried.groupBy("o_orderstatus")
+        .agg(
+            cnt.alias("n_rows"),
+            (cnt - F.count("d")).cast("bigint").alias("n_div_null"),
+            # Per-row floor THEN integer sum: the raw double quotients
+            # would sum order-dependently; floor(d) is exact (< 2^53)
+            # and bigint addition is associative, so the aggregate is
+            # partition-order-invariant on both engines.
+            F.sum(F.floor("d").cast("bigint")).cast("bigint").alias(
+                "div_floor_sum"
+            ),
+            (cnt - F.count("a")).cast("bigint").alias("n_add_null"),
+            (cnt - F.count("c")).cast("bigint").alias("n_cast_null"),
+            (cnt - F.count("e")).cast("bigint").alias("n_elem_null"),
+        )
+        .orderBy("o_orderstatus")
+    )
