@@ -562,3 +562,87 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carried.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", nearest.alias("nearest_error_id")
     )
+
+
+@query(
+    "join_interval_grid",
+    oracle="""
+    WITH iv AS (
+      SELECT event_id AS iv_id, user_id AS iv_user,
+             epoch_us(ts) AS s, epoch_us(ts) + 900000000 AS e
+      FROM events WHERE event_type = 'error'
+    ),
+    pts AS (
+      SELECT event_id AS p_id, epoch_us(ts) AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT iv_user,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT iv_id) AS BIGINT) AS n_windows_hit,
+           CAST(MIN(p_id) AS BIGINT) AS first_purchase_id
+    FROM iv JOIN pts ON p_ts >= s AND p_ts < e
+    GROUP BY iv_user
+    """,
+)
+def join_interval_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join with NO natural equi key, made
+    shuffle-joinable by grid bucketing — each error event opens a
+    15-minute outage window and we count the purchases (by ANY user)
+    that fall inside it.
+
+    The scale pattern (IP-range lookups, point-in-window attribution,
+    genomic interval overlap): a pure range join between two fact-sized
+    sides is a broadcast-nested-loop blowup. Instead, time is cut into
+    fixed 10-minute grid cells; every interval is replicated to each
+    cell it overlaps (≤ 3 here, bounded by window/cell), every point
+    maps to exactly ONE cell, and the join becomes an equi-join on the
+    manufactured cell key with the containment predicate as a residual.
+    Because a point has a single cell, each (interval, point) pair can
+    match at most one interval replica — no post-join dedup. One
+    shuffle on the cell key, partial aggregation on top; AQE splits any
+    hot cell. The oracle states the same join declaratively
+    (DuckDB's IEJoin handles fixture scale).
+
+    Completes the banding family: ``join_range_bucketed`` pairs
+    points with points (symmetric proximity, probe exploded to 2
+    cells), ``join_spatial_grid`` does it in 2-D; this one is the
+    asymmetric interval×point containment case, where only the
+    interval side replicates and its fan-out is ⌈window/cell⌉+1 —
+    the knob that trades replication against residual-filter
+    selectivity when windows are much wider than the grid.
+    """
+    cell_us = 600 * 1_000_000  # 10-minute grid cells
+    win_us = 900 * 1_000_000  # 15-minute outage windows
+    ev = table(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("iv_id"),
+        F.col("user_id").alias("iv_user"),
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(win_us)).alias("e"),
+    )
+    # Replicate intervals to every overlapped cell; DIV keeps the cell
+    # arithmetic in exact integer space (micros never round-trip
+    # through double). Half-open [s, e) ⇒ last cell is (e-1) DIV cell.
+    iv_cells = iv.withColumn(
+        "cell",
+        F.explode(
+            F.sequence(
+                F.expr(f"s DIV {cell_us}"), F.expr(f"(e - 1) DIV {cell_us}")
+            )
+        ),
+    )
+    pts = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.unix_micros("ts").alias("p_ts"),
+        F.expr(f"unix_micros(ts) DIV {cell_us}").alias("cell"),
+    )
+    return (
+        iv_cells.join(pts, "cell")
+        .filter((F.col("p_ts") >= F.col("s")) & (F.col("p_ts") < F.col("e")))
+        .groupBy("iv_user")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("iv_id").alias("n_windows_hit"),
+            F.min("p_id").alias("first_purchase_id"),
+        )
+    )

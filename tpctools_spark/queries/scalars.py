@@ -774,3 +774,52 @@ def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "scalar_regex",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '([a-z]+)', 1))) AS BIGINT)
+             AS total_words,
+           CAST(SUM(length(regexp_replace(text, '[aeiou]', '', 'g'))) AS BIGINT)
+             AS devoweled_chars,
+           CAST(SUM(CASE WHEN regexp_matches(text, 'merge|join') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_relational,
+           MIN(regexp_extract(text, '^([a-z]+)', 1)) AS min_first_word
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-expression scalar census over the document corpus:
+    token extraction (``regexp_extract_all``), global substitution
+    (``regexp_replace``), boolean match (``rlike``), and anchored
+    single-group extraction (``regexp_extract``), aggregated per
+    language.
+
+    All four run inside whole-stage codegen on the JVM — the regex is
+    compiled once per task, not per row, so the scan stays
+    CPU-streaming at 100 TB with no Python in the loop. Patterns are
+    kept to the RE2-safe subset (character classes, alternation,
+    anchors — no backreferences or lookaround) so Java and DuckDB
+    regex dialects agree by construction; counts and lengths are
+    integer-exact.
+    """
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.regexp_extract_all("text", F.lit("([a-z]+)"), 1)))
+        .cast("bigint")
+        .alias("total_words"),
+        F.sum(F.length(F.regexp_replace("text", "[aeiou]", "")))
+        .cast("bigint")
+        .alias("devoweled_chars"),
+        F.sum(F.col("text").rlike("merge|join").cast("int"))
+        .cast("bigint")
+        .alias("n_relational"),
+        F.min(F.regexp_extract("text", "^([a-z]+)", 1)).alias(
+            "min_first_word"
+        ),
+    )
