@@ -823,3 +823,83 @@ def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_first_word"
         ),
     )
+
+
+@query(
+    "scalar_sql_script",
+    oracle="""
+    WITH RECURSIVE steps AS (
+      SELECT 0 AS k, CAST(100 AS BIGINT) AS thr
+      UNION ALL
+      SELECT k + 1, (thr * 3) // 2 FROM steps WHERE k < 60
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+    counted AS (
+      SELECT s.k, s.thr,
+             CAST(SUM(CASE WHEN o.o_totalprice > s.thr THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_above
+      FROM steps s CROSS JOIN orders o
+      GROUP BY s.k, s.thr
+    )
+    SELECT c.thr AS tail_threshold,
+           c.n_above AS n_tail_orders,
+           t.n AS n_orders
+    FROM counted c, tot t
+    WHERE c.n_above * 20 <= t.n
+    ORDER BY c.k
+    LIMIT 1
+    """,
+)
+def scalar_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (SQL/PSM control flow, Spark 4): a BEGIN…END
+    block with DECLAREd session variables, scalar-subquery SET, and a
+    WHILE loop that keeps distributed jobs in the loop body — finds
+    the smallest threshold in the ×1.5 escalation ladder whose strict
+    tail holds ≤ 5% of orders.
+
+    The procedural-driver pattern at scale: only SCALARS live in
+    script variables (thr, two counts); every loop iteration is a full
+    distributed aggregation, so the driver never holds data — the
+    script replaces the PySpark-side ``while`` loop + ``collect()``
+    with engine-managed control flow, portable to any SQL client. The
+    iteration count is O(log max/start) ≈ 22, each a counted scan
+    (at 100 TB you'd maintain a one-off price histogram instead and
+    read the ladder off it — same answer, one scan).
+
+    The oracle unrolls the loop declaratively: a recursive CTE builds
+    the exact integer ladder (BIGINT floor-division each step, so both
+    engines walk identical thresholds), one cross-join aggregation
+    counts every rung at once, and the first rung meeting the exit
+    condition is the script's fixed point (the tail count is
+    monotone non-increasing in thr, so first-in-order = the WHILE
+    exit). Everything integer-exact.
+    """
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_script_v")
+    prev = spark.conf.get("spark.sql.scripting.enabled", "false")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        # Script execution (parse + control flow) happens inside this
+        # sql() call; only the final SELECT's result comes back lazy,
+        # and it references nothing conf-dependent.
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE thr BIGINT DEFAULT 100;
+              DECLARE n_total BIGINT;
+              DECLARE n_above BIGINT;
+              SET n_total = (SELECT COUNT(*) FROM orders_script_v);
+              SET n_above = (SELECT COUNT(*) FROM orders_script_v
+                             WHERE o_totalprice > thr);
+              WHILE n_above * 20 > n_total DO
+                SET thr = (thr * 3) DIV 2;
+                SET n_above = (SELECT COUNT(*) FROM orders_script_v
+                               WHERE o_totalprice > thr);
+              END WHILE;
+              SELECT thr AS tail_threshold,
+                     n_above AS n_tail_orders,
+                     n_total AS n_orders;
+            END
+            """
+        )
+    finally:
+        spark.conf.set("spark.sql.scripting.enabled", prev)
