@@ -13,7 +13,7 @@ downstream consumer the engine exists to feed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tpctools_spark.catalog import table
@@ -279,4 +279,96 @@ def feature_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").alias("hi_cents"),
         )
         .orderBy("bucket")
+    )
+
+
+@query(
+    "feature_mutual_info",
+    oracle="""
+    WITH feats AS (
+      SELECT 'hour_bucket' AS feature, hour(ts) // 6 AS bucket,
+             event_type AS label FROM events
+      UNION ALL
+      SELECT 'value_band', CAST(floor(value) AS BIGINT) // 100, event_type
+      FROM events
+      UNION ALL
+      SELECT 'user_band', user_id % 8, event_type FROM events
+    ),
+    joint AS (
+      SELECT feature, bucket, label, CAST(COUNT(*) AS BIGINT) AS c_xy
+      FROM feats GROUP BY feature, bucket, label
+    ),
+    marg AS (
+      SELECT feature, bucket, label, c_xy,
+             SUM(c_xy) OVER (PARTITION BY feature) AS n,
+             SUM(c_xy) OVER (PARTITION BY feature, bucket) AS c_x,
+             SUM(c_xy) OVER (PARTITION BY feature, label) AS c_y
+      FROM joint
+    )
+    SELECT feature,
+           CAST(floor(SUM((CAST(c_xy AS DOUBLE) / n)
+                          * ln(CAST(c_xy AS DOUBLE) * n
+                               / (CAST(c_x AS DOUBLE) * c_y)))
+                      * 1000000) AS DOUBLE) / 1000000 AS mi_nats,
+           CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM marg
+    GROUP BY feature
+    """,
+)
+def feature_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(feature; label) for three candidate
+    bucketed features against the event-type label — the
+    feature-selection screen a training pipeline runs before paying
+    for an encoding.
+
+    Shape at scale: the raw table collapses immediately to the joint
+    contingency table (one map-side-combinable groupBy whose size is
+    bucket×label cardinality, independent of row count); marginals are
+    window sums OVER the tiny joint table, never the raw data. The
+    only floating point is the final Σ p·ln(p/(pₓ·p_y)) over dozens of
+    cells — both engines sum the same terms and the result is
+    truncated at 1e-6, far above any accumulation-order noise. The
+    union-all of three projections scans events once per feature;
+    at 100 TB you'd fuse them into one pass with a grouping-sets
+    shape, traded here for per-feature clarity.
+    """
+    ev = table(spark, sf_dir, "events")
+    parts = []
+    for fname, expr in [
+        ("hour_bucket", F.expr("hour(ts) DIV 6")),
+        ("value_band", F.expr("CAST(floor(value) AS BIGINT) DIV 100")),
+        ("user_band", F.col("user_id") % 8),
+    ]:
+        parts.append(
+            ev.select(
+                F.lit(fname).alias("feature"),
+                expr.cast("bigint").alias("bucket"),
+                F.col("event_type").alias("label"),
+            )
+        )
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    joint = u.groupBy("feature", "bucket", "label").agg(
+        F.count(F.lit(1)).alias("c_xy")
+    )
+    w_n = Window.partitionBy("feature")
+    w_x = Window.partitionBy("feature", "bucket")
+    w_y = Window.partitionBy("feature", "label")
+    marg = joint.select(
+        "feature",
+        "bucket",
+        "c_xy",
+        F.sum("c_xy").over(w_n).alias("n"),
+        F.sum("c_xy").over(w_x).alias("c_x"),
+        F.sum("c_xy").over(w_y).alias("c_y"),
+    )
+    term = (F.col("c_xy").cast("double") / F.col("n")) * F.log(
+        F.col("c_xy").cast("double")
+        * F.col("n")
+        / (F.col("c_x").cast("double") * F.col("c_y"))
+    )
+    return marg.groupBy("feature").agg(
+        trunc_digits(F.sum(term), 6).alias("mi_nats"),
+        F.countDistinct("bucket").alias("n_buckets"),
+        F.count(F.lit(1)).alias("n_cells"),
     )

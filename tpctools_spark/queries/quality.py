@@ -1155,3 +1155,76 @@ def quality_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "quality_join_size_profile",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY o_orderkey
+    ),
+    l AS (
+      SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    prof AS (
+      SELECT o.k, o.c * l.c AS contrib FROM o JOIN l ON o.k = l.k
+    )
+    SELECT CAST(SUM(contrib) AS BIGINT) AS join_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_matched_keys,
+           CAST(MAX(contrib) AS BIGINT) AS max_key_rows,
+           CAST(MIN(k) FILTER (WHERE contrib =
+                (SELECT MAX(contrib) FROM prof)) AS BIGINT) AS heaviest_key,
+           CAST((SELECT COUNT(*) FROM o) - COUNT(*) AS BIGINT)
+             AS n_left_only_keys,
+           CAST((SELECT COUNT(*) FROM l) - COUNT(*) AS BIGINT)
+             AS n_right_only_keys
+    FROM prof
+    """,
+)
+def quality_join_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join pre-flight: the EXACT output cardinality and skew profile
+    of orders⋈lineitem on the order key — computed WITHOUT running the
+    join, from per-side key histograms.
+
+    The 100 TB habit this encodes: before launching a fact⋈fact
+    shuffle, join the two key profiles (each a map-side-combinable
+    groupBy that is orders of magnitude smaller than its input) and
+    read off Σ c_left·c_right — the true join size — plus the single
+    heaviest key's contribution, the number you compare against a
+    task's memory budget to decide between plain shuffle, AQE skew
+    split, or salting. The profile join itself shuffles only distinct
+    keys. Matched/left-only/right-only key counts double as
+    referential-integrity telemetry. All arithmetic is integer-exact.
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    oc = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c_o")
+    )
+    lc = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c_l")
+    )
+    # One full-outer join of the two compact profiles carries matched
+    # AND unmatched keys into a single final aggregation — no separate
+    # driver-side .count() actions, one shuffle on the key.
+    both = oc.join(lc, "k", "full_outer")
+    matched = F.col("c_o").isNotNull() & F.col("c_l").isNotNull()
+    contrib = F.when(matched, F.col("c_o") * F.col("c_l"))
+    return both.agg(
+        F.sum(contrib).cast("bigint").alias("join_rows"),
+        F.count(contrib).alias("n_matched_keys"),
+        F.max(contrib).cast("bigint").alias("max_key_rows"),
+        F.max_by(
+            "k", F.struct(contrib.alias("c"), (-F.col("k")).alias("nk"))
+        )
+        .cast("bigint")
+        .alias("heaviest_key"),
+        F.sum(F.col("c_l").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_left_only_keys"),
+        F.sum(F.col("c_o").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_right_only_keys"),
+    )

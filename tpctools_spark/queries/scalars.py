@@ -903,3 +903,54 @@ def scalar_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+@query(
+    "scalar_param_sql",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS band_cents
+    FROM orders
+    WHERE o_totalprice >= 50000 AND o_totalprice < 250000
+    GROUP BY o_orderpriority
+    """,
+)
+def scalar_param_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-SQL surface census: named parameter markers
+    (``spark.sql(..., args=...)``), injection-safe dynamic identifiers
+    (``IDENTIFIER(:tbl)``), a session variable (``DECLARE VARIABLE``),
+    and ``EXECUTE IMMEDIATE ... USING`` — the four Spark 4 primitives
+    a templated reporting layer builds on instead of f-string SQL.
+
+    The band edges travel as real bound parameters (typed, never
+    string-spliced — the plan cache can reuse across bindings and
+    injection is impossible by construction); the table name goes
+    through IDENTIFIER so it is validated as an identifier, not
+    inlined. The inner statement is itself dispatched via EXECUTE
+    IMMEDIATE with a positional marker bound from a session variable —
+    dynamic SQL two levels deep, zero string concatenation of values.
+    The oracle is the same query with the bindings inlined as
+    constants; money is summed in integer cents.
+    """
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_param_v")
+    spark.sql("DECLARE OR REPLACE VARIABLE band_lo_v DOUBLE DEFAULT 50000.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE band_hi_v DOUBLE DEFAULT 250000.0")
+    # A statement may use positional OR named markers, never both — so
+    # the inner statement is all-positional (?s bound by the USING
+    # list) and the outer is all-named (:stmt, :tbl). The table name
+    # flows outer named arg → USING → inner IDENTIFIER(?).
+    inner = (
+        "SELECT o_orderpriority, "
+        "COUNT(*) AS n_orders, "
+        "SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) "
+        "  AS band_cents "
+        "FROM IDENTIFIER(?) "
+        "WHERE o_totalprice >= ? AND o_totalprice < ? "
+        "GROUP BY o_orderpriority"
+    )
+    return spark.sql(
+        "EXECUTE IMMEDIATE :stmt USING :tbl, band_lo_v, band_hi_v",
+        args={"stmt": inner, "tbl": "orders_param_v"},
+    )
