@@ -363,3 +363,102 @@ def reshape_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("last_ts_us"),
         "n_ops",
     )
+
+
+@query(
+    "reshape_snapshot_diff",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn_all,
+             CASE WHEN ts < TIMESTAMP '2024-01-29' THEN
+               ROW_NUMBER() OVER (PARTITION BY user_id,
+                                  (ts < TIMESTAMP '2024-01-29')
+                                  ORDER BY ts DESC, event_id DESC)
+             END AS rn_v1
+      FROM events
+    ),
+    st AS (
+      SELECT user_id,
+             MAX(CASE WHEN rn_v1 = 1 AND event_type <> 'error'
+                      THEN event_id END) AS v1_id,
+             MAX(CASE WHEN rn_all = 1 AND event_type <> 'error'
+                      THEN event_id END) AS v2_id
+      FROM ranked
+      GROUP BY user_id
+    ),
+    classed AS (
+      SELECT user_id,
+             CASE
+               WHEN v1_id IS NULL AND v2_id IS NOT NULL THEN 'insert'
+               WHEN v1_id IS NOT NULL AND v2_id IS NULL THEN 'delete'
+               WHEN v1_id = v2_id THEN 'unchanged'
+               ELSE 'update'
+             END AS change
+      FROM st
+      WHERE v1_id IS NOT NULL OR v2_id IS NOT NULL
+    )
+    SELECT change,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(user_id) AS BIGINT) AS key_checksum
+    FROM classed
+    GROUP BY change
+    """,
+)
+def reshape_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff → change feed: materialize TWO versions of the
+    keyed state (the compacted event log as of Jan 29 and as of
+    end-of-log, error rows = delete tombstones) and classify every key
+    as insert / update / delete / unchanged — the inverse of
+    ``reshape_cdc_compact`` (which folds a change feed INTO a
+    snapshot), and the engine-level shape of Delta CDF's
+    "diff two table versions" read.
+
+    The scale trick: both versions come from ONE scan and ONE shuffle
+    — a single groupBy(key) computes two conditional ``max_by``
+    states (the v1 aggregate just carries a time-cutoff FILTER), so
+    the diff never joins two materialized snapshots. At 100 TB that
+    halves the IO and removes the join entirely; the classification
+    is a per-key scalar CASE. Tombstone semantics make 'delete' a
+    real class: a key whose latest row is an error exists in neither
+    snapshot (dropped) or only in v1 (deleted since the cutoff).
+    """
+    ev = table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-29").cast("timestamp")
+    ordkey = F.struct(F.col("ts"), F.col("event_id"))
+    payload = F.struct(F.col("event_id"), F.col("event_type"))
+    live = F.col("event_type") != "error"
+    st = ev.groupBy("user_id").agg(
+        F.max_by(
+            F.when(F.col("ts") < cutoff, payload),
+            F.when(F.col("ts") < cutoff, ordkey),
+        ).alias("s1"),
+        F.max_by(payload, ordkey).alias("s2"),
+    )
+    v1 = F.when(F.col("s1.event_type") != "error", F.col("s1.event_id"))
+    v2 = F.when(F.col("s2.event_type") != "error", F.col("s2.event_id"))
+    classed = (
+        st.select(
+            "user_id", v1.alias("v1_id"), v2.alias("v2_id")
+        )
+        .filter(F.col("v1_id").isNotNull() | F.col("v2_id").isNotNull())
+        .select(
+            "user_id",
+            F.when(
+                F.col("v1_id").isNull() & F.col("v2_id").isNotNull(),
+                F.lit("insert"),
+            )
+            .when(
+                F.col("v1_id").isNotNull() & F.col("v2_id").isNull(),
+                F.lit("delete"),
+            )
+            .when(F.col("v1_id") == F.col("v2_id"), F.lit("unchanged"))
+            .otherwise(F.lit("update"))
+            .alias("change"),
+        )
+    )
+    return classed.groupBy("change").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("user_id").cast("bigint").alias("key_checksum"),
+    )
