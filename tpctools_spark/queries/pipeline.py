@@ -834,3 +834,83 @@ def pipeline_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_leaking_users"))
     )
     return census.crossJoin(F.broadcast(leak))
+
+
+@query(
+    "pipeline_length_batches",
+    oracle="""
+    WITH ranked AS (
+      SELECT n_chars // 200 AS bucket, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY n_chars // 200
+                                ORDER BY n_chars, doc_id) AS rn
+      FROM documents
+    ),
+    batched AS (
+      SELECT bucket, (rn - 1) // 32 AS batch, n_chars
+      FROM ranked
+    ),
+    per_batch AS (
+      SELECT bucket, batch,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MAX(n_chars) AS BIGINT) AS mx,
+             CAST(SUM(n_chars) AS BIGINT) AS tot
+      FROM batched GROUP BY bucket, batch
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(n * mx) AS BIGINT) AS padded_chars,
+           CAST(SUM(n * mx - tot) AS BIGINT) AS wasted_chars
+    FROM per_batch
+    GROUP BY bucket
+    """,
+)
+def pipeline_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly: group documents into
+    length-similar batches of 32 and account for the padding each
+    batch pays up to its own max length — the packing discipline that
+    keeps a trainer's padded-token waste low (a random batch pays the
+    global max; a length-sorted batch pays its neighborhood's).
+
+    Scale shape: ranks come from the two-pass distributed
+    ``_util.global_rank`` over the total order (bucket, length, id) —
+    never a per-bucket single-partition window, which would funnel a
+    fifth of the corpus through one task (buckets are few and huge at
+    100 TB). The per-bucket rank is the global rank minus the
+    bucket's start offset (a broadcast-joined groupBy min — one tiny
+    exchange). Batch membership, padded and wasted char counts are
+    then pure integer arithmetic, aggregated per bucket. The oracle
+    states the same assembly with a plain partitioned window.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        F.expr("n_chars DIV 200").alias("bucket"), "n_chars", "doc_id"
+    )
+    ranked = global_rank(d, ["bucket", "n_chars", "doc_id"], rn="rn")
+    starts = ranked.groupBy(F.col("bucket").alias("b")).agg(
+        F.min("rn").alias("start_rn")
+    )
+    batched = (
+        ranked.join(
+            F.broadcast(starts), ranked.bucket == F.col("b")
+        )
+        .select(
+            "bucket",
+            "n_chars",
+            ((F.col("rn") - F.col("start_rn")) / 32)
+            .cast("bigint")
+            .alias("batch"),
+        )
+    )
+    per_batch = batched.groupBy("bucket", "batch").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("n_chars").cast("bigint").alias("mx"),
+        F.sum("n_chars").cast("bigint").alias("tot"),
+    )
+    return per_batch.groupBy("bucket").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_batches"),
+        F.sum(F.col("n") * F.col("mx")).cast("bigint").alias("padded_chars"),
+        F.sum(F.col("n") * F.col("mx") - F.col("tot"))
+        .cast("bigint")
+        .alias("wasted_chars"),
+    )

@@ -659,3 +659,58 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 2
         ).alias("total_value"),
     )
+
+
+@query(
+    "sink_parquet_bloom",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(event_id) AS BIGINT) AS first_event,
+           CAST(MAX(event_id) AS BIGINT) AS last_event
+    FROM events
+    WHERE user_id IN (7, 23, 41)
+    GROUP BY user_id
+    """,
+)
+def sink_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet bloom-filter write + point-lookup read: the row-group
+    skipping mechanism for point predicates on HIGH-cardinality
+    UNSORTED columns — exactly where min/max stats are useless
+    (a scattered user_id spans the full domain in every row group, so
+    `sink_sorted_stats_prune`'s clustering trick can't help without
+    re-sorting the table for that one column).
+
+    The write enables bloom filters via the per-write
+    `parquet.bloom.filter.enabled` writer option (scoped to this
+    write, not session state; this build ignores the per-column
+    `#column` variant, so the projection is narrowed to the three
+    lookup-relevant columns first). Readers then test `user_id = k`
+    membership against each row group's filter and skip groups that
+    cannot match — IO proportional to the hit count, not the table.
+    The fixture file is a single row group, so the value here is the
+    verified write surface + lossless round-trip (oracle) + the size
+    assertion in tests/test_round12_ops.py proving filters are
+    physically present; the skipping payoff is a production-row-group
+    phenomenon. Default NDV sizing is tuned for production row groups
+    and inflates tiny files — acceptable for a demo, tune
+    expected-NDV in real tables.
+    """
+    out = _scratch_dir("bloom")
+    path = os.path.join(out, "events_bloom")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    (
+        ev.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled", "true")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(
+        F.col("user_id").isin(7, 23, 41)
+    )
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
