@@ -147,3 +147,32 @@ def test_sql_script_fixed_point_satisfies_exit_condition(spark):
     if prev is not None:
         n_prev = o.filter(F.col("o_totalprice") > prev).count()
         assert n_prev * 20 > n
+
+
+def test_tar_shards_bytes_are_reproducible(spark):
+    """Two runs must produce byte-identical shard files (mtime pinned,
+    members sorted) — the property that makes shard artifacts
+    content-addressable and cache-friendly."""
+    import glob
+    import hashlib
+    import os
+
+    from tpctools_spark.queries import scans
+
+    def digest_run():
+        before = set(glob.glob(os.path.join(scans._SCRATCH, "tar-shards*")))
+        spark_queries()["multimodal_tar_shards"](spark, SF).collect()
+        (new,) = (
+            set(glob.glob(os.path.join(scans._SCRATCH, "tar-shards*")))
+            - before
+        )
+        out = {}
+        for f in sorted(glob.glob(os.path.join(new, "*.tar"))):
+            out[os.path.basename(f)] = hashlib.sha256(
+                open(f, "rb").read()
+            ).hexdigest()
+        return out
+
+    a = digest_run()
+    b = digest_run()
+    assert a == b and a

@@ -11,6 +11,8 @@ partitioning) is real and tested.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -486,4 +488,110 @@ def multimodal_arrow_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return docs.mapInArrow(
         batches, "doc_id bigint, n_bytes bigint, min_byte bigint, max_byte bigint"
+    )
+
+
+@query(
+    "multimodal_tar_shards",
+    oracle="""
+    SELECT doc_id // 100 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS payload_bytes,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM documents
+    GROUP BY doc_id // 100
+    """,
+)
+def multimodal_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style tar sharding, round-tripped: pack each block of
+    100 documents into one POSIX tar shard (an ``applyInPandas``
+    writer, one tar per key group), then re-discover the shards with a
+    ``binaryFile`` scan and re-parse every member with a stdlib
+    ``tarfile`` reader inside ``mapInPandas`` — the storage layout
+    multimodal training loaders (WebDataset et al.) stream, where
+    thousands of small media files become sequential-IO shards.
+
+    The plumbing is the point and all of it is real: grouped Arrow
+    batches on the write side (each group materializes one shard —
+    bounded by the shard size, not the table), opaque-binary ingestion
+    plus per-batch member parsing on the read side, shard id recovered
+    from the filename. Payloads are the documents' UTF-8 bytes
+    standing in for media blobs (same pattern as multimodal_decode's
+    stub contract). At scale the scratch dir is an object-store
+    prefix; shard size (100 members) is the knob balancing loader
+    parallelism against per-object overhead. The oracle states the
+    invariant the round-trip must preserve: every member accounted
+    for, byte-for-byte sizes, per shard.
+    """
+    import pandas as pd
+
+    from tpctools_spark.queries.scans import _scratch_dir
+
+    out = _scratch_dir("tar-shards")
+
+    def write_shards(key, pdf):
+        import io
+        import os
+        import tarfile
+
+        (shard,) = key
+        pdf = pdf.sort_values("doc_id")
+        path = os.path.join(out, f"shard-{shard:06d}.tar")
+        n = 0
+        total = 0
+        with tarfile.open(path, "w") as tf:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = text.encode("utf-8")
+                info = tarfile.TarInfo(name=f"{doc_id}.txt")
+                info.size = len(payload)
+                info.mtime = 0  # deterministic shard bytes
+                tf.addfile(info, io.BytesIO(payload))
+                n += 1
+                total += len(payload)
+        return pd.DataFrame({"shard": [shard], "n": [n], "b": [total]})
+
+    d = table(spark, sf_dir, "documents").select(
+        F.expr("doc_id DIV 100").alias("shard"), "doc_id", "text"
+    )
+    # The in-group sort (pandas-side, bounded by shard size) makes
+    # member order — and therefore shard bytes — reproducible.
+    written = d.groupBy("shard").applyInPandas(
+        write_shards, "shard long, n long, b long"
+    )
+    written.count()  # materialize the shard files before scanning them
+
+    def parse_members(batch_iter):
+        import io
+        import os
+        import tarfile
+
+        for pdf in batch_iter:
+            shards, names, sizes = [], [], []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                shard = int(
+                    os.path.basename(path).removeprefix("shard-").removesuffix(".tar")
+                )
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
+                    for m in tf.getmembers():
+                        shards.append(shard)
+                        names.append(m.name)
+                        sizes.append(m.size)
+            yield pd.DataFrame(
+                {"shard": shards, "member": names, "n_bytes": sizes}
+            )
+
+    files = spark.read.format("binaryFile").load(os.path.join(out, "*.tar"))
+    members = files.select("path", "content").mapInPandas(
+        parse_members, "shard long, member string, n_bytes long"
+    )
+    return members.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("n_bytes").cast("bigint").alias("payload_bytes"),
+        F.min(F.regexp_extract("member", r"^([0-9]+)", 1).cast("bigint")).alias(
+            "first_doc"
+        ),
+        F.max(F.regexp_extract("member", r"^([0-9]+)", 1).cast("bigint")).alias(
+            "last_doc"
+        ),
     )
