@@ -125,6 +125,16 @@ HEADLINE = [
     "pipeline_quality_filter_gopher",
     "stream_static_enrich",
     "sink_sorted_stats_prune",
+    # Round-12 group: the banded interval join, join pre-flight
+    # profiling, regex census, MI feature screen, batch assembly,
+    # snapshot diff, and the tar-shard roundtrip.
+    "join_interval_grid",
+    "quality_join_size_profile",
+    "scalar_regex",
+    "feature_mutual_info",
+    "pipeline_length_batches",
+    "reshape_snapshot_diff",
+    "multimodal_tar_shards",
 ]
 
 # Driver-facing compact line keys: the stdout tail capture is ~2000

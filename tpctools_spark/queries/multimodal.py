@@ -581,7 +581,11 @@ def multimodal_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"shard": shards, "member": names, "n_bytes": sizes}
             )
 
-    files = spark.read.format("binaryFile").load(os.path.join(out, "*.tar"))
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(out)
+    )
     members = files.select("path", "content").mapInPandas(
         parse_members, "shard long, member string, n_bytes long"
     )
