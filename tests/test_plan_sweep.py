@@ -68,11 +68,11 @@ _SIDE_EFFECTING_PREFIXES = (
 # BNLJ is acceptable ONLY when the broadcast side is constant-size by
 # construction (one row, a probe vector, K centroids, scalar brackets).
 _BNLJ_ALLOWED = {
-    "agg_approx_topk",
+    "agg_approx_topk",  # one-row sketch-vs-exact top-K array spines (collected aggregates)
     "agg_bitmap_overlap",  # event-type-vocabulary² pair spine (t_a < t_b self-join)
     "agg_rfm_segments",  # one-row anchor-date + quartile-cutoff broadcasts
-    "agg_hll_sketch_union",
-    "events_ab_ttest",
+    "agg_hll_sketch_union",  # one-row merged-sketch estimate broadcast vs the exact census
+    "events_ab_ttest",  # two one-row cohort-stat aggregates crossed (1 x 1)
     "events_dau_wau",  # calendar-sized day spine broadcast into the 7-day range join
     "events_survival_km",  # one-row MAX(day) observation-end anchor broadcast
     "events_decay_score",  # one-row MAX(ts) anchor broadcast
@@ -86,28 +86,28 @@ _BNLJ_ALLOWED = {
     "mining_basket_lift",  # one-row n_orders total broadcast into the lift ratios (mining.py:86)
     "pipeline_curriculum_order",  # one-row quartile-cutpoint broadcast
     "pipeline_dedup_funnel",  # three one-row stage-count broadcasts (funnel row)
-    "pipeline_mix_weights",
+    "pipeline_mix_weights",  # one-row corpus-totals broadcast into per-source shares
     "pipeline_time_split",  # one-row time-cut + leak-count broadcasts
-    "quality_benford_digits",
+    "quality_benford_digits",  # one-row total broadcast into the 9-digit census
     "quality_referential_integrity",  # one-row per-edge rowcount broadcasts
     "quality_ks_test",  # one-row (n1, n2) cohort-totals broadcast
     "sim_cosine_topk",  # one-row probe-vector broadcast into the scan (similarity.py:99)
-    "sim_cosine_topk_ivf",
+    "sim_cosine_topk_ivf",  # one-row probe vector + nprobe-row top-cells broadcasts
     "sim_ivf_recall",  # composes the two probe-broadcast retrievals
     "sim_ivf_nprobe_curve",  # probe broadcast on every sweep leg
     "sim_pq_recall",  # one-row probe-vector broadcast on the exact side
     "sim_matryoshka_eval",  # one-row probe broadcast on both retrieval legs
-    "sim_cosine_topk_quantized",
-    "sim_knn_join",
-    "text_bigram_lm",
+    "sim_cosine_topk_quantized",  # one-row quantized probe-vector broadcast
+    "sim_knn_join",  # K-centroid broadcast (constant K) scoring the probe side
+    "text_bigram_lm",  # one-row vocabulary-size V aggregate broadcast (mining.py:990)
     "text_bm25_search",  # one-row (N, avgdl) corpus-stats broadcast
     "text_hybrid_rrf",  # composes the bm25 + cosine probe-broadcast legs
-    "tpcds_q14_cross_channel_intersect",
+    "tpcds_q14_cross_channel_intersect",  # one-row cross-channel avg-sales scalar anchor
     "tpcds_q24_color_basket_above_avg",  # one-row (all_cents, n_cells) totals broadcast
-    "tpcds_q23_frequent_best",
-    "tpcds_q9_quantity_brackets",
-    "tpch_q11_important_stock",
-    "tpch_q22_global_sales_opportunity",
+    "tpcds_q23_frequent_best",  # one-row best-customer-threshold scalar anchors
+    "tpcds_q9_quantity_brackets",  # one-row bracket-average scalar subqueries (spec shape)
+    "tpch_q11_important_stock",  # one-row global value-threshold scalar anchor (spec shape)
+    "tpch_q22_global_sales_opportunity",  # one-row global avg-balance scalar anchor (spec shape)
 }
 
 # Unpartitioned (empty partition spec) windows are acceptable ONLY over
