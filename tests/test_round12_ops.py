@@ -176,3 +176,32 @@ def test_tar_shards_bytes_are_reproducible(spark):
     a = digest_run()
     b = digest_run()
     assert a == b and a
+
+
+def test_round12_ops_are_partitioning_invariant(spark):
+    """Results must not depend on the shuffle-partition count —
+    the property that makes max_by tie-breaking (snapshot diff),
+    two-pass global ranks (length batches), and the banded join's
+    cell replication safe to run on any cluster layout."""
+    names = [
+        "reshape_snapshot_diff",
+        "pipeline_length_batches",
+        "join_interval_grid",
+        "feature_mutual_info",
+    ]
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for n_part in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", n_part)
+            for name in names:
+                rows = sorted(
+                    tuple(r)
+                    for r in spark_queries()[name](spark, SF).collect()
+                )
+                results.setdefault(name, []).append(rows)
+            spark.catalog.clearCache()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    for name, (a, b) in results.items():
+        assert a == b, name
