@@ -72,6 +72,7 @@ _BNLJ_ALLOWED = {
     "agg_bitmap_overlap",  # event-type-vocabulary² pair spine (t_a < t_b self-join)
     "agg_rfm_segments",  # one-row anchor-date + quartile-cutoff broadcasts
     "agg_hll_sketch_union",  # one-row merged-sketch estimate broadcast vs the exact census
+    "agg_kmv_intersect",  # one-row (m, union-kth, exact) aggregates crossed; k-hash sketch joins
     "events_ab_ttest",  # two one-row cohort-stat aggregates crossed (1 x 1)
     "events_dau_wau",  # calendar-sized day spine broadcast into the 7-day range join
     "events_survival_km",  # one-row MAX(day) observation-end anchor broadcast

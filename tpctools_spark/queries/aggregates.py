@@ -1304,3 +1304,139 @@ def agg_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "agg_kmv_intersect",
+    oracle="""
+    WITH hashed AS (
+      SELECT DISTINCT
+             CASE WHEN event_type = 'purchase' THEN 'a' ELSE 'b' END AS s,
+             (user_id * 654435761 + 97) % 1000000007 AS h
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    tagged AS (
+      SELECT s, h FROM hashed
+      UNION ALL
+      SELECT DISTINCT 'u' AS s, h FROM hashed
+    ),
+    ranked AS (
+      SELECT s, h,
+             ROW_NUMBER() OVER (PARTITION BY s ORDER BY h) AS r
+      FROM tagged
+    ),
+    kept AS (SELECT s, h FROM ranked WHERE r <= 16),
+    union_k AS (
+      SELECT COUNT(*) AS n_kept, MAX(h) AS kth FROM kept WHERE s = 'u'
+    ),
+    common AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m
+      FROM kept u
+      JOIN kept a ON a.s = 'a' AND a.h = u.h
+      JOIN kept b ON b.s = 'b' AND b.h = u.h
+      WHERE u.s = 'u'
+    ),
+    exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_common
+      FROM (SELECT h FROM hashed WHERE s = 'a'
+            INTERSECT
+            SELECT h FROM hashed WHERE s = 'b')
+    )
+    SELECT m AS n_common_sample,
+           CASE WHEN n_kept < 16 THEN CAST(n_kept AS DOUBLE)
+                ELSE CAST(floor(15.0 * 1000000007 / kth * 100) AS DOUBLE)
+                     / 100
+           END AS union_est,
+           CASE WHEN n_kept < 16 THEN CAST(m AS DOUBLE)
+                ELSE CAST(floor((m * 15.0 * 1000000007)
+                                / (16.0 * kth) * 100) AS DOUBLE) / 100
+           END AS intersect_est,
+           exact_common
+    FROM union_k, common, exact
+    """,
+)
+def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set algebra — the intersection estimate
+    ``agg_kmv_sketch``'s docstring promises: purchase-users ∩
+    click-users from three k=16 sketches (A, B, and the merged
+    union), never from the raw sets.
+
+    The estimator is the textbook one: the union sketch's k smallest
+    hashes are a uniform sample of A∪B, so the fraction m/k of them
+    present in BOTH per-set sketches estimates Jaccard, and
+    |A∩B| ≈ (m/k)·NDV_est(A∪B) with NDV_est = (k−1)·P/h_k. Everything
+    is derived from the repo's deterministic 2-universal hash, so the
+    oracle re-derives identical sketches and checks the ESTIMATE
+    exactly; the exact intersection rides along for calibration.
+    Sketch membership joins touch ≤ 3k rows. Scale: per-set state is
+    k hashes (mergeable map-side); the union sketch merges the two
+    k-heaps — constant memory however large the sets, the whole point
+    of sketch set algebra at 100 TB.
+    """
+    from pyspark.sql.window import Window
+
+    k = 16
+    p = 1_000_000_007
+    h = (F.col("user_id") * 654_435_761 + 97) % p
+    hashed = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            F.when(F.col("event_type") == "purchase", F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("s"),
+            h.alias("h"),
+        )
+        .distinct()
+    )
+    tagged = hashed.unionByName(
+        hashed.select(F.lit("u").alias("s"), "h").distinct()
+    )
+    w = Window.partitionBy("s").orderBy("h")
+    kept = tagged.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= k
+    )
+    union_k = kept.filter(F.col("s") == "u").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("kth")
+    )
+    ka = kept.filter(F.col("s") == "a").select(F.col("h").alias("ha"))
+    kb = kept.filter(F.col("s") == "b").select(F.col("h").alias("hb"))
+    common = (
+        kept.filter(F.col("s") == "u")
+        .join(F.broadcast(ka), F.col("h") == F.col("ha"))
+        .join(F.broadcast(kb), F.col("h") == F.col("hb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    exact = (
+        hashed.groupBy("h")
+        .agg(F.countDistinct("s").alias("ns"))
+        .filter(F.col("ns") == 2)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_common"))
+    )
+    small = F.col("n_kept") < k
+    return (
+        common.crossJoin(F.broadcast(union_k))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.col("m").alias("n_common_sample"),
+            F.when(small, F.col("n_kept").cast("double"))
+            .otherwise(
+                F.floor(
+                    F.lit(float(k - 1)) * p / F.col("kth") * 100
+                ).cast("double")
+                / 100
+            )
+            .alias("union_est"),
+            F.when(small, F.col("m").cast("double"))
+            .otherwise(
+                F.floor(
+                    (F.col("m") * float(k - 1) * p)
+                    / (float(k) * F.col("kth"))
+                    * 100
+                ).cast("double")
+                / 100
+            )
+            .alias("intersect_est"),
+            "exact_common",
+        )
+    )
