@@ -1228,3 +1228,182 @@ def quality_join_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_right_only_keys"),
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_fdr_bh — Benjamini–Hochberg step-up over exact Chebyshev bounds
+
+_FDR_S = 100_000_000  # p-values live on this fixed integer scale
+_FDR_ALPHA_INV = 20  # α = 0.05 → p ≤ i/(20·m) ⟺ 20·m·p_q ≤ i·S
+
+
+def _fdr_bh_from(base: DataFrame) -> DataFrame:
+    """BH step-up over per-segment Chebyshev p-bounds; ``base`` must
+    have (segment STRING, cents BIGINT). Shared by the registered query
+    and the planted-shift property test."""
+    from pyspark.sql.window import Window
+
+    dec = "decimal(38,0)"
+    c = F.col("cents").cast(dec)
+    seg = base.groupBy("segment").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"), F.sum(c).alias("s")
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast(dec).alias("nn"),
+        F.sum(c).alias("t"),
+        F.sum(c * c).alias("u"),
+    )
+    # Spark's `div` ALWAYS returns BIGINT — even on DECIMAL operands —
+    # and silently WRAPS when the true quotient exceeds int64 in a
+    # non-ANSI session. So every quotient here is VALUE-bounded by
+    # construction (milli-cent means ≤ 10⁸, milli-cent² moments
+    # ≤ 2.5·10¹⁵ for cents ≤ 10⁵), never row-count-dependent; the big
+    # numerators stay DECIMAL(38,0) where width is honest.
+    scored = seg.crossJoin(tot).select(
+        "segment",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("s * 1000 div n").alias("mu_i"),
+        F.expr("s * 1000 div n - t * 1000 div nn").alias("d"),
+        F.expr(
+            "u * 1000000 div nn - (t * 1000 div nn) * (t * 1000 div nn)"
+        ).alias("v"),
+    )
+    p = (
+        F.when(F.col("d") == 0, F.lit(_FDR_S))
+        .when(F.expr(f"cast(v as {dec}) >= cast(n as {dec}) * d * d"), F.lit(_FDR_S))
+        .otherwise(
+            F.expr(f"cast(v as {dec}) * {_FDR_S} div (cast(n as {dec}) * d * d)")
+        )
+        .cast("bigint")
+    )
+    pvals = scored.select(
+        "segment",
+        F.col("n").alias("n_rows"),
+        F.col("mu_i").cast("bigint").alias("mean_millicents"),
+        p.alias("p_scaled"),
+    )
+    w = Window.orderBy("p_scaled", "segment")
+    ranked = pvals.select(
+        "*",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("m"),
+    )
+    cutoff = ranked.agg(
+        F.max(
+            F.when(
+                F.col("p_scaled") * _FDR_ALPHA_INV * F.col("m")
+                <= F.col("rnk") * _FDR_S,
+                F.col("rnk"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("k_rej")
+    )
+    return (
+        ranked.crossJoin(cutoff)
+        .select(
+            "segment",
+            "n_rows",
+            "mean_microcents",
+            "p_scaled",
+            "rnk",
+            (F.col("rnk") <= F.col("k_rej")).alias("rejected"),
+        )
+        .orderBy("rnk")
+    )
+
+
+@query(
+    "quality_fdr_bh",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type || ':' ||
+               CAST(COALESCE(CAST(props->>'$.k' AS BIGINT), -1) % 10
+                    AS VARCHAR) AS segment,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    seg AS (
+      SELECT segment, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS s
+      FROM base GROUP BY segment
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS nn,
+             CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS t,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS u
+      FROM base
+    ),
+    scored AS (
+      SELECT segment, n,
+             s * 1000000 // n AS mu_i,
+             s * 1000000 // n - t * 1000000 // nn AS d,
+             u * 1000000000000 // nn
+               - (t * 1000000 // nn) * (t * 1000000 // nn) AS v
+      FROM seg, tot
+    ),
+    pvals AS (
+      SELECT segment, CAST(n AS BIGINT) AS n_rows,
+             CAST(mu_i AS BIGINT) AS mean_microcents,
+             CAST(CASE WHEN d = 0 THEN {_FDR_S}
+                       WHEN v >= n * d * d THEN {_FDR_S}
+                       ELSE v * {_FDR_S} // (n * d * d) END AS BIGINT)
+               AS p_scaled
+      FROM scored
+    ),
+    ranked AS (
+      SELECT segment, n_rows, mean_microcents, p_scaled,
+             CAST(ROW_NUMBER() OVER (ORDER BY p_scaled, segment) AS BIGINT)
+               AS rnk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM pvals
+    ),
+    cutoff AS (
+      SELECT MAX(CASE WHEN p_scaled * {_FDR_ALPHA_INV} * m <= rnk * {_FDR_S}
+                      THEN rnk ELSE 0 END) AS k_rej
+      FROM ranked
+    )
+    SELECT segment, n_rows, mean_microcents, p_scaled, rnk,
+           rnk <= k_rej AS rejected
+    FROM ranked, cutoff
+    ORDER BY rnk
+    """,
+)
+def quality_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR step-up over per-segment mean-shift
+    tests — the multiple-testing control a production drift monitor
+    needs once it watches hundreds of segments at once (testing 50
+    segments at α=0.05 yields ~2.5 false alarms per run uncorrected).
+
+    Each (event_type × props.k mod 10) segment tests "segment mean
+    value ≠ global mean". The p-value is the exact Chebyshev bound
+    p ≤ σ²/(n·δ²) — conservative but DISTRIBUTION-FREE and computable
+    in pure integer arithmetic on a fixed scale (micro-cents, p on
+    scale 1e8), so the entire decision — sort, rank, step-up cutoff
+    k = max{i : p₍ᵢ₎ ≤ i·α/m} — is bit-identical in both engines: no
+    erf, no FP tail areas, no truncation boundaries. On the uniform
+    fixtures every segment correctly ACCEPTS (Chebyshev at these n
+    rejects only real shifts); the planted-shift property test drives
+    the rejection path (tests/test_new_round_ops.py).
+
+    Scale posture: one scan → per-segment (n, Σcents) + one global
+    (N, T, ΣcentscentsT) moment row (map-side combinable); everything
+    after runs on the ≤55-row domain-bounded segment census (the
+    unpartitioned rank window rides that census, never data-sized —
+    plan-sweep allowlisted like the KS cent-grid). All intermediates
+    bounded in DECIMAL(38,0)/HUGEINT up to 10¹² rows/segment with
+    cents ≤ 10⁵: u·10¹² ≤ 2.5·10³³, n·d² ≤ 2.5·10³³ — no overflow
+    path; quotients only materialize when v < n·d² so they fit BIGINT
+    by construction.
+    """
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    base = ev.select(
+        F.concat_ws(
+            ":",
+            F.col("event_type"),
+            (F.coalesce(k, F.lit(-1)) % 10).cast("string"),
+        ).alias("segment"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return _fdr_bh_from(base)

@@ -954,3 +954,152 @@ def scalar_param_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         "EXECUTE IMMEDIATE :stmt USING :tbl, band_lo_v, band_hi_v",
         args={"stmt": inner, "tbl": "orders_param_v"},
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar_ipaddr_cidr — IPv4 arithmetic + longest-prefix-match CIDR census
+
+# (prefix_len, 2^(32-prefix_len)) — the lens that appear in _CIDR_RULES.
+# Expanding each address into one candidate per rule length turns
+# longest-prefix matching into a plain EQUI-join (len, net) — the
+# standard trick for CIDR joins at scale (candidates per row = |lens|,
+# a constant, never |rules|).
+_CIDR_LENS = ((0, 1 << 32), (4, 1 << 28), (8, 1 << 24), (12, 1 << 20), (16, 1 << 16))
+# (rule, len, net >> (32-len)) — overlapping on purpose: 10.64.0.0/12
+# nests inside 10.0.0.0/8 so the longest-prefix tie-break is exercised.
+_CIDR_RULES = (
+    ("default", 0, 0),
+    ("mcast4", 4, 224 >> 4),
+    ("net10", 8, 10),
+    ("net10-hi", 12, (10 << 4) | 4),  # 10.64.0.0/12
+    ("rfc1918-172", 12, (172 << 4) | 1),  # 172.16.0.0/12
+    ("rfc1918-192168", 16, (192 << 8) | 168),
+)
+
+
+def _ipaddr_oracle() -> str:
+    lens = ", ".join(f"({ln}, {dvr})" for ln, dvr in _CIDR_LENS)
+    rules = ", ".join(f"('{r}', {ln}, {net})" for r, ln, net in _CIDR_RULES)
+    return f"""
+    WITH ips AS (
+      SELECT event_id,
+             CAST(CAST(event_id AS HUGEINT) * 2654435761 % 4294967296
+                  AS BIGINT) AS ip
+      FROM events
+    ),
+    quads AS (
+      SELECT event_id, ip,
+             ip // 16777216 || '.' || ip // 65536 % 256 || '.'
+               || ip // 256 % 256 || '.' || ip % 256 AS dotted
+      FROM ips
+    ),
+    parsed AS (
+      SELECT event_id, ip, dotted,
+             CAST(string_split(dotted, '.')[1] AS BIGINT) * 16777216
+               + CAST(string_split(dotted, '.')[2] AS BIGINT) * 65536
+               + CAST(string_split(dotted, '.')[3] AS BIGINT) * 256
+               + CAST(string_split(dotted, '.')[4] AS BIGINT) AS reparsed
+      FROM quads
+    ),
+    lens(plen, dvr) AS (VALUES {lens}),
+    rules(rule, plen, net) AS (VALUES {rules}),
+    matched AS (
+      SELECT p.event_id, p.ip, p.dotted, p.reparsed, r.rule, r.plen
+      FROM parsed p
+      JOIN lens l ON TRUE
+      JOIN rules r ON r.plen = l.plen AND r.net = p.ip // l.dvr
+    ),
+    best AS (
+      SELECT event_id, ip, dotted, reparsed,
+             max_by(rule, plen) AS rule, MAX(plen) AS plen
+      FROM matched
+      GROUP BY event_id, ip, dotted, reparsed
+    )
+    SELECT rule, plen,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT ip) AS BIGINT) AS n_ips,
+           MIN(dotted) AS min_ip_str,
+           CAST(SUM(CASE WHEN reparsed <> ip THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_parse_err
+    FROM best
+    GROUP BY rule, plen
+    ORDER BY rule
+    """
+
+
+@query("scalar_ipaddr_cidr", oracle=_ipaddr_oracle())
+def scalar_ipaddr_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 address arithmetic and longest-prefix-match CIDR
+    classification — the network-log analytics primitives (format,
+    parse, prefix containment) as pure integer/string expressions.
+
+    Addresses derive deterministically from ``event_id`` (no IP column
+    in the fixtures) via a Knuth multiplicative hash in DECIMAL so the
+    product never overflows BIGINT at any event_id. Each address is
+    formatted to a dotted quad, re-parsed back to a 32-bit integer
+    (the census proves the roundtrip: ``n_parse_err`` is 0), then
+    matched against a CIDR rule table.
+
+    Scale posture: longest-prefix match is NOT a theta join here — each
+    address expands into one ``(len, ip >> (32-len))`` candidate per
+    distinct rule length (a constant ≤ 5, via ``stack``), and the rule
+    table equi-joins on ``(len, net)``. Candidates scale as rows·|lens|,
+    the rule table broadcasts (constant-size literal), and the
+    longest-match winner is one ``max_by`` per address — no per-rule
+    scans, no range predicates, whole-stage codegen end to end.
+    """
+    ip = (
+        (F.col("event_id").cast("decimal(38,0)") * 2654435761)
+        % F.lit(4294967296).cast("decimal(38,0)")
+    ).cast("bigint")
+    ips = table(spark, sf_dir, "events").select("event_id", ip.alias("ip"))
+    dotted = F.concat_ws(
+        ".",
+        F.expr("ip div 16777216"),
+        F.expr("ip div 65536 % 256"),
+        F.expr("ip div 256 % 256"),
+        F.expr("ip % 256"),
+    )
+    quads = ips.select("event_id", "ip", dotted.alias("dotted"))
+    part_ = lambda i: F.split(F.col("dotted"), "[.]").getItem(i).cast("bigint")
+    parsed = quads.select(
+        "event_id",
+        "ip",
+        "dotted",
+        (
+            part_(0) * 16777216 + part_(1) * 65536 + part_(2) * 256 + part_(3)
+        ).alias("reparsed"),
+    )
+    stack_args = ", ".join(
+        f"{ln}, CAST({dvr} AS BIGINT)" for ln, dvr in _CIDR_LENS
+    )
+    cand = parsed.select(
+        "event_id",
+        "ip",
+        "dotted",
+        "reparsed",
+        F.expr(f"stack({len(_CIDR_LENS)}, {stack_args}) AS (plen, dvr)"),
+    ).withColumn("net", F.expr("ip div dvr"))
+    rules_values = ", ".join(
+        f"('{r}', {ln}, CAST({net} AS BIGINT))" for r, ln, net in _CIDR_RULES
+    )
+    rules = spark.sql(
+        f"SELECT * FROM VALUES {rules_values} AS t(rule, plen, net)"
+    )
+    best = (
+        cand.join(rules, ["plen", "net"])
+        .groupBy("event_id", "ip", "dotted", "reparsed")
+        .agg(F.max_by("rule", "plen").alias("rule"), F.max("plen").alias("plen"))
+    )
+    return (
+        best.groupBy("rule", "plen")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("ip").alias("n_ips"),
+            F.min("dotted").alias("min_ip_str"),
+            F.sum(
+                F.when(F.col("reparsed") != F.col("ip"), 1).otherwise(0)
+            ).alias("n_parse_err"),
+        )
+        .orderBy("rule")
+    )
