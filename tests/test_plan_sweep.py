@@ -73,6 +73,7 @@ _BNLJ_ALLOWED = {
     "agg_rfm_segments",  # one-row anchor-date + quartile-cutoff broadcasts
     "agg_hll_sketch_union",  # one-row merged-sketch estimate broadcast vs the exact census
     "agg_kmv_intersect",  # one-row (m, union-kth, exact) aggregates crossed; k-hash sketch joins
+    "quality_fdr_bh",  # one-row global-moment anchor × ≤55-row segment census; one-row k_rej cutoff crossed back
     "events_ab_ttest",  # two one-row cohort-stat aggregates crossed (1 x 1)
     "events_dau_wau",  # calendar-sized day spine broadcast into the 7-day range join
     "events_survival_km",  # one-row MAX(day) observation-end anchor broadcast
@@ -118,6 +119,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "events_survival_km",  # duration census — observation-window-bounded domain
     "pipeline_interleave_stride",  # rank over the 60-row TakeOrderedAndProject head
     "pipeline_weighted_sample",  # rank over the k-row TakeOrderedAndProject head
+    "quality_fdr_bh",  # BH rank over the ≤55-row (event_type×k%10) segment census
     "quality_ks_test",  # fixed cent-grid census — domain-bounded by construction
     "quality_mann_whitney",  # distinct-cents census — value-domain-bounded
     "sim_cosine_topk",  # rank over the k-row TakeOrderedAndProject head

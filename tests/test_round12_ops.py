@@ -205,3 +205,61 @@ def test_round12_ops_are_partitioning_invariant(spark):
         spark.conf.set("spark.sql.shuffle.partitions", prior)
     for name, (a, b) in results.items():
         assert a == b, name
+
+
+def test_fdr_bh_planted_shift_rejects(spark):
+    """BH step-up must REJECT a planted mean-shifted segment and
+    ACCEPT the null segments. Drives the rejection branch that the
+    uniform fixtures never hit (Chebyshev only rejects real shifts).
+
+    Construction: 9 null segments × 500 rows alternating {0, 100}
+    (mean exactly 50) and one TINY shifted segment (10 rows at the
+    documented cents cap 100_000). The shifted rows barely move the
+    pooled mean (Δ ≈ 222 cents), so each null's Chebyshev bound
+    v/(n·d²) ≈ 0.90 — accepted — while the shifted segment's
+    d ≈ 10⁸ milli-cents collapses its bound to ~2·10⁻⁴ — rejected
+    at rank 1. The pooled variance is shared, exactly as the
+    registered query computes it.
+    """
+    from tpctools_spark.queries.quality import _fdr_bh_from
+
+    rows = []
+    for g in range(9):
+        for i in range(500):
+            rows.append((f"null_{g}", 100 * (i % 2)))
+    for i in range(10):
+        rows.append(("shifted", 100_000))
+    base = spark.createDataFrame(rows, "segment string, cents bigint")
+    out = {r["segment"]: r for r in _fdr_bh_from(base).collect()}
+    assert out["shifted"]["rejected"] is True
+    assert out["shifted"]["rnk"] == 1  # smallest p sorts first
+    for g in range(9):
+        assert out[f"null_{g}"]["rejected"] is False, f"null_{g}"
+    # milli-cent means are integer-exact
+    assert out["shifted"]["mean_millicents"] == 100_000 * 1000
+    assert out["null_0"]["mean_millicents"] == 50 * 1000
+
+
+def test_components_chain_converges_logarithmically(spark):
+    """A planted 1000-link chain must converge within the loud cap —
+    and in O(log n) rounds, proving the pointer-halving step works.
+    Plain min-label propagation would need ~1000 rounds here and the
+    cap would (correctly) fire."""
+    from tpctools_spark.queries.dedup import (
+        _COMPONENTS_MAX_ROUNDS,
+        _min_label_components,
+    )
+
+    n = 1000
+    chain = [(i, i + 1) for i in range(n)]
+    sym = chain + [(b, a) for a, b in chain]
+    edges = spark.createDataFrame(sym, "src bigint, dst bigint")
+    labels, rounds = _min_label_components(edges)
+    try:
+        rows = labels.collect()
+    finally:
+        labels.unpersist()
+    assert rounds <= 25, f"chain took {rounds} rounds — halving broken?"
+    assert rounds <= _COMPONENTS_MAX_ROUNDS
+    assert len(rows) == n + 1
+    assert all(r["cluster_id"] == 0 for r in rows)

@@ -834,6 +834,100 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Loud upper bound for the components loop. With pointer halving the
+# label graph's effective diameter at least halves every round, so
+# convergence takes O(log2(longest chain)) + a small constant — 60
+# rounds covers any graph that fits in an exabyte. Hitting the cap
+# therefore means a logic regression (labels not monotone), not data:
+# fail the job rather than shuffle forever.
+_COMPONENTS_MAX_ROUNDS = 60
+
+
+def _min_label_components(
+    edges: DataFrame, max_rounds: int = _COMPONENTS_MAX_ROUNDS
+) -> tuple[DataFrame, int]:
+    """Connected components over a symmetric ``(src, dst)`` edge table
+    by min-label propagation WITH pointer halving.
+
+    Each round does (1) the neighbor step — every node adopts the min
+    label among itself and its neighbors (one edges⋈labels join + one
+    min-agg on dst) — and (2) the halving step — every label is mapped
+    through the label table again (label := label[label], one
+    graph-node-sized self-join). Step 2 is classic pointer jumping: a
+    length-d label chain shortens to ⌈d/2⌉, so adversarial chain
+    graphs converge in O(log d) rounds instead of the O(d) that plain
+    propagation needs — the guard that makes ``max_rounds`` a real
+    invariant rather than a tunable. Labels are monotone decreasing,
+    so the global SUM(label) is an exact convergence witness; driver
+    state is one scalar per round, never the labels.
+
+    Returns the converged ``(doc_id, cluster_id)`` table (left cached —
+    callers unpersist when done) and the round count. Raises
+    ``RuntimeError`` if ``max_rounds`` is exceeded.
+    """
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    # Eager localCheckpoint, not cache(): each round references the
+    # label table TWICE (neighbor step + halving lookup), so a cached
+    # lineage doubles the LOGICAL PLAN every round — by round ~10 the
+    # plan tree alone OOMs the driver. Checkpointing truncates the
+    # plan to a LogicalRDD each round; state is graph-node-sized.
+    # (Executor-local storage — on a real cluster an executor loss
+    # mid-loop fails the job rather than recomputing; acceptable for a
+    # loop whose total runtime is minutes, and restartable from the
+    # pair table.)
+    labels = nodes.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    rounds = 0
+    while True:
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"component labels not converged after {max_rounds} "
+                "rounds — monotonicity invariant broken (labels must "
+                "reach the component min in O(log diameter) rounds "
+                "under pointer halving)"
+            )
+        prop = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        stepped = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .cache()
+        )
+        # Pointer halving: label := min(label, label-of-label). Every
+        # cluster_id is itself a node id (labels start as own ids and
+        # only node-id minima propagate), so the lookup join is inner
+        # and row-preserving.
+        lut = stepped.select(
+            F.col("doc_id").alias("cid"), F.col("cluster_id").alias("cc")
+        )
+        new_labels = (
+            stepped.join(lut, stepped.cluster_id == lut.cid)
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.col("cc")).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
+        stepped.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels, rounds
+
+
 @query(
     "dedup_cluster_components",
     oracle=f"""
@@ -883,15 +977,17 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The missing last step of a dedup pipeline — pairs alone don't say
     which docs to drop when A~B~C but A≁C. Components come from
-    min-label propagation: each round every node adopts the smallest
-    label among itself and its neighbors (one shuffle per round:
-    edges ⋈ labels → min-agg on dst). Labels are monotone decreasing,
-    so the global SUM(label) is a convergence witness — the loop stops
-    when it stops falling, after O(component diameter) rounds. Near-dup
-    components have tiny diameters (dup chains, not paths), so this
-    runs 2-4 rounds at any corpus size; for adversarially long chains
-    the same loop would swap in large-star/small-star rounds.
-    Driver-side state is one scalar per round — never the labels.
+    min-label propagation WITH pointer halving (`_min_label_components`):
+    each round every node adopts the smallest label among itself and
+    its neighbors, then labels shortcut through the label table
+    (label := label[label]) — so even adversarial chain-shaped graphs
+    converge in O(log diameter) rounds, and the loud
+    `_COMPONENTS_MAX_ROUNDS` cap is a logic invariant, not a tunable
+    (chain-topology property test: tests/test_round12_ops.py).
+    Labels are monotone decreasing, so the global SUM(label) is a
+    convergence witness; near-dup components have tiny diameters, so
+    this runs 2-4 rounds on real corpora. Driver-side state is one
+    scalar per round — never the labels.
 
     Scale note: the loop runs over the PAIR GRAPH's nodes only — docs
     that appear in no near-dup pair are singletons by construction and
@@ -923,31 +1019,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toDF("src", "dst")
         .cache()
     )
-    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
-    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id")).cache()
-    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
-    while True:
-        prop = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(prop, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
-                ).alias("cluster_id"),
-            )
-            .cache()
-        )
-        cur_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    labels, _rounds = _min_label_components(edges)
     # The loop consumed edges and the shingle base fully (the final
     # labels generation is materialized in cache by its sum-agg above) —
     # release them so back-to-back multi-query sessions don't accumulate

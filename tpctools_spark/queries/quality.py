@@ -1216,8 +1216,16 @@ def quality_join_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(contrib).cast("bigint").alias("join_rows"),
         F.count(contrib).alias("n_matched_keys"),
         F.max(contrib).cast("bigint").alias("max_key_rows"),
+        # Ordering is NULL for unmatched keys, so max_by skips them
+        # (like MAX) and yields NULL when zero keys match — matching
+        # the oracle's ARG_MAX-over-empty behavior instead of letting
+        # struct null-ordering pick an arbitrary unmatched key.
         F.max_by(
-            "k", F.struct(contrib.alias("c"), (-F.col("k")).alias("nk"))
+            "k",
+            F.when(
+                matched,
+                F.struct(contrib.alias("c"), (-F.col("k")).alias("nk")),
+            ),
         )
         .cast("bigint")
         .alias("heaviest_key"),
@@ -1304,7 +1312,7 @@ def _fdr_bh_from(base: DataFrame) -> DataFrame:
         .select(
             "segment",
             "n_rows",
-            "mean_microcents",
+            "mean_millicents",
             "p_scaled",
             "rnk",
             (F.col("rnk") <= F.col("k_rej")).alias("rejected"),
@@ -1336,15 +1344,15 @@ def _fdr_bh_from(base: DataFrame) -> DataFrame:
     ),
     scored AS (
       SELECT segment, n,
-             s * 1000000 // n AS mu_i,
-             s * 1000000 // n - t * 1000000 // nn AS d,
-             u * 1000000000000 // nn
-               - (t * 1000000 // nn) * (t * 1000000 // nn) AS v
+             s * 1000 // n AS mu_i,
+             s * 1000 // n - t * 1000 // nn AS d,
+             u * 1000000 // nn
+               - (t * 1000 // nn) * (t * 1000 // nn) AS v
       FROM seg, tot
     ),
     pvals AS (
       SELECT segment, CAST(n AS BIGINT) AS n_rows,
-             CAST(mu_i AS BIGINT) AS mean_microcents,
+             CAST(mu_i AS BIGINT) AS mean_millicents,
              CAST(CASE WHEN d = 0 THEN {_FDR_S}
                        WHEN v >= n * d * d THEN {_FDR_S}
                        ELSE v * {_FDR_S} // (n * d * d) END AS BIGINT)
@@ -1352,7 +1360,7 @@ def _fdr_bh_from(base: DataFrame) -> DataFrame:
       FROM scored
     ),
     ranked AS (
-      SELECT segment, n_rows, mean_microcents, p_scaled,
+      SELECT segment, n_rows, mean_millicents, p_scaled,
              CAST(ROW_NUMBER() OVER (ORDER BY p_scaled, segment) AS BIGINT)
                AS rnk,
              CAST(COUNT(*) OVER () AS BIGINT) AS m
@@ -1363,7 +1371,7 @@ def _fdr_bh_from(base: DataFrame) -> DataFrame:
                       THEN rnk ELSE 0 END) AS k_rej
       FROM ranked
     )
-    SELECT segment, n_rows, mean_microcents, p_scaled, rnk,
+    SELECT segment, n_rows, mean_millicents, p_scaled, rnk,
            rnk <= k_rej AS rejected
     FROM ranked, cutoff
     ORDER BY rnk
@@ -1378,23 +1386,28 @@ def quality_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each (event_type × props.k mod 10) segment tests "segment mean
     value ≠ global mean". The p-value is the exact Chebyshev bound
     p ≤ σ²/(n·δ²) — conservative but DISTRIBUTION-FREE and computable
-    in pure integer arithmetic on a fixed scale (micro-cents, p on
+    in pure integer arithmetic on a fixed scale (milli-cents, p on
     scale 1e8), so the entire decision — sort, rank, step-up cutoff
     k = max{i : p₍ᵢ₎ ≤ i·α/m} — is bit-identical in both engines: no
-    erf, no FP tail areas, no truncation boundaries. On the uniform
-    fixtures every segment correctly ACCEPTS (Chebyshev at these n
-    rejects only real shifts); the planted-shift property test drives
-    the rejection path (tests/test_new_round_ops.py).
+    erf, no FP tail areas, no truncation boundaries. Milli (not
+    micro) scale is deliberate: Spark's `div` always yields BIGINT,
+    and every milli-scale quotient is value-bounded by construction
+    (mean ≤ 10⁸ milli-cents, moments ≤ 10¹⁶ milli-cents² for cents
+    ≤ 10⁵) — micro scale would push E[c²]·10¹² past int64 and wrap.
+    On the uniform fixtures every segment correctly ACCEPTS
+    (Chebyshev at these n rejects only real shifts); the
+    planted-shift property test drives the rejection path
+    (tests/test_round12_ops.py::test_fdr_bh_planted_shift_rejects).
 
     Scale posture: one scan → per-segment (n, Σcents) + one global
-    (N, T, ΣcentscentsT) moment row (map-side combinable); everything
+    (N, T, Σcents²) moment row (map-side combinable); everything
     after runs on the ≤55-row domain-bounded segment census (the
     unpartitioned rank window rides that census, never data-sized —
     plan-sweep allowlisted like the KS cent-grid). All intermediates
     bounded in DECIMAL(38,0)/HUGEINT up to 10¹² rows/segment with
-    cents ≤ 10⁵: u·10¹² ≤ 2.5·10³³, n·d² ≤ 2.5·10³³ — no overflow
-    path; quotients only materialize when v < n·d² so they fit BIGINT
-    by construction.
+    cents ≤ 10⁵: u·10⁶ ≤ 2.5·10²⁸, n·d² ≤ 2.5·10²⁸ — inside
+    DECIMAL(38,0); quotients only materialize when v < n·d² so they
+    fit BIGINT by construction.
     """
     ev = table(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
