@@ -78,8 +78,9 @@ def tpcds_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS Q4 shape: customers whose CATALOG purchases grew faster
     year-over-year than both their store and their web purchases.
 
-    Q11's year_total machinery at all three channels: six aggregate
-    legs (3 channels × 2 periods) joined on the customer key, with the
+    Q11's year_total machinery at all three channels, collapsed to
+    ONE pivoted aggregation per channel (conditional period sums —
+    3 fact scans, not the spec CTE's 6 leg instantiations), with the
     spec's full preference formula (list − wholesale − discount +
     sales). The spec halves that sum; the ÷2 is a common positive
     factor of every term in both growth comparisons, so it cancels
@@ -88,10 +89,10 @@ def tpcds_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     the generator's data: comparison windows are the 3-year periods
     1998-2000 vs 2001-2003 (single years leave the web leg too sparse
     at the materialized scale), and the formula's ~zero-mean uniforms
-    make the >0 gates live rather than vacuous. All six legs shuffle
-    on the same customer key — AQE co-partitions the self-joins; the
-    sf-scaling customer dim is unhinted (AQE decides), date_dim
-    broadcasts.
+    make the >0 gates live rather than vacuous. All three channel
+    aggregates shuffle on the same customer key — AQE co-partitions
+    the joins; the sf-scaling customer dim is unhinted (AQE decides),
+    date_dim broadcasts.
     """
     dd = F.broadcast(
         _t(spark, "date_dim").select(
@@ -100,8 +101,13 @@ def tpcds_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def year_total(
-        fact: DataFrame, cust: str, date: str, pfx: str
+    # Both periods PIVOT inside one aggregation per channel
+    # (conditional sums): 3 fact scans + 3 customer-keyed exchanges
+    # instead of the 6-leg instantiate-and-self-join form; the
+    # both-periods-present inner-join semantics survive as the NOT-NULL
+    # pair filter (a SUM over zero matching rows is NULL).
+    def period_pivot(
+        fact: DataFrame, cust: str, date: str, pfx: str, out: str
     ) -> DataFrame:
         amount = (
             (
@@ -114,31 +120,30 @@ def tpcds_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
         return (
             fact.join(dd, F.col(date) == dd.d_date_sk)
-            .groupBy(F.col(cust).alias("cust"), "period")
-            .agg(F.sum(amount).alias("cents"))
+            .groupBy(F.col(cust).alias(f"k_{out}"))
+            .agg(
+                F.sum(F.when(F.col("period") == 1, amount)).alias(f"{out}_y1"),
+                F.sum(F.when(F.col("period") == 2, amount)).alias(f"{out}_y2"),
+            )
+            .filter(
+                F.col(f"{out}_y1").isNotNull() & F.col(f"{out}_y2").isNotNull()
+            )
         )
 
-    ss = year_total(_t(spark, "store_sales"), "ss_customer_sk", "ss_sold_date_sk", "ss")
-    cs = year_total(
-        _t(spark, "catalog_sales"), "cs_bill_customer_sk", "cs_sold_date_sk", "cs"
+    ss = period_pivot(
+        _t(spark, "store_sales"), "ss_customer_sk", "ss_sold_date_sk", "ss", "store"
     )
-    ws = year_total(
-        _t(spark, "web_sales"), "ws_bill_customer_sk", "ws_sold_date_sk", "ws"
+    cs = period_pivot(
+        _t(spark, "catalog_sales"), "cs_bill_customer_sk", "cs_sold_date_sk", "cs", "cat"
     )
-
-    def leg(df: DataFrame, period: int, out: str) -> DataFrame:
-        return df.filter(F.col("period") == period).select(
-            F.col("cust").alias(f"k_{out}"), F.col("cents").alias(out)
-        )
-
+    ws = period_pivot(
+        _t(spark, "web_sales"), "ws_bill_customer_sk", "ws_sold_date_sk", "ws", "web"
+    )
     cust = _t(spark, "customer").select("c_customer_sk", "c_customer_id")
     j = (
-        cust.join(leg(ss, 1, "store_y1"), cust.c_customer_sk == F.col("k_store_y1"))
-        .join(leg(ss, 2, "store_y2"), cust.c_customer_sk == F.col("k_store_y2"))
-        .join(leg(cs, 1, "cat_y1"), cust.c_customer_sk == F.col("k_cat_y1"))
-        .join(leg(cs, 2, "cat_y2"), cust.c_customer_sk == F.col("k_cat_y2"))
-        .join(leg(ws, 1, "web_y1"), cust.c_customer_sk == F.col("k_web_y1"))
-        .join(leg(ws, 2, "web_y2"), cust.c_customer_sk == F.col("k_web_y2"))
+        cust.join(ss, cust.c_customer_sk == F.col("k_store"))
+        .join(cs, cust.c_customer_sk == F.col("k_cat"))
+        .join(ws, cust.c_customer_sk == F.col("k_web"))
     )
     return j.filter(
         (F.col("store_y1") > 0)
