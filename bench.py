@@ -163,6 +163,8 @@ COMPACT_KEYS = [
     "dedup_minhash_50k",
     "dedup_components_50k",
     "sim_ivf_50k",
+    "text_bm25_50k",
+    "sim_pq_50k",
     "gen_tpch",
     "gen_tpcds",
 ]
@@ -573,6 +575,64 @@ def main() -> None:
             errors["sim_ivf_50k"] = f"recall degraded: {recall} < 0.4"
     except Exception as exc:  # noqa: BLE001
         errors["sim_ivf_50k"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    # BM25 lexical retrieval at the same 50k-doc scale point: the
+    # registry query verbatim (filtered postings explode + broadcast
+    # stats + TakeOrdered top-k). No planted relevance truth exists for
+    # BM25, so the in-line assert pins structure: exactly TOPK ranked
+    # rows with positive scores — any postings/stat regression that
+    # empties or truncates the result set fails loudly.
+    try:
+        corpus_fix_dir = os.path.join(sf1_dir, "corpus50k_fixture")
+
+        def _bm25_50k() -> list:
+            out = qs["text_bm25_search"](spark, corpus_fix_dir).collect()
+            spark.catalog.clearCache()
+            return out
+
+        t0 = time.perf_counter()
+        _bm25_50k()  # cold: pays codegen compile
+        cold["text_bm25_50k"] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows = _bm25_50k()
+            best = min(best, time.perf_counter() - t0)
+        timings["text_bm25_50k"] = round(best, 3)
+        ranks = sorted(r["rank"] for r in rows)
+        if ranks != list(range(1, len(rows) + 1)) or not rows or any(
+            r["bm25"] <= 0 for r in rows
+        ):
+            errors["text_bm25_50k"] = f"top-k structure broken: {len(rows)} rows"
+    except Exception as exc:  # noqa: BLE001
+        errors["text_bm25_50k"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    # PQ ANN at the same 50k-vector point: the Lloyd-refined
+    # shortlist-rescore pipeline (registry query verbatim) with its
+    # recall against exact fixed-point ground truth pinned in-line —
+    # the floor that caught the original ADC-only form at 0.0 and
+    # gates any codebook/M/K/C change. Measured: 1.0 at this point.
+    try:
+        emb_fix_dir = os.path.join(sf1_dir, "emb50k_fixture")
+
+        def _pq_50k() -> float:
+            row = qs["sim_pq_recall"](spark, emb_fix_dir).collect()[0]
+            spark.catalog.clearCache()
+            return float(row["recall_at_k"])
+
+        t0 = time.perf_counter()
+        _pq_50k()  # cold: pays codegen compile
+        cold["sim_pq_50k"] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            recall = _pq_50k()
+            best = min(best, time.perf_counter() - t0)
+        timings["sim_pq_50k"] = round(best, 3)
+        if recall < 0.9:
+            errors["sim_pq_50k"] = f"recall degraded: {recall} < 0.9"
+    except Exception as exc:  # noqa: BLE001
+        errors["sim_pq_50k"] = f"{type(exc).__name__}: {exc}"[:200]
 
     # Full TPC-DS 99 at sf1: a decade above the per-query scratch
     # fixtures (sf0.001). Materialized once (pure function of

@@ -98,6 +98,7 @@ _BNLJ_ALLOWED = {
     "sim_ivf_recall",  # composes the two probe-broadcast retrievals
     "sim_ivf_nprobe_curve",  # probe broadcast on every sweep leg
     "sim_pq_recall",  # one-row probe-vector broadcast on the exact side
+    "sim_pq_topk",  # one-row probe-vector broadcast on the shortlist rescore
     "sim_matryoshka_eval",  # one-row probe broadcast on both retrieval legs
     "sim_cosine_topk_quantized",  # one-row quantized probe-vector broadcast
     "sim_knn_join",  # K-centroid broadcast (constant K) scoring the probe side

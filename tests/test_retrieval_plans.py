@@ -39,9 +39,11 @@ def test_pq_codebook_and_lut_broadcast(spark):
     plan = _plan(df)
     # encode join (corpus x codebook) and score join (codes x LUT)
     # must both be broadcast-keyed — no shuffle sized by M*K, and
-    # never a corpus-with-corpus pair join.
+    # never a corpus-with-corpus pair join. The single permitted BNLJ
+    # is the ONE-ROW probe vector crossed onto the C-row rescore
+    # shortlist (constant build side, bounded probe side).
     assert plan.count("BroadcastHashJoin") >= 2
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
 
@@ -106,11 +108,11 @@ def test_pq_recall_bounds(spark):
     row = spark_queries()["sim_pq_recall"](spark, SF).collect()[0]
     assert row.k == 10
     assert 0 <= row.n_hits <= 10
-    # Seeded-medoid codebooks give modest recall (measured 2/10 at
-    # sf0.001) — the eval op's job is to REPORT that number, and the
-    # oracle already value-checks it exactly. Assert only that the
-    # index isn't totally broken (some overlap with ground truth).
-    assert row.n_hits >= 1
+    # The round-13 shortlist-rescore pipeline (M=8×K=64 Lloyd-refined
+    # codebooks, ADC top-100 rescored exactly) measures 10/10 at
+    # sf0.001 and at the 50k bench point (0.9 at sf0.01, 0.7 at
+    # sf0.1). Pin a floor that the oracle-checked pipeline must hold.
+    assert row.n_hits >= 8
 
 
 def test_hilbert_matches_reference_and_is_shuffle_free(spark):

@@ -170,17 +170,32 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # sim_pq_topk
 
-_PQ_M = 4  # subspaces (64-dim vectors → 16 dims each)
-_PQ_SUBDIM = 16
-_PQ_K = 16  # centroids per subspace codebook
+_PQ_M = 8  # subspaces (64-dim vectors → 8 dims each)
+_PQ_SUBDIM = 8
+_PQ_K = 64  # centroids per subspace codebook
 _PQ_PROBE = 42
 _PQ_TOPK = 10
+_PQ_SHORTLIST = 100  # ADC candidates kept for the exact rescore
 _PQ_FX = 1000  # fixed-point scale: round(x·1000) → exact integer L2
 
 
 def _pq_cte() -> str:
-    """The shared PQ CTE chain (fixed-point corpus → codes → LUT →
-    ADC scores) — used by both the top-k oracle and the recall eval."""
+    """The shared PQ CTE chain — fixed-point corpus → seeded codebook
+    → ONE integer Lloyd refinement → codes → LUT → ADC shortlist →
+    exact rescore. Used by both the top-k oracle and the recall eval.
+
+    The round-13 geometry (M=8×K=64, Lloyd-refined, shortlist C=100
+    rescored exactly) replaced the original M=4×K=16 pure-ADC scan
+    after the 50k bench measured its recall@10 at 0.0: 16-bit codes
+    order neighbors too coarsely to return directly. The shipped
+    shape is the production one (FAISS IVFPQ + refine): ADC prunes to
+    C candidates, exact distance ranks them. Measured at the same
+    50k point: 10/10 of the exact top-10 inside the rescored top-10.
+
+    Integer determinism end to end: floor-division centroid averages
+    (Spark `div` and DuckDB `//` both truncate toward zero), exact
+    squared-L2 in fixed point, (distance, id) tie-breaks.
+    """
     sub_slices = ", ".join(str(s) for s in range(_PQ_M))
     return f"""fx AS (
       SELECT vec_id, label,
@@ -191,8 +206,28 @@ def _pq_cte() -> str:
       SELECT vec_id, label, s,
              q[s * {_PQ_SUBDIM} + 1 : (s + 1) * {_PQ_SUBDIM}] AS sv
       FROM fx, (SELECT UNNEST([{sub_slices}]) AS s)
-    ), cb AS (
+    ), cb0 AS (
       SELECT s, vec_id AS c, sv AS csv FROM subs WHERE vec_id < {_PQ_K}
+    ), d0 AS (
+      SELECT subs.vec_id, subs.s, subs.sv, cb0.c,
+             list_sum(list_transform(list_zip(subs.sv, cb0.csv),
+                      t -> (t[1] - t[2]) * (t[1] - t[2]))) AS d
+      FROM subs JOIN cb0 ON subs.s = cb0.s
+    ), assign0 AS (
+      SELECT s, c, sv FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY vec_id, s ORDER BY d, c) AS rn
+        FROM d0
+      ) WHERE rn = 1
+    ), cbavg AS (
+      SELECT s, c, i, CAST(SUM(sv[i]) // COUNT(*) AS BIGINT) AS cv
+      FROM assign0, (SELECT UNNEST(range(1, {_PQ_SUBDIM} + 1)) AS i)
+      GROUP BY s, c, i
+    ), cb1arr AS (
+      SELECT s, c, list(cv ORDER BY i) AS csv1 FROM cbavg GROUP BY s, c
+    ), cb AS (
+      SELECT cb0.s, cb0.c, COALESCE(a.csv1, cb0.csv) AS csv
+      FROM cb0 LEFT JOIN cb1arr a ON cb0.s = a.s AND cb0.c = a.c
     ), dists AS (
       SELECT subs.vec_id, subs.label, subs.s, cb.c,
              list_sum(list_transform(list_zip(subs.sv, cb.csv),
@@ -212,46 +247,48 @@ def _pq_cte() -> str:
       JOIN cb ON p.s = cb.s
     ), scored AS (
       SELECT enc.vec_id, enc.label,
-             CAST(SUM(lut.ld) AS BIGINT) AS pq_dist
+             CAST(SUM(lut.ld) AS BIGINT) AS adc_dist
       FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.c
       WHERE enc.vec_id <> {_PQ_PROBE}
       GROUP BY enc.vec_id, enc.label
+    ), shortlist AS (
+      SELECT vec_id, label, adc_dist FROM scored
+      ORDER BY adc_dist, vec_id LIMIT {_PQ_SHORTLIST}
+    ), rescored AS (
+      SELECT sl.vec_id, sl.label, sl.adc_dist,
+             CAST(list_sum(list_transform(list_zip(f.q, p.pq2),
+                  t -> (t[1] - t[2]) * (t[1] - t[2]))) AS BIGINT)
+               AS exact_dist
+      FROM shortlist sl
+      JOIN fx f ON sl.vec_id = f.vec_id,
+           (SELECT q AS pq2 FROM fx WHERE vec_id = {_PQ_PROBE}) p
     )"""
 
 
 def _pq_sql() -> str:
     return f"""
     WITH {_pq_cte()}
-    SELECT vec_id, label, pq_dist,
-           ROW_NUMBER() OVER (ORDER BY pq_dist, vec_id) AS rank
-    FROM scored
-    ORDER BY pq_dist, vec_id
+    SELECT vec_id, label, adc_dist, exact_dist,
+           ROW_NUMBER() OVER (ORDER BY exact_dist, vec_id) AS rank
+    FROM rescored
+    ORDER BY exact_dist, vec_id
     LIMIT {_PQ_TOPK}
     """
 
 
-@query("sim_pq_topk", oracle=_pq_sql())
-def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization top-k: encode each vector as M=4 subspace
-    codes, score a probe through an asymmetric-distance lookup table.
+def _pq_sq_l2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
 
-    Codebooks here are data-derived but deterministic — the subvectors
-    of the first K vec_ids serve as centroids (codebook *training* is
-    k-means, demonstrated separately in ``kmeans_embeddings``; using
-    seeded medoids keeps this op's full encode→LUT→scan pipeline
-    value-checkable in SQL). All distances are fixed-point integer
-    arithmetic (round(x·1000) per coordinate, ≤ (2·10³·√16)² per
-    subspace ≪ 2⁶³), so encoding and ranking are bit-deterministic.
 
-    Scale shape: the codebook (M·K = 64 rows) and the LUT (64 rows)
-    are constant-size broadcasts — the corpus is scanned once to
-    encode (explode to M rows/vec, broadcast-join the codebook,
-    min-struct per (vec, subspace)) and once more, as codes only, to
-    score through the LUT. Nothing ever pairs corpus rows with corpus
-    rows; both aggregations are map-side-combinable on vec_id. At
-    100 TB the scored relation carries 4 bytes of code per subspace
-    instead of 64 floats — the whole point of PQ.
-    """
+def _pq_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared PQ pipeline: seeded codebook → one integer Lloyd
+    refinement → encode → ADC shortlist (C={_PQ_SHORTLIST}) → exact
+    fixed-point rescore. Returns the rescored candidate relation
+    (vec_id, label, adc_dist, exact_dist)."""
     emb = table(spark, sf_dir, "embeddings")
     fx = emb.select(
         "vec_id",
@@ -272,21 +309,47 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s",
         F.expr(f"slice(q, s * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})").alias("sv"),
     )
-    cb = subs.filter(F.col("vec_id") < _PQ_K).select(
+    cb0 = subs.filter(F.col("vec_id") < _PQ_K).select(
         F.col("s").alias("cs"), F.col("vec_id").alias("c"), F.col("sv").alias("csv")
     )
-
-    def sq_l2(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
+    # One Lloyd round: assign every subvector to its nearest seed
+    # (struct-min carries (d, c, sv); (d, c) is unique per group so sv
+    # never drives the comparison), then element-wise floor-average
+    # per (subspace, cell). Spark `div` and DuckDB `//` both truncate
+    # toward zero, so the refined centroids are bit-identical.
+    a0 = (
+        subs.join(F.broadcast(cb0), subs.s == cb0.cs)
+        .select("vec_id", "s", "sv", "c", _pq_sq_l2(F.col("sv"), F.col("csv")).alias("d"))
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d", "c", "sv")).alias("m"))
+        .select("s", F.col("m.c").alias("c"), F.col("m.sv").alias("sv"))
+    )
+    avg = (
+        a0.select("s", "c", F.posexplode("sv").alias("i", "val"))
+        .groupBy("s", "c", "i")
+        .agg(F.expr("sum(val) div count(1)").alias("cv"))
+        .groupBy(F.col("s").alias("a_s"), F.col("c").alias("a_c"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "cv"))),
+                lambda t: t["cv"],
+            ).alias("csv1")
         )
-
+    )
+    # Empty cells (a seed shadowed by an identical lower-id seed) keep
+    # their seed centroid — same LEFT-join COALESCE in the oracle.
+    cb = (
+        cb0.join(
+            F.broadcast(avg),
+            (cb0.cs == avg.a_s) & (cb0.c == avg.a_c),
+            "left",
+        )
+        .select("cs", "c", F.coalesce("csv1", "csv").alias("csv"))
+    )
     enc = (
         subs.join(F.broadcast(cb), subs.s == cb.cs)
         .select(
-            "vec_id", "label", "s", "c", sq_l2(F.col("sv"), F.col("csv")).alias("d")
+            "vec_id", "label", "s", "c", _pq_sq_l2(F.col("sv"), F.col("csv")).alias("d")
         )
         .groupBy("vec_id", "label", "s")
         .agg(F.min(F.struct("d", "c")).alias("m"))
@@ -300,7 +363,7 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("cs").alias("ls"),
             F.col("c").alias("lc"),
-            sq_l2(F.col("psv"), F.col("csv")).alias("ld"),
+            _pq_sq_l2(F.col("psv"), F.col("csv")).alias("ld"),
         )
     )
     scored = (
@@ -310,14 +373,67 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (enc.s == lut.ls) & (enc.code == lut.lc),
         )
         .groupBy("vec_id", "label")
-        .agg(F.sum("ld").cast("bigint").alias("pq_dist"))
+        .agg(F.sum("ld").cast("bigint").alias("adc_dist"))
     )
-    w = Window.orderBy("pq_dist", "vec_id")
+    shortlist = scored.orderBy("adc_dist", "vec_id").limit(_PQ_SHORTLIST)
+    # Exact rescore of the C candidates: candidates rejoin their full
+    # vectors on vec_id (hash join); the ONE-ROW probe vector attaches
+    # as a broadcast cross join — a constant-size BNLJ anchor
+    # (allowlisted in tests/test_plan_sweep.py), the same shape as the
+    # recall eval's exact leg.
+    probe_full = fx.filter(F.col("vec_id") == _PQ_PROBE).select(
+        F.col("q").alias("pq2")
+    )
     return (
-        scored.orderBy("pq_dist", "vec_id")
+        shortlist.join(fx.select(F.col("vec_id").alias("f_id"), "q"),
+                       shortlist.vec_id == F.col("f_id"))
+        .crossJoin(F.broadcast(probe_full))
+        .select(
+            "vec_id",
+            "label",
+            "adc_dist",
+            _pq_sq_l2(F.col("q"), F.col("pq2")).alias("exact_dist"),
+        )
+    )
+
+
+@query("sim_pq_topk", oracle=_pq_sql())
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-k, the production (FAISS
+    IVFPQ+refine) shape: encode each vector as M=8 subspace codes
+    against a Lloyd-refined K=64 codebook, ADC-score the probe through
+    a lookup table, keep the best C=100 candidates, rank them by EXACT
+    fixed-point distance.
+
+    Codebooks are data-derived and deterministic — subvectors of the
+    first K vec_ids seed the cells, then ONE integer Lloyd round
+    (floor-averaged assignments) refines them; the fixed iteration
+    count unrolls into the SQL oracle (the `kmeans_embeddings` trick),
+    so codebook *training* is value-checked too, not just the scan.
+    The rescore stage exists because pure ADC ordering is a shortlist
+    generator, not a ranker: the original M=4×K=16 ADC-only form
+    measured recall@10 = 0.0 at the 50k bench point; this shape
+    measures 1.0 there (pinned as a bench floor).
+
+    Scale shape: the codebook (M·K = 512 rows) and LUT are
+    constant-size broadcasts; the corpus is scanned to encode (explode
+    to M rows/vec, broadcast-join, min-struct) and scored as codes
+    only. The rescore touches exactly C=100 full vectors via a keyed
+    join. Nothing ever pairs corpus rows with corpus rows. At 100 TB
+    the scored relation carries 1 byte of code per subspace instead
+    of 64 floats — the whole point of PQ.
+    """
+    rescored = _pq_rescored(spark, sf_dir)
+    w = Window.orderBy("exact_dist", "vec_id")
+    return (
+        rescored.orderBy("exact_dist", "vec_id")
         .limit(_PQ_TOPK)
         .select(
-            "vec_id", "label", "pq_dist", F.row_number().over(w).alias("rank")
+            "vec_id",
+            "label",
+            "adc_dist",
+            "exact_dist",
+            F.row_number().over(w).alias("rank"),
         )
     )
 
@@ -437,7 +553,7 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pq_recall_sql() -> str:
     return f"""
     WITH {_pq_cte()}, pq AS (
-      SELECT vec_id FROM scored ORDER BY pq_dist, vec_id LIMIT {_PQ_TOPK}
+      SELECT vec_id FROM rescored ORDER BY exact_dist, vec_id LIMIT {_PQ_TOPK}
     ), exact AS (
       SELECT f.vec_id,
              list_sum(list_transform(list_zip(f.q, p.pq2),
@@ -457,10 +573,13 @@ def _pq_recall_sql() -> str:
 
 @query("sim_pq_recall", oracle=_pq_recall_sql())
 def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ index quality: recall@k of the ADC top-k against the exact
-    fixed-point L2 ground truth for the standard probe — the eval that
-    gates any codebook/M/K change before it ships (same contract as
-    `sim_ivf_recall` for the IVF index).
+    """PQ index quality: recall@k of the shortlist-rescored PQ top-k
+    against the exact fixed-point L2 ground truth for the standard
+    probe — the eval that gates any codebook/M/K/C change before it
+    ships (same contract as `sim_ivf_recall` for the IVF index). This
+    gate is what caught the original ADC-only form's recall collapse
+    (0.0 at the 50k bench point) and motivated the round-13 rescore
+    pipeline; the 50k bench pins the new floor in-line.
 
     Both sides are integer arithmetic over one corpus scan each; the
     output is a single (k, hits, recall) row, so the whole comparison
