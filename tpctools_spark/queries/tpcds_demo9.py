@@ -324,10 +324,14 @@ def tpcds_q75(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "wr_return_amt_inc_tax")
         )
     )
+    # (brand × year)-sized result of the 3-channel netting union —
+    # checkpointed once so the y1/y2 branches don't re-run the
+    # fact⋈returns joins (exchange reuse covers the shuffle, not the
+    # two aggregate re-evaluations over it).
     yearly = u.groupBy("d_year", "i_brand_id").agg(
         F.sum("qty").cast("bigint").alias("qty"),
         F.sum("cents").cast("bigint").alias("cents"),
-    )
+    ).localCheckpoint()
     y1 = yearly.filter(F.col("d_year") == 2000).select(
         F.col("i_brand_id").alias("b1"), F.col("qty").alias("qty_2000"),
         F.col("cents").alias("cents_2000"),
