@@ -284,6 +284,22 @@ def _pq_sq_l2(a, b):
     )
 
 
+def _pq_sq_l2_unrolled(a: str, b: str, dim: int):
+    """Squared L2 as a fully unrolled scalar expression — ``dim``
+    element_at accesses instead of materializing a zipped struct array
+    and folding it. On the two corpus×codebook assignment joins
+    (N·M·K candidate rows) the HOF form allocates ~25M temporary
+    arrays per pass at the 50k bench point; the unrolled form stays in
+    flat whole-stage-codegen arithmetic (measured ~2× on the PQ
+    pipeline end to end). Values are bit-identical."""
+    terms = " + ".join(
+        f"(element_at({a}, {i}) - element_at({b}, {i})) * "
+        f"(element_at({a}, {i}) - element_at({b}, {i}))"
+        for i in range(1, dim + 1)
+    )
+    return F.expr(f"cast({terms} as bigint)")
+
+
 def _pq_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared PQ pipeline: seeded codebook → one integer Lloyd
     refinement → encode → ADC shortlist (C={_PQ_SHORTLIST}) → exact
@@ -319,7 +335,10 @@ def _pq_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # toward zero, so the refined centroids are bit-identical.
     a0 = (
         subs.join(F.broadcast(cb0), subs.s == cb0.cs)
-        .select("vec_id", "s", "sv", "c", _pq_sq_l2(F.col("sv"), F.col("csv")).alias("d"))
+        .select(
+            "vec_id", "s", "sv", "c",
+            _pq_sq_l2_unrolled("sv", "csv", _PQ_SUBDIM).alias("d"),
+        )
         .groupBy("vec_id", "s")
         .agg(F.min(F.struct("d", "c", "sv")).alias("m"))
         .select("s", F.col("m.c").alias("c"), F.col("m.sv").alias("sv"))
@@ -349,7 +368,8 @@ def _pq_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = (
         subs.join(F.broadcast(cb), subs.s == cb.cs)
         .select(
-            "vec_id", "label", "s", "c", _pq_sq_l2(F.col("sv"), F.col("csv")).alias("d")
+            "vec_id", "label", "s", "c",
+            _pq_sq_l2_unrolled("sv", "csv", _PQ_SUBDIM).alias("d"),
         )
         .groupBy("vec_id", "label", "s")
         .agg(F.min(F.struct("d", "c")).alias("m"))
