@@ -914,3 +914,245 @@ def pipeline_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("wasted_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_shard_dedup_plan — sketch-based cross-shard dedup planning
+
+_SDP_K = 16  # KMV sketch size per shard
+_SDP_SHARDS = 4
+_SDP_P = 1_000_000_007
+_SDP_SALT = 64  # stage-1 rank salt buckets (bounds the per-shard sort)
+
+
+def _sdp_pairs() -> list[tuple[int, int]]:
+    return [
+        (a, b)
+        for a in range(_SDP_SHARDS)
+        for b in range(_SDP_SHARDS)
+        if a < b
+    ]
+
+
+def _sdp_oracle() -> str:
+    spine = ", ".join(f"({a}, {b})" for a, b in _sdp_pairs())
+    k, p = _SDP_K, _SDP_P
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               ELSE [] END) AS g
+      FROM toks
+    ), hashed AS (
+      SELECT DISTINCT CAST(doc_id % {_SDP_SHARDS} AS BIGINT) AS s,
+             CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) % {p} AS h
+      FROM sh
+    ), kept AS (
+      SELECT s, h FROM (
+        SELECT s, h, ROW_NUMBER() OVER (PARTITION BY s ORDER BY h) AS r
+        FROM hashed
+      ) WHERE r <= {k}
+    ), spine AS (
+      SELECT CAST(sa AS BIGINT) AS sa, CAST(sb AS BIGINT) AS sb
+      FROM (VALUES {spine}) AS t(sa, sb)
+    ), cand AS (
+      SELECT DISTINCT spine.sa, spine.sb, kept.h
+      FROM spine JOIN kept ON kept.s = spine.sa OR kept.s = spine.sb
+    ), usk AS (
+      SELECT sa, sb, h FROM (
+        SELECT sa, sb, h,
+               ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS r
+        FROM cand
+      ) WHERE r <= {k}
+    ), uk AS (
+      SELECT sa, sb, COUNT(*) AS n_kept, MAX(h) AS kth
+      FROM usk GROUP BY 1, 2
+    ), common AS (
+      SELECT u.sa, u.sb, CAST(COUNT(*) AS BIGINT) AS m
+      FROM usk u
+      JOIN kept a ON a.s = u.sa AND a.h = u.h
+      JOIN kept b ON b.s = u.sb AND b.h = u.h
+      GROUP BY 1, 2
+    ), exact AS (
+      SELECT a.s AS sa, b.s AS sb, CAST(COUNT(*) AS BIGINT) AS exact_common
+      FROM hashed a JOIN hashed b ON a.h = b.h AND a.s < b.s
+      GROUP BY 1, 2
+    )
+    SELECT uk.sa AS shard_a, uk.sb AS shard_b,
+           COALESCE(common.m, 0) AS n_common_sample,
+           CASE WHEN uk.n_kept < {k} THEN CAST(uk.n_kept AS DOUBLE)
+                ELSE CAST(floor({k - 1}.0 * {p} / uk.kth * 100) AS DOUBLE)
+                     / 100 END AS union_est,
+           CASE WHEN uk.n_kept < {k} THEN CAST(COALESCE(common.m, 0) AS DOUBLE)
+                ELSE CAST(floor((COALESCE(common.m, 0) * {k - 1}.0 * {p})
+                                / ({k}.0 * uk.kth) * 100) AS DOUBLE)
+                     / 100 END AS intersect_est,
+           COALESCE(exact.exact_common, 0) AS exact_common
+    FROM uk
+    LEFT JOIN common ON common.sa = uk.sa AND common.sb = uk.sb
+    LEFT JOIN exact ON exact.sa = uk.sa AND exact.sb = uk.sb
+    ORDER BY shard_a, shard_b
+    """
+
+
+@query("pipeline_shard_dedup_plan", oracle=_sdp_oracle())
+def pipeline_shard_dedup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-shard dedup PLANNING from per-shard KMV sketches — the
+    pass a 100 TB dedup runs BEFORE committing to any shard pairing:
+    sketch each shard's 3-gram shingle set once (k=16 minimum hashes,
+    mergeable, constant memory), then estimate every shard pair's
+    shingle-set union and intersection from sketch state alone. Pairs
+    with high estimated overlap get co-scheduled into the same
+    near-dup pass; disjoint pairs never meet — turning an all-shards
+    problem into a sparse pairing decided by k·shards rows.
+
+    Estimator per pair (the `agg_kmv_intersect` math at the shard
+    grain): the merged sketch's k minima are a uniform sample of
+    A∪B, so |A∪B| ≈ (k−1)·P/h_k and |A∩B| ≈ (m/k)·|A∪B| where m
+    counts union-sample hashes present in both per-shard sketches.
+    The exact intersection rides along as the calibration column —
+    at 100 TB that column is dropped (it is the only part that
+    touches the full hash sets pairwise); the sketch path's cost is
+    unchanged at any scale.
+
+    Scale shape: one corpus scan → distinct (shard, shingle-hash);
+    the per-shard k-minima come from a TWO-STAGE rank (stage 1
+    partitions by (shard, h mod {_SDP_SALT}) so no executor ever
+    sorts a whole shard's hash universe; stage 2 ranks the surviving
+    ≤ salt·k rows per shard — the `_util.global_rank` trick applied
+    to top-k). Everything after operates on ≤ shards·k sketch rows
+    against a literal 6-row pair spine: broadcast equi-joins only.
+    Hashes are the repo's md5-derived family, so the DuckDB twin
+    re-derives identical sketches and checks the ESTIMATES exactly.
+    """
+    k, p = _SDP_K, _SDP_P
+    from tpctools_spark.queries.dedup import _shingles_rx
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    hashed = (
+        docs.select(
+            (F.col("doc_id") % _SDP_SHARDS).cast("bigint").alias("s"),
+            F.explode(_shingles_rx()).alias("g"),
+        )
+        .select(
+            "s",
+            (
+                F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint")
+                % p
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    # Two-stage per-shard k-minima: salt first so the sort parallelism
+    # is shards×salt, not shards; the k global minima of a shard are
+    # necessarily among its per-salt k minima.
+    w1 = Window.partitionBy("s", F.col("h") % _SDP_SALT).orderBy("h")
+    pre = hashed.withColumn("r1", F.row_number().over(w1)).filter(
+        F.col("r1") <= k
+    )
+    w2 = Window.partitionBy("s").orderBy("h")
+    kept = (
+        pre.withColumn("r", F.row_number().over(w2))
+        .filter(F.col("r") <= k)
+        .select("s", "h")
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).cast("bigint").alias("sa"),
+                        F.lit(b).cast("bigint").alias("sb"),
+                    )
+                    for a, b in _sdp_pairs()
+                ]
+            )
+        ).alias("pr")
+    ).select("pr.sa", "pr.sb")
+    cand = (
+        spine.join(F.broadcast(kept), kept.s == F.col("sa"))
+        .select("sa", "sb", "h")
+        .unionByName(
+            spine.join(F.broadcast(kept), kept.s == F.col("sb")).select(
+                "sa", "sb", "h"
+            )
+        )
+        .distinct()
+    )
+    wu = Window.partitionBy("sa", "sb").orderBy("h")
+    usk = (
+        cand.withColumn("r", F.row_number().over(wu))
+        .filter(F.col("r") <= k)
+        .select("sa", "sb", "h")
+    )
+    uk = usk.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("kth")
+    )
+    ka = kept.select(F.col("s").alias("as_"), F.col("h").alias("ha"))
+    kb = kept.select(F.col("s").alias("bs_"), F.col("h").alias("hb"))
+    common = (
+        usk.join(
+            F.broadcast(ka),
+            (F.col("as_") == F.col("sa")) & (F.col("ha") == F.col("h")),
+        )
+        .join(
+            F.broadcast(kb),
+            (F.col("bs_") == F.col("sb")) & (F.col("hb") == F.col("h")),
+        )
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    hb2 = hashed.select(F.col("s").alias("s2"), F.col("h").alias("h2"))
+    exact = (
+        hashed.join(
+            hb2, (F.col("h") == F.col("h2")) & (F.col("s") < F.col("s2"))
+        )
+        .groupBy(F.col("s").alias("ea"), F.col("s2").alias("eb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_common"))
+    )
+    small = F.col("n_kept") < k
+    m0 = F.coalesce(F.col("m"), F.lit(0)).cast("bigint")
+    common2 = common.select(
+        F.col("sa").alias("ca"), F.col("sb").alias("cb"), "m"
+    )
+    return (
+        uk.join(
+            F.broadcast(common2),
+            (F.col("ca") == F.col("sa")) & (F.col("cb") == F.col("sb")),
+            "left",
+        )
+        .join(
+            F.broadcast(exact),
+            (F.col("ea") == F.col("sa")) & (F.col("eb") == F.col("sb")),
+            "left",
+        )
+        .select(
+            F.col("sa").alias("shard_a"),
+            F.col("sb").alias("shard_b"),
+            m0.alias("n_common_sample"),
+            F.when(small, F.col("n_kept").cast("double"))
+            .otherwise(
+                F.floor(
+                    F.lit(float(k - 1)) * p / F.col("kth") * 100
+                ).cast("double")
+                / 100
+            )
+            .alias("union_est"),
+            F.when(small, m0.cast("double"))
+            .otherwise(
+                F.floor(
+                    (m0 * float(k - 1) * p) / (float(k) * F.col("kth")) * 100
+                ).cast("double")
+                / 100
+            )
+            .alias("intersect_est"),
+            F.coalesce(F.col("exact_common"), F.lit(0))
+            .cast("bigint")
+            .alias("exact_common"),
+        )
+        .orderBy("shard_a", "shard_b")
+    )
