@@ -69,8 +69,12 @@ def main() -> int:
     # 3. Inventory regen must be a NO-OP against the working tree: if
     #    it changes README.md, the inventory was stale at close time.
     run("inventory regen", [py, "scripts/gen_readme_inventory.py"])
+    # Diff against HEAD, not just the index: a stale README that was
+    # staged-but-not-committed (or a regen staged over a stale commit)
+    # must still fail the gate.
     rc = subprocess.call(
-        ["git", "diff", "--exit-code", "--stat", "README.md"], cwd=REPO
+        ["git", "diff", "--exit-code", "--stat", "HEAD", "--", "README.md"],
+        cwd=REPO,
     )
     if rc != 0:
         print(

@@ -32,6 +32,16 @@ planning but not execution, so the sweep covers ~260 queries in about
 a minute. Side-effecting queries (streams, sinks, bucketed-table
 builders) are skipped — their plan shapes are asserted by their own
 dedicated tests.
+
+Known blind spot: ``localCheckpoint(eager=False)`` subtrees (tpcds
+q14/q23/q75/q2-family derived sets, tpcds_demo4.py / tpcds_demo9.py)
+collapse to an opaque ``LogicalRDD`` scan in the checkpointed plan, so
+the joins/windows BEHIND each checkpoint are invisible to this sweep.
+Those subtrees are small derived sets (item-dim / customer-agg sized)
+whose pre-checkpoint shapes were reviewed when the checkpoints landed
+(SURVEY §6 round-13 A/Bs); eager=False keeps this file job-free but
+does not restore visibility. Any NEW checkpoint call must get the same
+review.
 """
 
 from __future__ import annotations

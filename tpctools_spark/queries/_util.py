@@ -178,3 +178,22 @@ def global_rank(df, order_by, rn="rn", cumsums=None, partitions=None):
         *[f"_lc_{name}" for name in cumsums],
         *[f"_off_{name}" for name in cumsums],
     )
+
+
+def release_local_checkpoint(df) -> None:
+    """Unpersist the block store backing a ``localCheckpoint()``ed
+    DataFrame.
+
+    ``DataFrame.unpersist()`` only touches cache entries; the blocks a
+    local checkpoint pins live on the RDD *inside* the checkpointed
+    plan's ``LogicalRDD`` node, and are otherwise only released when
+    driver GC collects the RDD handle and ContextCleaner notices —
+    unbounded in a tight iterative loop. This reaches through the
+    analyzed plan for that RDD and unpersists it directly (non-blocking).
+    No-op (swallowed) if the plan isn't a checkpoint scan, so callers
+    can use it unconditionally on loop-carried tables.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — best-effort release, never fatal
+        pass

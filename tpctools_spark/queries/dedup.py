@@ -24,7 +24,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tpctools_spark.catalog import table
-from tpctools_spark.queries._util import trunc_digits
+from tpctools_spark.queries._util import (
+    release_local_checkpoint as _release_local_checkpoint,
+    trunc_digits,
+)
 from tpctools_spark.registry import query
 
 N_MINHASH = 32  # signature length
@@ -864,6 +867,12 @@ def _min_label_components(
     Returns the converged ``(doc_id, cluster_id)`` table (left cached —
     callers unpersist when done) and the round count. Raises
     ``RuntimeError`` if ``max_rounds`` is exceeded.
+
+    Each round's new checkpoint RELEASES the previous round's blocks
+    (``_release_local_checkpoint``) — without that, up to ``max_rounds``
+    graph-node-sized RDDs sit persisted on executors until driver GC
+    happens to trigger ContextCleaner, quietly breaking the "state is
+    graph-node-sized" claim on slow-converging graphs.
     """
     nodes = edges.select(F.col("src").alias("doc_id")).distinct()
     # Eager localCheckpoint, not cache(): each round references the
@@ -921,6 +930,7 @@ def _min_label_components(
         )
         cur_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
         stepped.unpersist()
+        _release_local_checkpoint(labels)
         labels = new_labels
         if cur_sum == prev_sum:
             break

@@ -585,8 +585,12 @@ def tpcds_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     # All three legs gate on this item-dimension-sized set; checkpoint
     # it once so the 3-scan distinct+intersect chain behind it runs
     # once, not once per leg (exchange reuse does not cover the three
-    # separately-built broadcast sides).
-    cross_items = it.join(triples, trip).select("i_item_sk").localCheckpoint()
+    # separately-built broadcast sides). eager=False: materialize on
+    # first action, not at DataFrame-construction time — plan-only
+    # tests must not run Spark jobs.
+    cross_items = (
+        it.join(triples, trip).select("i_item_sk").localCheckpoint(eager=False)
+    )
 
     def cents(q: str, p: str) -> F.Column:
         return (F.col(q) * F.col(p) * 100).cast("bigint")
@@ -834,7 +838,7 @@ def tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") >= 4)
         .select("i_item_sk")
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     cust_totals = (
         ss.filter(F.col("ss_customer_sk").isNotNull())
@@ -844,14 +848,14 @@ def tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("ss_quantity") * F.col("ss_sales_price") * 100).cast("bigint")
             ).alias("cents")
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     max_total = cust_totals.agg(F.max("cents").alias("max_cents"))
     best = (
         cust_totals.crossJoin(F.broadcast(max_total))
         .filter(F.col("cents") * 2 > F.col("max_cents"))
         .select("cust")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     dd_m = F.broadcast(
         _t(spark, "date_dim")

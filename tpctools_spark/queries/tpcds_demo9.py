@@ -331,7 +331,7 @@ def tpcds_q75(spark: SparkSession, sf_dir: str) -> DataFrame:
     yearly = u.groupBy("d_year", "i_brand_id").agg(
         F.sum("qty").cast("bigint").alias("qty"),
         F.sum("cents").cast("bigint").alias("cents"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     y1 = yearly.filter(F.col("d_year") == 2000).select(
         F.col("i_brand_id").alias("b1"), F.col("qty").alias("qty_2000"),
         F.col("cents").alias("cents_2000"),
