@@ -42,21 +42,64 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+def _round_seed() -> int:
+    """Deterministic per-round seed for the sample rotation.
+
+    The driver's correctness gate hard-checks only the FIRST 50 keys
+    of ``queries()``; a fixed order freezes which 50 ever get the
+    external check (r7 ∩ r8 was 50/50 identical). The seed is the
+    current round number, inferred from the ``CORRECTNESS_r*.json``
+    artifacts the driver itself commits at the repo root — no clock,
+    no randomness, and the order is stable for the whole round.
+    ``SPARK_GRAFT_ROUND`` overrides for tests.
+    """
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env is not None:
+        return int(env)
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    rounds = [
+        int(p.stem.split("_r")[-1])
+        for p in root.glob("CORRECTNESS_r*.json")
+        if p.stem.split("_r")[-1].isdigit()
+    ]
+    return (max(rounds) + 1) if rounds else 0
+
+
+def _shuffled(lst: list[str], seed: int) -> list[str]:
+    """Deterministic pseudo-random order: sort by md5(seed:name).
+    (Not Python ``hash`` — that varies per process.)"""
+    import hashlib
+
+    return sorted(
+        lst, key=lambda n: hashlib.md5(f"{seed}:{n}".encode()).hexdigest()
+    )
+
+
 def _stratified_order(names: list[str]) -> list[str]:
-    """Round-robin the names across their category prefixes.
+    """Round-robin the names across their category prefixes, rotated
+    by the current round number.
 
     The driver's correctness gate samples the FIRST 50 keys of
     ``queries()``; plain registration order front-loads scans/joins/
     aggs and leaves windows/text/dedup/tpcds unsampled. Interleaving
     one query per family per pass makes any 50-key prefix span every
-    family (~25 families → 2 representatives each), so the external
-    check exercises the whole surface. Deterministic: family order is
-    sorted, within-family order is registration order.
+    family (~33 families → 1-2 representatives each), so the external
+    check exercises the whole surface. Both the family order and the
+    within-family order are md5-shuffled by :func:`_round_seed`, so
+    successive rounds hard-check a different 50-key slice and coverage
+    of the registry accumulates across rounds. Deterministic within a
+    round (seed + name fully determine the order).
     """
+    seed = _round_seed()
     groups: dict[str, list[str]] = {}
     for n in names:
         groups.setdefault(n.split("_", 1)[0], []).append(n)
-    fams = sorted(groups)
+    fams = _shuffled(sorted(groups), seed)
+    groups = {f: _shuffled(g, seed) for f, g in groups.items()}
     out: list[str] = []
     i = 0
     while len(out) < len(names):
@@ -64,7 +107,33 @@ def _stratified_order(names: list[str]) -> list[str]:
             if i < len(groups[f]):
                 out.append(groups[f][i])
         i += 1
+    # Demote the keys the driver hard-checked LAST round to the tail
+    # (stable within both partitions), so this round's 50-key prefix
+    # is disjoint from last round's — they rotate back in next round.
+    prev = _previous_sample()
+    if prev and len(names) - len(prev & set(names)) >= 50:
+        out = [n for n in out if n not in prev] + [n for n in out if n in prev]
     return out
+
+
+def _previous_sample() -> set[str]:
+    """Keys recorded in the latest driver ``CORRECTNESS_r*.json``
+    artifact (empty set if none is readable)."""
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    best: tuple[int, Path] | None = None
+    for p in root.glob("CORRECTNESS_r*.json"):
+        suffix = p.stem.split("_r")[-1]
+        if suffix.isdigit() and (best is None or int(suffix) > best[0]):
+            best = (int(suffix), p)
+    if best is None:
+        return set()
+    try:
+        return set(json.loads(best[1].read_text()))
+    except (OSError, ValueError):
+        return set()
 
 
 def spark_queries() -> dict[str, QueryFn]:
