@@ -428,3 +428,45 @@ def test_global_rank_correct_with_aqe_disabled(spark):
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def test_embedding_cell_occupancy_bounded(spark):
+    """dedup_embedding's blocking must not go quadratic with corpus size.
+
+    The sub-cell bit count scales with log2(n_label / target), so max
+    cell occupancy should stay ~constant (not double) when the corpus
+    doubles — the property that kept the old raw-label blocking from
+    scaling. Synthetic single-label corpus, deterministic hash-valued
+    components (uniform-ish in [-1, 1))."""
+    from pyspark.sql import functions as F
+
+    from tpctools_spark.queries.dedup import _EMB_CELL_TARGET, _embedding_cells
+
+    def stats(n: int) -> tuple[int, int]:
+        df = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.lit(0).alias("label"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda j: F.pmod(
+                    F.xxhash64(F.col("id") * 8 + j), F.lit(1000)
+                ).cast("double")
+                / 500.0
+                - 1.0,
+            ).alias("e"),
+        )
+        occ = _embedding_cells(df).groupBy("label", "subcell").count()
+        row = occ.agg(
+            F.max("count").alias("mx"), F.count(F.lit(1)).alias("cells")
+        ).collect()[0]
+        return int(row.mx), int(row.cells)
+
+    m1, c1 = stats(1024)
+    m2, c2 = stats(2048)
+    # occupancy stays bounded by a small multiple of the target…
+    assert m1 <= 4 * _EMB_CELL_TARGET
+    assert m2 <= 4 * _EMB_CELL_TARGET
+    # …because the cell count doubles with the corpus
+    assert c2 > c1
+    # and doubling the corpus must not double the worst cell
+    assert m2 <= 1.8 * m1

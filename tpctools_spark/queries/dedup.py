@@ -11,8 +11,9 @@ path spelled out:
   collide on 16-bit bands (hamming ≤ 3 guarantee with 4 bands).
 - n-gram jaccard: inverted index on word 3-grams (selective keys) —
   the prefix-filter family; exact similarity, no all-pairs scan.
-- embedding cosine: label-blocked exact cosine (at scale the blocking
-  key comes from a coarse quantizer/IVF instead of a label).
+- embedding cosine: exact cosine blocked on (label, sign-bit sub-cell)
+  with per-label bit depth scaling as log2(n/target), so cell occupancy
+  — and the within-cell quadratic — stays bounded as the corpus grows.
 
 Everything is built-in expressions (xxhash64, HOFs) — no Python UDFs in
 any hot path.
@@ -775,64 +776,157 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Target within-cell occupancy for dedup_embedding's blocking. Each
+# label splits into 2^b sign-bit sub-cells with b = ceil(log2(n/32)),
+# so expected occupancy stays in (16, 32] no matter how large the
+# corpus grows — the quadratic within-cell pair join is bounded.
+_EMB_CELL_TARGET = 32
+
+# Bit-packed sign-bit sub-cell id: bit i is (e[i] >= centroid[i]).
+# All-integer (shiftleft/IF) so both engines agree bitwise; b = 0
+# (label at/below target size) short-circuits to one sub-cell because
+# Spark's sequence(0, -1) would count DOWN, not produce an empty list.
+_SUBCELL_EXPR = (
+    "IF(least(b, size(e)) = 0, 0L,"
+    " aggregate(sequence(0, least(b, size(e)) - 1), 0L, (acc, i) -> acc"
+    " + IF(element_at(e, int(i) + 1) >= element_at(centroid, int(i) + 1),"
+    " shiftleft(1L, int(i)), 0L)))"
+)
+
+
+def _embedding_cells(prep: DataFrame) -> DataFrame:
+    """Tag each vector with a bounded-occupancy blocking cell.
+
+    Input: ``(vec_id, label, e: array<double>)``. Output adds
+    ``subcell`` (bigint). Within each label, b = min bits such that
+    32·2^b ≥ n_label; bit i of the sub-cell is the sign of component
+    i versus the label's decimal-exact mean component (the same
+    centroid arithmetic as ``similarity._cell_centroids``, so the
+    comparison is bitwise-reproducible across engines). Label counts
+    and centroids are label-cardinality tables — broadcast; assignment
+    is one row-local pass, O(N·b) total, no candidate generation here.
+    """
+    from tpctools_spark.queries.similarity import _cell_centroids
+
+    bits = (
+        prep.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            F.expr(
+                "element_at(filter(sequence(0, 40),"
+                f" i -> {_EMB_CELL_TARGET} * shiftleft(1L, int(i)) >= n), 1)"
+            ).alias("b"),
+        )
+    )
+    cents = _cell_centroids(prep).withColumnRenamed("cell", "label")
+    return (
+        prep.join(F.broadcast(bits), "label")
+        .join(F.broadcast(cents), "label")
+        .withColumn("subcell", F.expr(_SUBCELL_EXPR))
+        .drop("b", "centroid")
+    )
+
+
 @query(
     "dedup_embedding",
-    oracle="""
+    oracle=f"""
     WITH prep AS (
       SELECT vec_id, label,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
-             sqrt(list_reduce(list_transform(embedding,
-                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                  (acc, x) -> acc + x)) AS nrm
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings
+    ), counts AS (
+      SELECT label, COUNT(*) AS n FROM prep GROUP BY label
+    ), bits AS (
+      SELECT label, list_filter(range(0, 41),
+               i -> {_EMB_CELL_TARGET} * (1::BIGINT << i) >= n)[1] AS b
+      FROM counts
+    ), cents AS (
+      SELECT label, list(c ORDER BY pos) AS c FROM (
+        SELECT label, pos,
+               CAST(SUM(CAST(val AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS c
+        FROM (SELECT label, unnest(e) AS val,
+                     unnest(range(1, len(e) + 1)) AS pos
+              FROM prep)
+        GROUP BY label, pos)
+      GROUP BY label
+    ), tagged AS (
+      SELECT p.vec_id, p.label, p.e,
+             sqrt(list_reduce(list_transform(p.e, x -> x * x),
+                  (acc, x) -> acc + x)) AS nrm,
+             COALESCE(list_sum(list_transform(range(0, least(bt.b, len(p.e))),
+               i -> CASE WHEN p.e[i + 1] >= ct.c[i + 1]
+                         THEN (1::BIGINT << i) ELSE 0::BIGINT END)), 0)
+               AS subcell
+      FROM prep p JOIN bits bt USING (label) JOIN cents ct USING (label)
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            CAST(floor(list_reduce(list_transform(list_zip(a.e, b.e),
                    p -> p[1] * p[2]), (acc, x) -> acc + x)
                  / (a.nrm * b.nrm) * 10000) AS DOUBLE) / 10000 AS cosine
-    FROM prep a JOIN prep b
-      ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM tagged a JOIN tagged b
+      ON a.label = b.label AND a.subcell = b.subcell
+     AND a.vec_id < b.vec_id
     WHERE list_reduce(list_transform(list_zip(a.e, b.e),
             p -> p[1] * p[2]), (acc, x) -> acc + x)
-          / (a.nrm * b.nrm) >= 0.5
+          / (a.nrm * b.nrm) >= 0.3
     """,
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by label.
+    """Embedding-cosine near-dup pairs, blocked on bounded-occupancy
+    cells: (label, sign-bit sub-cell).
 
-    The label acts as the coarse blocking key (at 100 TB: an IVF/k-means
-    cell id) — candidate pairs exist only within a block. Per-pair
-    cosines use ONE ordered-fold double dot product against
+    The label alone is a FIXED-cardinality key, so blocking on it
+    makes within-block candidate pairs grow quadratically with the
+    corpus. Each label therefore sub-splits into 2^b sign-bit cells
+    (``_embedding_cells``) with b chosen per label so expected
+    occupancy stays ≤ ``_EMB_CELL_TARGET`` — the quadratic is bounded
+    by a constant, and total candidate work is O(N·occupancy), linear
+    in the corpus. At 100 TB the b sign bits would come from seeded
+    random hyperplanes rather than raw coordinates (less correlated);
+    the plumbing is identical. Pairs that straddle a sub-cell boundary
+    are missed — the inherent LSH-blocking trade; ``dedup_lsh_cosine``
+    is the banded multi-table variant that buys that recall back.
+
+    Per-pair cosines use ONE ordered-fold double dot product against
     precomputed norms: float·float is exact in double and both engines
     fold the product list in the same left-to-right order (Spark
     ``aggregate``, DuckDB ``list_reduce``), so the threshold cannot
     flip on FP order — without paying per-pair decimal arithmetic in
-    the quadratic (within-block) hot path.
+    the (bounded) within-cell hot path.
     """
     from tpctools_spark.queries.similarity import _dotf
 
     emb = table(spark, sf_dir, "embeddings")
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    prep = emb.select("vec_id", "label", e.alias("e")).withColumn(
+    prep = emb.select("vec_id", "label", e.alias("e"))
+    tagged = _embedding_cells(prep).withColumn(
         "nrm", F.sqrt(_dotf(F.col("e"), F.col("e")))
     )
-    a = prep.select(
+    a = tagged.select(
         F.col("vec_id").alias("vec_a"),
         F.col("label").alias("label_a"),
+        F.col("subcell").alias("cell_a"),
         F.col("e").alias("ea"),
         F.col("nrm").alias("na"),
     )
-    b = prep.select(
+    b = tagged.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("label_b"),
+        F.col("subcell").alias("cell_b"),
         F.col("e").alias("eb"),
         F.col("nrm").alias("nb"),
     )
     cosine = _dotf(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        a.join(
+            b,
+            (F.col("label_a") == F.col("label_b"))
+            & (F.col("cell_a") == F.col("cell_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
         .withColumn("cosine_raw", cosine)
-        .filter(F.col("cosine_raw") >= 0.5)
+        .filter(F.col("cosine_raw") >= 0.3)
         .select("vec_a", "vec_b", trunc_digits(F.col("cosine_raw"), 4).alias("cosine"))
     )
 
