@@ -600,14 +600,14 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings["text_bm25_50k"] = round(best, 3)
         ranks = sorted(r["rank"] for r in rows)
-        from tpctools_spark.queries.retrieval import _BM25_TOPK
+        from tpctools_spark.queries.retrieval import BM25_TOPK
 
-        # Pin the FULL top-k: exactly _BM25_TOPK rows with consecutive
+        # Pin the FULL top-k: exactly BM25_TOPK rows with consecutive
         # ranks 1..k and positive scores — a silently truncated result
         # (ranks 1..n, n < k) must fail, not pass.
         if (
-            len(rows) != _BM25_TOPK
-            or ranks != list(range(1, _BM25_TOPK + 1))
+            len(rows) != BM25_TOPK
+            or ranks != list(range(1, BM25_TOPK + 1))
             or any(r["bm25"] <= 0 for r in rows)
         ):
             errors["text_bm25_50k"] = f"top-k structure broken: {len(rows)} rows"

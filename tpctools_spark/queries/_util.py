@@ -191,9 +191,18 @@ def release_local_checkpoint(df) -> None:
     unbounded in a tight iterative loop. This reaches through the
     analyzed plan for that RDD and unpersists it directly (non-blocking).
     No-op (swallowed) if the plan isn't a checkpoint scan, so callers
-    can use it unconditionally on loop-carried tables.
+    can use it unconditionally on loop-carried tables. "Isn't a
+    checkpoint scan" is checked structurally: the root must be a
+    ``LogicalRDD`` whose RDD is actually checkpointed — a plain
+    ``spark.createDataFrame(rdd)`` also roots at an RDD scan, and
+    unpersisting *that* would drop blocks a caller still needs.
     """
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        root = df._jdf.queryExecution().analyzed()
+        if root.nodeName() != "LogicalRDD":
+            return
+        rdd = root.rdd()
+        if rdd.isCheckpointed():
+            rdd.unpersist(False)
     except Exception:  # noqa: BLE001 — best-effort release, never fatal
         pass

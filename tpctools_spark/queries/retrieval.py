@@ -50,7 +50,7 @@ from tpctools_spark.registry import query
 _BM25_TERMS = ("merge", "stream", "window")
 _BM25_K1 = 1.2
 _BM25_B = 0.75
-_BM25_TOPK = 20
+BM25_TOPK = 20
 
 
 def _bm25_cte() -> str:
@@ -98,7 +98,7 @@ def _bm25_cte() -> str:
            ROW_NUMBER() OVER (ORDER BY score_raw DESC, doc_id) AS rank
     FROM scored
     ORDER BY score_raw DESC, doc_id
-    LIMIT {_BM25_TOPK}
+    LIMIT {BM25_TOPK}
     """,
 )
 def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,7 +158,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("score_raw").desc(), "doc_id")
     return (
         scored.orderBy(F.col("score_raw").desc(), "doc_id")
-        .limit(_BM25_TOPK)
+        .limit(BM25_TOPK)
         .select(
             "doc_id",
             trunc_digits(F.col("score_raw"), 4).alias("bm25"),
@@ -665,7 +665,7 @@ def _rrf_sql() -> str:
     WITH {_bm25_cte()}, bm_ranked AS (
       SELECT doc_id,
              ROW_NUMBER() OVER (ORDER BY score_raw DESC, doc_id) AS rb
-      FROM scored ORDER BY score_raw DESC, doc_id LIMIT {_BM25_TOPK}
+      FROM scored ORDER BY score_raw DESC, doc_id LIMIT {BM25_TOPK}
     ), prep AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings
