@@ -165,6 +165,8 @@ COMPACT_KEYS = [
     "sim_ivf_50k",
     "text_bm25_50k",
     "sim_pq_50k",
+    "sim_pq_build_50k",
+    "sim_pq_probe_50k",
     "gen_tpch",
     "gen_tpcds",
 ]
@@ -614,11 +616,16 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["text_bm25_50k"] = f"{type(exc).__name__}: {exc}"[:200]
 
-    # PQ ANN at the same 50k-vector point: the Lloyd-refined
-    # shortlist-rescore pipeline (registry query verbatim) with its
-    # recall against exact fixed-point ground truth pinned in-line —
-    # the floor that caught the original ADC-only form at 0.0 and
-    # gates any codebook/M/K/C change. Measured: 1.0 at this point.
+    # PQ ANN at the same 50k-vector point, split on the index seam
+    # (retrieval._pq_build / _pq_probe_from): the BUILD (codebook
+    # Lloyd + full-corpus encode, materialized to parquet — the
+    # data-proportional cost a production deployment amortizes across
+    # probes) and the PROBE (LUT → ADC over the code table → C-row
+    # exact rescore — the per-query cost) are timed separately.
+    # sim_pq_50k keeps reporting the fused pipeline for cross-round
+    # continuity. Recall of the SPLIT probe against exact fixed-point
+    # ground truth gates at >= 0.9 — the floor that caught the
+    # original ADC-only form at 0.0.
     try:
         emb_fix_dir = os.path.join(sf1_dir, "emb50k_fixture")
 
@@ -638,6 +645,61 @@ def main() -> None:
         timings["sim_pq_50k"] = round(best, 3)
         if recall < 0.9:
             errors["sim_pq_50k"] = f"recall degraded: {recall} < 0.9"
+
+        from tpctools_spark.queries.retrieval import (
+            _PQ_TOPK,
+            _pq_build,
+            _pq_exact_topk_ids,
+            _pq_probe_from,
+        )
+
+        pq_dir = os.path.join(sf1_dir, "pq50k_index")
+
+        def _pq_build_once() -> None:
+            cb, enc = _pq_build(spark, emb_fix_dir)
+            cb.write.mode("overwrite").parquet(os.path.join(pq_dir, "cb"))
+            enc.write.mode("overwrite").parquet(os.path.join(pq_dir, "enc"))
+
+        t0 = time.perf_counter()
+        _pq_build_once()  # cold
+        cold["sim_pq_build_50k"] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _pq_build_once()
+            best = min(best, time.perf_counter() - t0)
+        timings["sim_pq_build_50k"] = round(best, 3)
+
+        cbr = spark.read.parquet(os.path.join(pq_dir, "cb"))
+        encr = spark.read.parquet(os.path.join(pq_dir, "enc"))
+
+        def _pq_probe_once() -> list:
+            return (
+                _pq_probe_from(spark, emb_fix_dir, cbr, encr)
+                .orderBy("exact_dist", "vec_id")
+                .limit(_PQ_TOPK)
+                .collect()
+            )
+
+        t0 = time.perf_counter()
+        rows = _pq_probe_once()  # cold
+        cold["sim_pq_probe_50k"] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows = _pq_probe_once()
+            best = min(best, time.perf_counter() - t0)
+        timings["sim_pq_probe_50k"] = round(best, 3)
+        probe_ids = {r["vec_id"] for r in rows}
+        exact_ids = {
+            r["e_id"]
+            for r in _pq_exact_topk_ids(spark, emb_fix_dir).collect()
+        }
+        split_recall = len(probe_ids & exact_ids) / _PQ_TOPK
+        if split_recall < 0.9:
+            errors["sim_pq_probe_50k"] = (
+                f"split-probe recall degraded: {split_recall} < 0.9"
+            )
     except Exception as exc:  # noqa: BLE001
         errors["sim_pq_50k"] = f"{type(exc).__name__}: {exc}"[:200]
 
@@ -655,48 +717,63 @@ def main() -> None:
     # catches join-order/AQE regressions the small fixtures can't
     # express.
     tpcds_sf1: dict[str, float] = {}
+    tpcds_sf1_passes = 0
     try:
-        from tpctools_spark.queries.tpcds_demo import _GEN_TABLES
+        from tpctools_spark.benchfix import ensure_tpcds_sf1
 
-        tpcds_sf1_dir = os.path.join(sf1_dir, "tpcds")
-        marker = os.path.join(
-            tpcds_sf1_dir, f"_ALL_TABLES_OK_{len(_GEN_TABLES)}"
-        )
-        if not os.path.exists(marker):
-            def _mat(t: str) -> None:
-                build_tpcds_table(spark, t, 1.0, 32).write.mode(
-                    "overwrite"
-                ).parquet(os.path.join(tpcds_sf1_dir, t))
-
-            with ThreadPoolExecutor(8) as ex:
-                list(ex.map(_mat, _GEN_TABLES))
-            with open(marker, "w") as f:
-                f.write("ok\n")
+        tpcds_sf1_dir = ensure_tpcds_sf1(spark)
         # Soft wall-clock budget: the driver's bench capture must never
         # be lost to this (round 3 lost its whole record to one crash);
         # if the suite overruns, stop, record how many shapes were
         # skipped, and still print the compact line.
-        budget_s = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "600"))
+        budget_s = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "750"))
         suite_t0 = time.perf_counter()
         skipped_for_budget = 0
+        ds_names = sorted(n for n in qs if n.startswith("tpcds_q"))
         try:
-            for name in sorted(n for n in qs if n.startswith("tpcds_q")):
-                if time.perf_counter() - suite_t0 > budget_s:
-                    skipped_for_budget += 1
-                    continue
+            # Warm pass: compile every plan on the tiny default tables
+            # (codegen cache keys on generated source, so the 5-10 s
+            # compile for big shapes is paid on data-free plans).
+            for name in ds_names:
                 try:
                     os.environ.pop("TPCTOOLS_TPCDS_DIR", None)
                     qs[name](spark, SF_DIR).write.format("noop").mode(
                         "overwrite"
-                    ).save()  # warm: compile on the sf0.001 tables
-                    os.environ["TPCTOOLS_TPCDS_DIR"] = tpcds_sf1_dir
-                    t0 = time.perf_counter()
-                    qs[name](spark, SF_DIR).write.format("noop").mode(
-                        "overwrite"
                     ).save()
-                    tpcds_sf1[name] = round(time.perf_counter() - t0, 3)
                 except Exception as exc:  # noqa: BLE001
-                    errors[f"sf1_{name}"] = f"{type(exc).__name__}: {exc}"[:200]
+                    errors[f"sf1_{name}"] = (
+                        f"{type(exc).__name__}: {exc}"[:200]
+                    )
+            # Timed whole-suite passes; each query keeps its MIN across
+            # passes. Single sf1 samples on a shared JVM swing ±40%
+            # (r8 recorded q90 at 6.4 s vs a ~2.6 s steady state); the
+            # min over interleaved passes is the falsifiable number.
+            # Pass 2/3 start only if the budget clearly allows.
+            os.environ["TPCTOOLS_TPCDS_DIR"] = tpcds_sf1_dir
+            for pass_i in range(3):
+                elapsed = time.perf_counter() - suite_t0
+                if pass_i == 1 and elapsed > 0.55 * budget_s:
+                    break
+                if pass_i == 2 and elapsed > 0.75 * budget_s:
+                    break
+                for name in ds_names:
+                    if time.perf_counter() - suite_t0 > budget_s:
+                        if pass_i == 0:
+                            skipped_for_budget += 1
+                        continue
+                    try:
+                        t0 = time.perf_counter()
+                        qs[name](spark, SF_DIR).write.format("noop").mode(
+                            "overwrite"
+                        ).save()
+                        dt = round(time.perf_counter() - t0, 3)
+                        if name not in tpcds_sf1 or dt < tpcds_sf1[name]:
+                            tpcds_sf1[name] = dt
+                    except Exception as exc:  # noqa: BLE001
+                        errors[f"sf1_{name}"] = (
+                            f"{type(exc).__name__}: {exc}"[:200]
+                        )
+                tpcds_sf1_passes = pass_i + 1
         finally:
             os.environ.pop("TPCTOOLS_TPCDS_DIR", None)
         if skipped_for_budget:
@@ -730,51 +807,56 @@ def main() -> None:
         "tpch_q16_supplier_part_count", "tpch_q19_discounted_revenue",
         "tpch_q20_potential_promotion", "tpch_q21_suppliers_kept_waiting",
     ]
-    _TPCH_ALL_TABLES = (
-        "region", "nation", "supplier", "customer",
-        "part", "partsupp", "orders", "lineitem",
-    )
     try:
-        for t in _TPCH_ALL_TABLES:  # fixture-layout materialization
-            p = os.path.join(sf1_dir, f"{t}.parquet")
-            if not os.path.exists(os.path.join(p, "_SUCCESS")):
-                build_table(spark, t, 1.0, 32).write.mode(
-                    "overwrite"
-                ).parquet(p)
-        tpch_gen_dir = os.path.join(sf1_dir, "tpch_gen")
-        marker = os.path.join(tpch_gen_dir, "_ALL_TABLES_OK")
-        if not os.path.exists(marker):
-            for t in _TPCH_ALL_TABLES:  # generator-layout materialization
-                build_table(spark, t, 1.0, 32).write.mode(
-                    "overwrite"
-                ).parquet(os.path.join(tpch_gen_dir, t))
-            with open(marker, "w") as f:
-                f.write("ok\n")
+        from tpctools_spark.benchfix import ensure_tpch_sf1
+
+        _, tpch_gen_dir = ensure_tpch_sf1(spark)
         budget_s = float(
             os.environ.get("SPARK_GRAFT_TPCH_SF1_BUDGET", "300")
         )
         suite_t0 = time.perf_counter()
         skipped_for_budget = 0
         try:
+            # Warm pass (compile on tiny tables), then up to 3 timed
+            # whole-suite passes, min per query — same protocol and
+            # rationale as the TPC-DS block above.
             for name in _TPCH_FIXTURE_FORM + _TPCH_GEN_FORM:
-                if time.perf_counter() - suite_t0 > budget_s:
-                    skipped_for_budget += 1
-                    continue
                 try:
                     os.environ.pop("TPCTOOLS_TPCH_DIR", None)
-                    # warm pass on the small default tables
                     qs[name](spark, SF_DIR).write.format("noop").mode(
                         "overwrite"
                     ).save()
-                    if name in _TPCH_GEN_FORM:
-                        os.environ["TPCTOOLS_TPCH_DIR"] = tpch_gen_dir
-                    t0 = time.perf_counter()
-                    qs[name](spark, sf1_dir).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
-                    tpch_sf1[name] = round(time.perf_counter() - t0, 3)
                 except Exception as exc:  # noqa: BLE001
-                    errors[f"sf1_{name}"] = f"{type(exc).__name__}: {exc}"[:200]
+                    errors[f"sf1_{name}"] = (
+                        f"{type(exc).__name__}: {exc}"[:200]
+                    )
+            for pass_i in range(3):
+                elapsed = time.perf_counter() - suite_t0
+                if pass_i == 1 and elapsed > 0.55 * budget_s:
+                    break
+                if pass_i == 2 and elapsed > 0.75 * budget_s:
+                    break
+                for name in _TPCH_FIXTURE_FORM + _TPCH_GEN_FORM:
+                    if time.perf_counter() - suite_t0 > budget_s:
+                        if pass_i == 0:
+                            skipped_for_budget += 1
+                        continue
+                    try:
+                        if name in _TPCH_GEN_FORM:
+                            os.environ["TPCTOOLS_TPCH_DIR"] = tpch_gen_dir
+                        else:
+                            os.environ.pop("TPCTOOLS_TPCH_DIR", None)
+                        t0 = time.perf_counter()
+                        qs[name](spark, sf1_dir).write.format("noop").mode(
+                            "overwrite"
+                        ).save()
+                        dt = round(time.perf_counter() - t0, 3)
+                        if name not in tpch_sf1 or dt < tpch_sf1[name]:
+                            tpch_sf1[name] = dt
+                    except Exception as exc:  # noqa: BLE001
+                        errors[f"sf1_{name}"] = (
+                            f"{type(exc).__name__}: {exc}"[:200]
+                        )
         finally:
             os.environ.pop("TPCTOOLS_TPCH_DIR", None)
         if skipped_for_budget:
@@ -801,6 +883,7 @@ def main() -> None:
         "warm_spread": spread,
         "gen_throughput": gen_stats,
         "tpcds_sf1_queries": tpcds_sf1,
+        "tpcds_sf1_passes": tpcds_sf1_passes,
         "tpch_sf1_queries": tpch_sf1,
         "errors": errors,
         "sf": sf_val,

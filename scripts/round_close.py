@@ -84,7 +84,17 @@ def main() -> int:
         )
         return 1
 
-    # 4. Bench, solo run (caller must ensure no other Spark JVM on the
+    # 4. Plan fingerprints: regenerate PLANS.json (pre-checkpoint
+    #    trees, normalized expr ids). Unlike the README step this does
+    #    NOT fail on a diff — plan changes are legitimate — but an
+    #    uncommitted diff here means a plan changed without review:
+    #    inspect `git diff PLANS.json` and commit it with the round.
+    run("plan fingerprints", [py, "scripts/plan_fingerprints.py"])
+    subprocess.call(
+        ["git", "diff", "--stat", "HEAD", "--", "PLANS.json"], cwd=REPO
+    )
+
+    # 5. Bench, solo run (caller must ensure no other Spark JVM on the
     #    box — see SURVEY §6 round-11 note).
     if not no_bench:
         run("bench sf0.1", [py, "bench.py"])

@@ -33,15 +33,14 @@ a minute. Side-effecting queries (streams, sinks, bucketed-table
 builders) are skipped — their plan shapes are asserted by their own
 dedicated tests.
 
-Known blind spot: ``localCheckpoint(eager=False)`` subtrees (tpcds
-q14/q23/q75/q2-family derived sets, tpcds_demo4.py / tpcds_demo9.py)
-collapse to an opaque ``LogicalRDD`` scan in the checkpointed plan, so
-the joins/windows BEHIND each checkpoint are invisible to this sweep.
-Those subtrees are small derived sets (item-dim / customer-agg sized)
-whose pre-checkpoint shapes were reviewed when the checkpoints landed
-(SURVEY §6 round-13 A/Bs); eager=False keeps this file job-free but
-does not restore visibility. Any NEW checkpoint call must get the same
-review.
+Checkpoint visibility: ``localCheckpoint(eager=False)`` subtrees
+(tpcds q14/q23/q75 derived sets) would collapse to an opaque
+``LogicalRDD`` scan and hide the joins behind them. All checkpoint
+sites go through ``_util.maybe_local_checkpoint``, and this sweep sets
+``TPCTOOLS_NO_CHECKPOINT=1`` so it plans the full pre-checkpoint tree
+— the former blind spot is closed. ``scripts/plan_fingerprints.py``
+additionally commits normalized plan fingerprints (PLANS.json) under
+the same flag, so any plan change shows up as a reviewable diff.
 """
 
 from __future__ import annotations
@@ -258,7 +257,14 @@ _SWEPT = [
 
 
 @pytest.mark.parametrize("name", _SWEPT)
-def test_no_cartesian_bnlj_and_global_windows_allowlisted(spark, name):
+def test_no_cartesian_bnlj_and_global_windows_allowlisted(
+    spark, name, monkeypatch
+):
+    # Audit the REAL tree: localCheckpoint(eager=False) subtrees
+    # collapse to opaque LogicalRDD scans, hiding the joins behind
+    # them (the former q14/q23/q75 blind spot). The flag makes
+    # maybe_local_checkpoint a no-op for this planning pass.
+    monkeypatch.setenv("TPCTOOLS_NO_CHECKPOINT", "1")
     df = spark_queries()[name](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name}: cartesian join"

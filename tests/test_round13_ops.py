@@ -32,3 +32,58 @@ def test_shard_dedup_plan_estimates_are_calibrated(spark):
             r.shard_a, r.shard_b, r.intersect_est, r.exact_common,
         )
     assert len(seen) == 6
+
+
+def test_shard_dedup_run_recall_on_planted_truth(spark, tmp_path_factory):
+    """The planner's consumer: running ONLY the top-k planned shard
+    pairs must recover >= 0.9 of the cross-shard near-dup pairs an
+    all-pairs run finds, on a corpus with planted cross-shard dups.
+
+    Plant: heavy duplication across shard pairs (0,1) and (2,3), one
+    lone dup across (0,2), none elsewhere — the planner must rank
+    (0,1) and (2,3) into its top 3, so planned recall is >= 22/23."""
+    from tpctools_spark.registry import spark_queries
+
+    def words(seed: int, n: int = 12) -> str:
+        return " ".join(f"w{seed}x{j}" for j in range(n))
+
+    rows = []
+    # background: a few unique docs in every shard (kept small so the
+    # planted intersections dominate the k=16 sketch sample)
+    for i in range(20):
+        rows.append((100 + i, words(1000 + i)))
+    # planted dups across (0,1): doc 4k and 4k+1 share text
+    for k in range(12):
+        t = words(2000 + k)
+        rows.append((200 + 4 * k, t))        # shard 0
+        rows.append((200 + 4 * k + 1, t))    # shard 1
+    # planted dups across (2,3)
+    for k in range(10):
+        t = words(3000 + k)
+        rows.append((300 + 4 * k + 2, t))    # shard 2
+        rows.append((300 + 4 * k + 3, t))    # shard 3
+    # one lone dup across (0,2) — allowed to be missed
+    t = words(4000)
+    rows.append((400, t))                    # shard 0
+    rows.append((402, t))                    # shard 2
+    out = str(tmp_path_factory.mktemp("shard_run"))
+    spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    qs = spark_queries()
+    planned = {
+        (r.doc_a, r.doc_b)
+        for r in qs["pipeline_shard_dedup_run"](spark, out).collect()
+    }
+    # all-pairs ground truth: full jaccard pairs, cross-shard only
+    allp = {
+        (r.doc_a, r.doc_b)
+        for r in qs["dedup_ngram_jaccard"](spark, out).collect()
+        if r.doc_a % 4 != r.doc_b % 4
+    }
+    assert allp, "planted duplicates not found by the all-pairs run"
+    assert planned <= allp
+    recall = len(planned) / len(allp)
+    assert recall >= 0.9, (recall, sorted(allp - planned))

@@ -180,6 +180,24 @@ def global_rank(df, order_by, rn="rn", cumsums=None, partitions=None):
     )
 
 
+def maybe_local_checkpoint(df):
+    """``localCheckpoint(eager=False)`` — unless ``TPCTOOLS_NO_CHECKPOINT``
+    is set, in which case the plan is returned unchanged.
+
+    A checkpointed subtree collapses to an opaque ``LogicalRDD`` scan,
+    which hides the joins/windows behind it from the blanket plan sweep
+    (``tests/test_plan_sweep.py``) and the committed plan fingerprints.
+    The sweep sets the env var so it audits the REAL pre-checkpoint
+    tree; production runs keep the checkpoint (reused subtrees pay one
+    materialization instead of N recomputes).
+    """
+    import os
+
+    if os.environ.get("TPCTOOLS_NO_CHECKPOINT"):
+        return df
+    return df.localCheckpoint(eager=False)
+
+
 def release_local_checkpoint(df) -> None:
     """Unpersist the block store backing a ``localCheckpoint()``ed
     DataFrame.

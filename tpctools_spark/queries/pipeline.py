@@ -934,7 +934,10 @@ def _sdp_pairs() -> list[tuple[int, int]]:
     ]
 
 
-def _sdp_oracle() -> str:
+def _sdp_plan_ctes() -> str:
+    """The shard-sketch planning pipeline as a WITH-chain ending in
+    ``plan_out`` — shared by the plan query's oracle and the run
+    query's oracle (which selects its top pairs FROM plan_out)."""
     spine = ", ".join(f"({a}, {b})" for a, b in _sdp_pairs())
     k, p = _SDP_K, _SDP_P
     return f"""
@@ -982,20 +985,26 @@ def _sdp_oracle() -> str:
       FROM hashed a JOIN hashed b ON a.h = b.h AND a.s < b.s
       GROUP BY 1, 2
     )
-    SELECT uk.sa AS shard_a, uk.sb AS shard_b,
-           COALESCE(common.m, 0) AS n_common_sample,
-           CASE WHEN uk.n_kept < {k} THEN CAST(uk.n_kept AS DOUBLE)
-                ELSE CAST(floor({k - 1}.0 * {p} / uk.kth * 100) AS DOUBLE)
-                     / 100 END AS union_est,
-           CASE WHEN uk.n_kept < {k} THEN CAST(COALESCE(common.m, 0) AS DOUBLE)
-                ELSE CAST(floor((COALESCE(common.m, 0) * {k - 1}.0 * {p})
-                                / ({k}.0 * uk.kth) * 100) AS DOUBLE)
-                     / 100 END AS intersect_est,
-           COALESCE(exact.exact_common, 0) AS exact_common
-    FROM uk
-    LEFT JOIN common ON common.sa = uk.sa AND common.sb = uk.sb
-    LEFT JOIN exact ON exact.sa = uk.sa AND exact.sb = uk.sb
-    ORDER BY shard_a, shard_b
+    , plan_out AS (
+      SELECT uk.sa AS shard_a, uk.sb AS shard_b,
+             COALESCE(common.m, 0) AS n_common_sample,
+             CASE WHEN uk.n_kept < {k} THEN CAST(uk.n_kept AS DOUBLE)
+                  ELSE CAST(floor({k - 1}.0 * {p} / uk.kth * 100) AS DOUBLE)
+                       / 100 END AS union_est,
+             CASE WHEN uk.n_kept < {k} THEN CAST(COALESCE(common.m, 0) AS DOUBLE)
+                  ELSE CAST(floor((COALESCE(common.m, 0) * {k - 1}.0 * {p})
+                                  / ({k}.0 * uk.kth) * 100) AS DOUBLE)
+                       / 100 END AS intersect_est,
+             COALESCE(exact.exact_common, 0) AS exact_common
+      FROM uk
+      LEFT JOIN common ON common.sa = uk.sa AND common.sb = uk.sb
+      LEFT JOIN exact ON exact.sa = uk.sa AND exact.sb = uk.sb
+    )"""
+
+
+def _sdp_oracle() -> str:
+    return _sdp_plan_ctes() + """
+    SELECT * FROM plan_out ORDER BY shard_a, shard_b
     """
 
 
@@ -1155,4 +1164,101 @@ def pipeline_shard_dedup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("exact_common"),
         )
         .orderBy("shard_a", "shard_b")
+    )
+
+
+_SDP_RUN_TOPK = 3  # shard pairs the run stage actually executes
+
+
+def _sdp_run_oracle() -> str:
+    from tpctools_spark.queries.dedup import JACCARD_DF_CAP
+
+    s = _SDP_SHARDS
+    return _sdp_plan_ctes() + f"""
+    , top_pairs AS (
+      SELECT shard_a, shard_b FROM plan_out
+      ORDER BY intersect_est DESC, shard_a, shard_b LIMIT {_SDP_RUN_TOPK}
+    ), jgrams AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                 range(1, greatest(len(w) - 1, 1)),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        FROM toks
+      ) WHERE gram IS NOT NULL
+    ), jsizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM jgrams GROUP BY doc_id
+    ), jhot AS (
+      SELECT gram FROM jgrams GROUP BY gram HAVING COUNT(*) > {JACCARD_DF_CAP}
+    ), jkept AS (
+      SELECT * FROM jgrams WHERE gram NOT IN (SELECT gram FROM jhot)
+    ), jshared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM jkept a JOIN jkept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), jpairs AS (
+      SELECT doc_a, doc_b,
+             CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS j
+      FROM jshared
+      JOIN jsizes sa ON sa.doc_id = doc_a
+      JOIN jsizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.2
+        AND doc_a % {s} <> doc_b % {s}
+    )
+    SELECT doc_a, doc_b,
+           least(doc_a % {s}, doc_b % {s}) AS shard_a,
+           greatest(doc_a % {s}, doc_b % {s}) AS shard_b,
+           CAST(floor(j * 10000) AS DOUBLE) / 10000 AS jaccard
+    FROM jpairs JOIN top_pairs
+      ON least(doc_a % {s}, doc_b % {s}) = top_pairs.shard_a
+     AND greatest(doc_a % {s}, doc_b % {s}) = top_pairs.shard_b
+    """
+
+
+@query("pipeline_shard_dedup_run", oracle=_sdp_run_oracle())
+def pipeline_shard_dedup_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the shard-dedup PLAN: exact Jaccard near-dup pairs, but
+    only across the ``_SDP_RUN_TOPK`` shard pairs the KMV-sketch
+    planner (``pipeline_shard_dedup_plan``) ranked highest by estimated
+    shingle-set intersection — the consumer the planner existed for.
+
+    At 100 TB this is the payoff of sketch-first planning: with S
+    shards there are S·(S−1)/2 possible cross-shard passes; the
+    planner's k·S sketch rows pick the few pairs worth co-scheduling,
+    and disjoint shards never meet. The run stage itself is the df-cap
+    inverted-index Jaccard (``dedup._jaccard_pairs`` — postings shuffle
+    once, hot grams capped, never all-pairs) with the shard-pair gate
+    applied as a broadcast semi-join against the ≤ topk planned pairs.
+    A recall-calibration property test
+    (``tests/test_round13_ops.py``) plants cross-shard duplicates and
+    asserts the planned-pairs run recovers ≥ 0.9 of what an all-pairs
+    run finds.
+
+    Determinism: the plan's estimates are exact integers/fixed-point
+    (md5-derived hashes), top-k tie-breaks on (est DESC, shard ids),
+    and Jaccard is an exact integer ratio — both engines pick the same
+    pairs and emit the same rows.
+    """
+    from tpctools_spark.queries.dedup import _jaccard_pairs
+
+    plan = pipeline_shard_dedup_plan(spark, sf_dir)
+    top = (
+        plan.orderBy(F.col("intersect_est").desc(), "shard_a", "shard_b")
+        .limit(_SDP_RUN_TOPK)
+        .select("shard_a", "shard_b")
+    )
+    pa = (F.col("doc_a") % _SDP_SHARDS).cast("bigint")
+    pb = (F.col("doc_b") % _SDP_SHARDS).cast("bigint")
+    pairs = (
+        _jaccard_pairs(spark, sf_dir)
+        .filter(pa != pb)
+        .withColumn("shard_a", F.least(pa, pb))
+        .withColumn("shard_b", F.greatest(pa, pb))
+    )
+    return pairs.join(F.broadcast(top), ["shard_a", "shard_b"]).select(
+        "doc_a",
+        "doc_b",
+        "shard_a",
+        "shard_b",
+        trunc_digits(F.col("jacc"), 4).alias("jaccard"),
     )

@@ -300,13 +300,10 @@ def _pq_sq_l2_unrolled(a: str, b: str, dim: int):
     return F.expr(f"cast({terms} as bigint)")
 
 
-def _pq_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The shared PQ pipeline: seeded codebook → one integer Lloyd
-    refinement → encode → ADC shortlist (C={_PQ_SHORTLIST}) → exact
-    fixed-point rescore. Returns the rescored candidate relation
-    (vec_id, label, adc_dist, exact_dist)."""
+def _pq_fx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point vector table (vec_id, label, q: array<bigint>)."""
     emb = table(spark, sf_dir, "embeddings")
-    fx = emb.select(
+    return emb.select(
         "vec_id",
         "label",
         F.transform(
@@ -314,7 +311,11 @@ def _pq_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round(x.cast("double") * _PQ_FX).cast("bigint"),
         ).alias("q"),
     )
-    subs = fx.select(
+
+
+def _pq_subs(fx: DataFrame) -> DataFrame:
+    """Per-vector M subvector rows (vec_id, label, s, sv)."""
+    return fx.select(
         "vec_id",
         "label",
         F.explode(F.array(*[F.lit(s) for s in range(_PQ_M)])).alias("s"),
@@ -325,6 +326,19 @@ def _pq_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s",
         F.expr(f"slice(q, s * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})").alias("sv"),
     )
+
+
+def _pq_build(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """PQ INDEX BUILD — the data-proportional half of the pipeline:
+    seeded codebook → one integer Lloyd refinement → encode every
+    vector as M codes. Returns ``(cb, enc)``: the M×K codebook
+    (cs, c, csv) and the code table (vec_id, label, s, code). Both are
+    plain DataFrames, so a bench/production caller can materialize
+    them once per corpus (they are pure functions of the fixture) and
+    amortize the build across probes — ``bench.py`` times build and
+    probe separately on exactly this seam."""
+    fx = _pq_fx(spark, sf_dir)
+    subs = _pq_subs(fx)
     cb0 = subs.filter(F.col("vec_id") < _PQ_K).select(
         F.col("s").alias("cs"), F.col("vec_id").alias("c"), F.col("sv").alias("csv")
     )
@@ -375,7 +389,20 @@ def _pq_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.struct("d", "c")).alias("m"))
         .select("vec_id", "label", "s", F.col("m.c").alias("code"))
     )
-    probe = subs.filter(F.col("vec_id") == _PQ_PROBE).select(
+    return cb, enc
+
+
+def _pq_probe_from(
+    spark: SparkSession, sf_dir: str, cb: DataFrame, enc: DataFrame
+) -> DataFrame:
+    """PQ PROBE — the per-query half: LUT from the probe's subvectors
+    against the codebook, ADC-score the code table, shortlist C
+    candidates, exact-rescore them. Touches the full-vector table only
+    for the probe row and the C shortlisted ids (pushed-down id
+    filters/joins), so with a materialized (cb, enc) the probe cost is
+    independent of the build."""
+    fx = _pq_fx(spark, sf_dir)
+    probe = _pq_subs(fx.filter(F.col("vec_id") == _PQ_PROBE)).select(
         F.col("s").alias("ps"), F.col("sv").alias("psv")
     )
     lut = (
@@ -415,6 +442,14 @@ def _pq_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
             _pq_sq_l2(F.col("q"), F.col("pq2")).alias("exact_dist"),
         )
     )
+
+
+def _pq_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared PQ pipeline, build + probe fused (registry form):
+    returns the rescored candidate relation
+    (vec_id, label, adc_dist, exact_dist)."""
+    cb, enc = _pq_build(spark, sf_dir)
+    return _pq_probe_from(spark, sf_dir, cb, enc)
 
 
 @query("sim_pq_topk", oracle=_pq_sql())
@@ -591,6 +626,32 @@ def _pq_recall_sql() -> str:
     """
 
 
+def _pq_exact_topk_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-point L2 top-k ids for the standard probe — the
+    ground-truth leg shared by ``sim_pq_recall`` and the bench's
+    split build/probe recall gate. One corpus scan + global top-k."""
+    fx = _pq_fx(spark, sf_dir).select("vec_id", "q")
+    probe = fx.filter(F.col("vec_id") == _PQ_PROBE).select(
+        F.col("q").alias("pq2")
+    )
+
+    def sq_l2_full(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    return (
+        fx.filter(F.col("vec_id") != _PQ_PROBE)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", sq_l2_full(F.col("q"), F.col("pq2")).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(_PQ_TOPK)
+        .select(F.col("vec_id").alias("e_id"))
+    )
+
+
 @query("sim_pq_recall", oracle=_pq_recall_sql())
 def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ index quality: recall@k of the shortlist-rescored PQ top-k
@@ -608,33 +669,7 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged.
     """
     pq_ids = sim_pq_topk(spark, sf_dir).select(F.col("vec_id").alias("p_id"))
-    emb = table(spark, sf_dir, "embeddings")
-    fx = emb.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.round(x.cast("double") * _PQ_FX).cast("bigint"),
-        ).alias("q"),
-    )
-    probe = fx.filter(F.col("vec_id") == _PQ_PROBE).select(
-        F.col("q").alias("pq2")
-    )
-
-    def sq_l2_full(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-
-    exact = (
-        fx.filter(F.col("vec_id") != _PQ_PROBE)
-        .crossJoin(F.broadcast(probe))
-        .select("vec_id", sq_l2_full(F.col("q"), F.col("pq2")).alias("d"))
-        .orderBy("d", "vec_id")
-        .limit(_PQ_TOPK)
-        .select(F.col("vec_id").alias("e_id"))
-    )
+    exact = _pq_exact_topk_ids(spark, sf_dir)
     hits = pq_ids.join(exact, pq_ids.p_id == exact.e_id).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_hits")
     )

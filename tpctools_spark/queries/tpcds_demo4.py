@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from tpctools_spark.queries._util import maybe_local_checkpoint
 from tpctools_spark.queries.tpcds_demo import _t, _with
 from tpctools_spark.registry import query
 
@@ -589,7 +590,7 @@ def tpcds_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     # first action, not at DataFrame-construction time — plan-only
     # tests must not run Spark jobs.
     cross_items = (
-        it.join(triples, trip).select("i_item_sk").localCheckpoint(eager=False)
+        it.join(triples, trip).select("i_item_sk").transform(maybe_local_checkpoint)
     )
 
     def cents(q: str, p: str) -> F.Column:
@@ -838,7 +839,7 @@ def tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") >= 4)
         .select("i_item_sk")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(maybe_local_checkpoint)
     )
     cust_totals = (
         ss.filter(F.col("ss_customer_sk").isNotNull())
@@ -848,14 +849,14 @@ def tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("ss_quantity") * F.col("ss_sales_price") * 100).cast("bigint")
             ).alias("cents")
         )
-        .localCheckpoint(eager=False)
+        .transform(maybe_local_checkpoint)
     )
     max_total = cust_totals.agg(F.max("cents").alias("max_cents"))
     best = (
         cust_totals.crossJoin(F.broadcast(max_total))
         .filter(F.col("cents") * 2 > F.col("max_cents"))
         .select("cust")
-        .localCheckpoint(eager=False)
+        .transform(maybe_local_checkpoint)
     )
     dd_m = F.broadcast(
         _t(spark, "date_dim")

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from tpctools_spark.queries._util import maybe_local_checkpoint
 from tpctools_spark.queries.tpcds_demo import _t, _with
 from tpctools_spark.registry import query
 
@@ -331,7 +332,7 @@ def tpcds_q75(spark: SparkSession, sf_dir: str) -> DataFrame:
     yearly = u.groupBy("d_year", "i_brand_id").agg(
         F.sum("qty").cast("bigint").alias("qty"),
         F.sum("cents").cast("bigint").alias("cents"),
-    ).localCheckpoint(eager=False)
+    ).transform(maybe_local_checkpoint)
     y1 = yearly.filter(F.col("d_year") == 2000).select(
         F.col("i_brand_id").alias("b1"), F.col("qty").alias("qty_2000"),
         F.col("cents").alias("cents_2000"),
