@@ -78,3 +78,171 @@ def test_foreach_batch_view_survives_mid_drain_restart(spark, tmp_path):
         for r in read_merge_view(spark, out).collect()
     }
     assert got == want
+
+
+def _cdc_agg(stream):
+    """The stream_cdc_compact aggregation applied to an arbitrary
+    event stream (same expressions as the registered query)."""
+    last = F.expr(
+        "max_by(struct(event_id, event_type, value, unix_micros(ts) AS ts_us),"
+        " struct(ts, event_id))"
+    )
+    return (
+        stream.groupBy("user_id")
+        .agg(
+            last.alias("last"),
+            F.count(F.lit(1)).cast("bigint").alias("n_ops"),
+        )
+        .filter(F.col("last.event_type") != "error")
+        .select(
+            "user_id",
+            F.col("last.event_id").alias("last_event_id"),
+            F.col("last.event_type").alias("last_op"),
+            F.col("last.value").alias("last_value"),
+            F.col("last.ts_us").alias("last_ts_us"),
+            "n_ops",
+        )
+    )
+
+
+def _stop_mid_drain(q, deadline_s: float = 120.0) -> None:
+    """Stop a running stream as soon as at least one micro-batch has
+    committed (recentProgress non-empty)."""
+    deadline = time.monotonic() + deadline_s
+    while time.monotonic() < deadline:
+        if q.recentProgress:
+            break
+        time.sleep(0.05)
+    q.stop()
+    q.awaitTermination()
+    assert q.recentProgress, "no batch committed before the kill"
+
+
+def test_cdc_compact_resumes_from_checkpoint(spark, tmp_path):
+    """stream_cdc_compact's aggregation is stateful (per-key max_by);
+    killing the query mid-drain and restarting from the SAME
+    checkpoint must restore the state store and converge the snapshot
+    to the batch answer — the durability contract a CDC compactor
+    actually relies on."""
+    from pyspark.sql import Window
+
+    ev = table(spark, SF, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    landing = str(tmp_path / "cdc_landing")
+    ev.repartition(N_FILES).write.parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    ckpt = str(tmp_path / "cdc_ckpt")
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_ops", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+    )
+    want = {
+        (r.user_id, r.event_id, r.event_type, r.value, int(r.n_ops))
+        for r in ranked.filter(
+            (F.col("rn") == 1) & (F.col("event_type") != "error")
+        ).collect()
+    }
+
+    def start(name: str):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        return (
+            _cdc_agg(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start("cdc_rec_run1")
+    _stop_mid_drain(q)
+
+    q2 = start("cdc_rec_run2")
+    q2.awaitTermination()
+    got = {
+        (r.user_id, r.last_event_id, r.last_op, r.last_value, int(r.n_ops))
+        for r in spark.table("cdc_rec_run2").collect()
+    }
+    assert got == want
+
+
+def test_python_datasource_stream_resumes_from_checkpoint(spark, tmp_path):
+    """The custom Python streaming source's offset contract under
+    interrupted-drain recovery: with advanceperpoll=1 each availableNow
+    run consumes exactly one more micro-batch, so stopping after 3 of
+    10 batches and restarting from the same checkpoint must resume
+    from the COMMITTED offset (the restarted reader re-learns its
+    position from Spark's commit/partitions callbacks, never from
+    initialOffset) and converge the aggregate to the full feed."""
+    from tpctools_spark.sources import SensorStreamSource
+
+    try:
+        spark.dataSource.register(SensorStreamSource)
+    except Exception:  # noqa: BLE001 — already registered
+        pass
+
+    want: dict[int, tuple[int, float]] = {}
+    for rid in range(1000):
+        h = (rid * 654435747) % 1000000007
+        sid = h % 16
+        n, tot = want.get(sid, (0, 0.0))
+        want[sid] = (n + 1, tot + (h % 10000) / 100.0)
+    want_set = {(s, n, round(t, 2)) for s, (n, t) in want.items()}
+
+    ckpt = str(tmp_path / "sensor_ckpt")
+
+    def drain_once(name: str):
+        feed = (
+            spark.readStream.format("sensor_feed_stream")
+            .option("rowsperbatch", "100")
+            .option("batches", "10")
+            .option("sensors", "16")
+            .option("advanceperpoll", "1")
+            .load()
+        )
+        agg = feed.groupBy("sensor_id").agg(
+            F.count(F.lit(1)).alias("n_readings"),
+            F.round(
+                F.sum(F.col("reading").cast("decimal(12,2)")).cast("double"),
+                2,
+            ).alias("total_reading"),
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(r.n_readings for r in spark.table(name).collect())
+
+    # Interrupted drain: 3 one-batch runs, then "crash" (stop running).
+    seen = 0
+    for i in range(3):
+        seen = drain_once(f"sensor_rec_a{i}")
+    assert seen == 300, seen  # 3 of 10 batches — mid-feed by design
+
+    # Resume from the same checkpoint until the feed is exhausted; the
+    # cap is loud: >7 more runs means offsets regressed or stalled.
+    for i in range(7):
+        seen = drain_once(f"sensor_rec_b{i}")
+        if seen == 1000:
+            break
+    assert seen == 1000, seen
+
+    got = {
+        (r.sensor_id, r.n_readings, r.total_reading)
+        for r in spark.table(f"sensor_rec_b{i}").collect()
+    }
+    assert got == want_set

@@ -694,11 +694,15 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     connector implements — the streaming half of
     `scan_python_datasource`'s extension point.
 
-    10 micro-batches × 100 readings drain under ``availableNow`` into
-    a complete-mode per-sensor aggregate; rows are the same pure
-    function of reading id as the batch source, so the drained stream
-    is value-equal to the batch feed prefix and DuckDB rebuilds it
-    from a range(). Offsets advance batch-at-a-time with no driver
+    10 offset steps × 100 readings drain under ``availableNow`` (one
+    micro-batch of 10 partitions, since the default reader exposes the
+    whole feed at once; ``advanceperpoll=1`` makes it genuinely
+    incremental — the crash-recovery test in
+    ``tests/test_streaming_recovery.py`` drains it batch-at-a-time
+    across restarts) into a complete-mode per-sensor aggregate; rows
+    are the same pure function of reading id as the batch source, so
+    the drained stream is value-equal to the batch feed prefix and
+    DuckDB rebuilds it from a range(). Offsets advance with no driver
     data — a real connector maps them to partition/offset ranges the
     same way.
     """

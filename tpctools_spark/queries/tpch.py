@@ -158,6 +158,12 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer-nation = supplier-nation equality rides the join condition
     (no post-filter). Final agg has ≤25 groups — exchange is trivial.
     """
+    # Join-order note (r9 A/B, scripts/bench_ab.py, 5 interleaved reps
+    # at sf1): pre-reducing customer/supplier through region→nation
+    # BEFORE the fact joins measured -3.4% on min and was NOT
+    # sign-stable — the orders⋈lineitem shuffle dominates and is
+    # unchanged by the reorder (runtime bloom/DPP already prune it).
+    # Kept the spec-shaped order.
     r = F.broadcast(
         table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     )

@@ -78,14 +78,28 @@ class SensorStreamReader(DataSourceStreamReader):
         self._rows_per_batch = int(options.get("rowsperbatch", "100"))
         self._n_batches = int(options.get("batches", "10"))
         self._n_sensors = int(options.get("sensors", "16"))
+        # advanceperpoll > 0 makes the feed INCREMENTAL: each
+        # latestOffset poll exposes only that many more micro-batches
+        # beyond the highest position this reader has been shown —
+        # the Kafka-like "data keeps arriving" shape, used by the
+        # crash-recovery test. The position re-seeds itself across
+        # restarts because Spark calls commit(committed-offset) /
+        # partitions(start, end) with checkpointed offsets before the
+        # next poll. Default 0 = expose everything at once, so an
+        # availableNow drain consumes the whole feed in one run.
+        self._advance = int(options.get("advanceperpoll", "0"))
+        self._seen = 0
 
     def initialOffset(self):
         return {"batch": 0}
 
     def latestOffset(self):
-        return {"batch": self._n_batches}
+        if self._advance <= 0:
+            return {"batch": self._n_batches}
+        return {"batch": min(self._seen + self._advance, self._n_batches)}
 
     def partitions(self, start, end):
+        self._seen = max(self._seen, end["batch"])
         return [
             InputPartition((b, b + 1))
             for b in range(start["batch"], end["batch"])
@@ -101,7 +115,7 @@ class SensorStreamReader(DataSourceStreamReader):
                 yield (rid, h % self._n_sensors, float(h % 10_000) / 100.0)
 
     def commit(self, end):
-        pass
+        self._seen = max(self._seen, end["batch"])
 
     def stop(self):
         pass
