@@ -55,11 +55,20 @@ _SIDE_EFFECTING_PREFIXES = (
 )
 
 _EXPR_ID = re.compile(r"#\d+")
+# Catalyst names lambda variables with a SESSION-GLOBAL counter
+# (`lambda x_273#...`), so the same plan text varies with how many
+# lambdas the session analyzed before it — strip the counter (the
+# expr-id pass has already reduced `x_273#12` to `x_273#`).
+_LAMBDA_VAR = re.compile(r"\b([A-Za-z]\w*?)_\d+#")
+# Scratch-staged tables carry a per-build hex suffix
+# (`orders_bp_db5cd2fd`) — session noise, not plan shape.
+_HEX_SUFFIX = re.compile(r"_[0-9a-f]{8}\b")
 _NODE = re.compile(r"^[\s:+|-]*([A-Za-z][A-Za-z0-9]*)")
 
 
 def fingerprint(tree: str) -> tuple[str, dict[str, int]]:
-    norm = _EXPR_ID.sub("#", tree)
+    norm = _LAMBDA_VAR.sub(r"\1_#", _EXPR_ID.sub("#", tree))
+    norm = _HEX_SUFFIX.sub("_#h", norm)
     nodes: dict[str, int] = {}
     for line in norm.splitlines():
         m = _NODE.match(line)

@@ -167,7 +167,12 @@ def _channel_customers_sql(fact: str, cust: str, date: str) -> str:
     """
 
 
-def _channel_customers(spark: SparkSession, fact: str, cust: str, date: str) -> DataFrame:
+def _channel_customers(
+    spark: SparkSession, fact: str, cust: str, date: str
+) -> DataFrame:
+    """One channel's (last, first, date) identity rows in the window —
+    UNDISTINCTED: the flag aggregate in _channel_membership dedups all
+    three channels in its single exchange."""
     dd = F.broadcast(
         _t(spark, "date_dim")
         .filter(F.col("d_month_seq").between(_MSEQ_LO, _MSEQ_HI))
@@ -181,7 +186,35 @@ def _channel_customers(spark: SparkSession, fact: str, cust: str, date: str) -> 
         f_.join(dd, F.col(date) == dd.d_date_sk)
         .join(c, F.col(cust) == c.c_customer_sk)
         .select("c_last_name", "c_first_name", "d_date")
-        .distinct()
+    )
+
+
+def _channel_membership(spark: SparkSession) -> DataFrame:
+    """(c_last_name, c_first_name, d_date, in_ss, in_cs, in_ws) — every
+    identity seen in the window, with per-channel presence flags, from
+    ONE aggregation over the unioned (undistincted) channel legs.
+
+    The set-algebra forms (INTERSECT / EXCEPT chains) pay one exchange
+    per channel DISTINCT plus one per semi/anti step; this computes
+    all three distincts AND the membership test in a single hash
+    aggregate — map-side partial combine dedups each channel before
+    the one shuffle, so exchanged volume matches a single distinct."""
+    legs = [
+        _channel_customers(
+            spark, "store_sales", "ss_customer_sk", "ss_sold_date_sk"
+        ).withColumn("ch", F.lit(0)),
+        _channel_customers(
+            spark, "catalog_sales", "cs_bill_customer_sk", "cs_sold_date_sk"
+        ).withColumn("ch", F.lit(1)),
+        _channel_customers(
+            spark, "web_sales", "ws_bill_customer_sk", "ws_sold_date_sk"
+        ).withColumn("ch", F.lit(2)),
+    ]
+    u = legs[0].unionByName(legs[1]).unionByName(legs[2])
+    return u.groupBy("c_last_name", "c_first_name", "d_date").agg(
+        F.max((F.col("ch") == 0).cast("int")).alias("in_ss"),
+        F.max((F.col("ch") == 1).cast("int")).alias("in_cs"),
+        F.max((F.col("ch") == 2).cast("int")).alias("in_ws"),
     )
 
 
@@ -204,21 +237,19 @@ def tpcds_q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS Q38 shape: count of (name, date) identities that bought
     through ALL THREE channels in the same 12-month window.
 
-    Set INTERSECT at star scale: each channel contributes a DISTINCT
-    projection of a fact⋈dims join, and the intersection runs as two
-    left-semi joins on the full composite row — Spark plans
-    hash-partitioned distincts per channel and co-partitioned semi
-    joins, never materializing a cross product. At 100 TB each
-    DISTINCT is a map-side-combinable exchange on the same key, so the
-    intersect chain reuses partitioning end-to-end.
+    Set INTERSECT computed as a flag aggregation: the three channel
+    legs union (undistincted) into ONE hash aggregate that derives
+    per-channel presence flags, and the intersect is a flag filter.
+    The literal `ss.intersect(cs).intersect(ws)` form pays an exchange
+    per channel DISTINCT plus one per semi join (5 total); this is a
+    single exchange whose map-side partials do all the dedup — r9 A/B
+    (interleaved, sf1): flag form +9.2% on min, never slower across
+    reps. At 100 TB the exchange-count difference dominates.
     """
-    ss = _channel_customers(spark, "store_sales", "ss_customer_sk", "ss_sold_date_sk")
-    cs = _channel_customers(
-        spark, "catalog_sales", "cs_bill_customer_sk", "cs_sold_date_sk"
-    )
-    ws = _channel_customers(spark, "web_sales", "ws_bill_customer_sk", "ws_sold_date_sk")
-    hot = ss.intersect(cs).intersect(ws)
-    return hot.agg(F.count(F.lit(1)).cast("bigint").alias("n_hot_customers"))
+    m = _channel_membership(spark)
+    return m.filter(
+        (F.col("in_ss") == 1) & (F.col("in_cs") == 1) & (F.col("in_ws") == 1)
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_hot_customers"))
 
 
 @query(
@@ -240,17 +271,16 @@ def tpcds_q87(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS Q87 shape: count of (name, date) identities that bought
     in-store but NOT by catalog and NOT on the web in the window.
 
-    Q38's EXCEPT dual: the same three DISTINCT channel sets composed
-    with set difference — two left-anti joins on the composite key,
-    same co-partitioned exchange-reuse story.
+    Q38's EXCEPT dual, same flag-aggregation plan (one exchange; the
+    exceptAll-chain alternative measured equal at min, slightly slower
+    at median, over 9 interleaved sf1 reps in r9 — and the r7 note
+    stands: anti-join rewrites of this EXCEPT chain measured 15%
+    slower, so the flag aggregate is the keeper).
     """
-    ss = _channel_customers(spark, "store_sales", "ss_customer_sk", "ss_sold_date_sk")
-    cs = _channel_customers(
-        spark, "catalog_sales", "cs_bill_customer_sk", "cs_sold_date_sk"
-    )
-    ws = _channel_customers(spark, "web_sales", "ws_bill_customer_sk", "ws_sold_date_sk")
-    cool = ss.exceptAll(cs.distinct()).distinct().exceptAll(ws.distinct()).distinct()
-    return cool.agg(F.count(F.lit(1)).cast("bigint").alias("n_store_only"))
+    m = _channel_membership(spark)
+    return m.filter(
+        (F.col("in_ss") == 1) & (F.col("in_cs") == 0) & (F.col("in_ws") == 0)
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_store_only"))
 
 
 @query(
