@@ -578,6 +578,12 @@ def tpcds_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         sks = fact.select(F.col(item_col).alias("sk")).distinct()
         return sks.join(it, F.col("sk") == it.i_item_sk).select(*trip)
 
+    # r9 A/B NEGATIVE result: collapsing this 3-distinct + 2-intersect
+    # chain into one union+flag aggregation (the q38/q87 win) measured
+    # 5.6% SLOWER here — the per-fact DISTINCT pre-reduces each fact to
+    # cheap int keys map-side before any triple is materialized, while
+    # the flag form drags every fact row through the item join and a
+    # 3-column groupBy. Pre-reduce-then-intersect stays.
     triples = (
         sold_triples(ss, "ss_item_sk")
         .intersect(sold_triples(cs, "cs_item_sk"))
