@@ -1749,3 +1749,101 @@ def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_keep") - F.col("n_near")).alias("n_final"),
         )
     )
+
+
+# Aligned-window boilerplate detection (the C4/RefinedWeb "remove text
+# duplicated across documents" step, expressed for flat word streams):
+# a window is boilerplate iff it appears verbatim in >= 2 DISTINCT docs.
+_BP_W = 8  # words per aligned window
+
+
+@query(
+    "dedup_boilerplate_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+      FROM documents
+    ), segs0 AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, CAST(ceil(len(w) / {_BP_W}.0) AS BIGINT)),
+               i -> struct_pack(
+                 h := md5(array_to_string(
+                        w[(i * {_BP_W} + 1):(i * {_BP_W} + {_BP_W})], ' ')),
+                 nw := least({_BP_W}, len(w) - i * {_BP_W})))) AS s
+      FROM toks
+    ), segs AS (
+      SELECT doc_id, s.h AS h, s.nw AS nw FROM segs0
+    ), dfreq AS (
+      SELECT h, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY h
+    )
+    SELECT segs.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(COUNT(*) FILTER (df >= 2) AS BIGINT) AS n_boilerplate,
+           CAST(COALESCE(SUM(nw) FILTER (df < 2), 0) AS BIGINT)
+             AS kept_words
+    FROM segs JOIN dfreq USING (h)
+    GROUP BY segs.doc_id
+    """,
+)
+def dedup_boilerplate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection over aligned word windows —
+    the C4/RefinedWeb "drop any span that repeats verbatim across the
+    corpus" pass, re-expressed for the fixture's flat word streams:
+    each doc splits into consecutive 8-word aligned windows, a window
+    is boilerplate iff its text occurs in >= 2 DISTINCT documents, and
+    each doc reports (n_windows, n_boilerplate, kept_words) — the
+    accounting a pipeline uses to rewrite or drop documents.
+
+    Scale shape: windows never pair with windows — one md5-keyed
+    document-frequency aggregate (count-distinct-docs per window hash,
+    map-side combinable), one join back on the 32-char hash (narrow
+    shuffle keys regardless of window text width; at 100 TB the df
+    table's hot head is small and AQE broadcasts it), one per-doc
+    aggregate. The md5 key makes the DuckDB twin bit-identical without
+    shuffling window TEXT, and hash grouping is collision-safe at
+    128 bits. Complements ``dedup_repeated_spans`` (within-doc spans,
+    no join) and ``dedup_ngram_jaccard`` (whole-doc similarity):
+    this is the span-level CROSS-doc pass.
+    """
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    w = _words()
+    nwin = F.ceil(F.size("w") / F.lit(float(_BP_W))).cast("int")
+    segs = (
+        docs.select("doc_id", w.alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), nwin - 1),
+                    lambda i: F.struct(
+                        F.md5(
+                            F.array_join(
+                                F.slice(F.col("w"), i * _BP_W + 1, _BP_W), " "
+                            )
+                        ).alias("h"),
+                        F.least(
+                            F.lit(_BP_W), F.size("w") - i * _BP_W
+                        ).alias("nw"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.h").alias("h"), F.col("s.nw").alias("nw"))
+    )
+    dfreq = segs.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    return (
+        segs.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum((F.col("df") >= 2).cast("bigint")).alias("n_boilerplate"),
+            F.coalesce(
+                F.sum(F.when(F.col("df") < 2, F.col("nw"))), F.lit(0)
+            ).cast("bigint").alias("kept_words"),
+        )
+    )
