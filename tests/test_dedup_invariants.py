@@ -182,3 +182,26 @@ def test_dedup_funnel_accounting(spark):
     assert r.n_total == r.n_exact_removed + r.n_near_removed + r.n_final
     assert r.n_near_removed > 0
     assert r.n_final > 0
+
+
+def test_boilerplate_windows_flag_planted_copies(spark, planted_dir):
+    """Exact copies must have EVERY aligned window flagged as
+    boilerplate (kept_words 0); unrelated docs must have none."""
+    from tpctools_spark.registry import spark_queries
+
+    rows = {
+        r.doc_id: r
+        for r in spark_queries()["dedup_boilerplate_windows"](
+            spark, planted_dir
+        ).collect()
+    }
+    for dup in (1, 2):  # docs 1 and 2 are verbatim copies of BASE
+        assert rows[dup].n_boilerplate == rows[dup].n_windows > 0
+        assert rows[dup].kept_words == 0
+    # NEAR (doc 3) differs from BASE inside two windows but shares the
+    # rest verbatim — partially boilerplate, never fully
+    assert 0 < rows[3].n_boilerplate < rows[3].n_windows
+    # unrelated docs share no 8-word window with anything
+    for uid in range(10, 13):
+        assert rows[uid].n_boilerplate == 0
+        assert rows[uid].kept_words > 0
