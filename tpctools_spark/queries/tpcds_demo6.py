@@ -75,6 +75,11 @@ def tpcds_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dd, F.col("cs_sold_date_sk") == F.col("d_date_sk"))
         .select(F.col("cs_bill_customer_sk").alias("k"))
     )
+    # r9 A/B NEGATIVE result: replacing these two semi joins with one
+    # union+flag aggregation over tagged customer keys measured 1.7%
+    # slower (7 interleaved sf1 reps, deltas mostly negative) — the
+    # int-key semi joins are already the cheap form here, same lesson
+    # as the q14 intersect. The two-gate shape stays.
     remote = ws_c.unionByName(cs_c).distinct()
     cust = _t(spark, "customer").select("c_customer_sk", "c_current_cdemo_sk")
     gated = (
