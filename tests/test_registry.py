@@ -37,6 +37,30 @@ def test_entry_flagship_runs(spark):
     assert "l_returnflag" in df.columns
 
 
+def test_rotation_demotes_only_passing_keys():
+    """A key that failed the driver hard-check must stay in the front
+    of the rotation (re-verified next round); only passing keys are
+    demoted to the tail. Shape drift degrades to 'no sample'."""
+    from tpctools_spark.registry import _passed_keys
+
+    art = {
+        "ok_hash": {"rows_match": True, "schema_match": True,
+                    "hash_match": True, "err": None},
+        "ok_rows_only": {"rows_match": True, "schema_match": True,
+                         "hash_match": None, "err": None},
+        "bad_hash": {"rows_match": True, "schema_match": True,
+                     "hash_match": False, "err": None},
+        "bad_rows": {"rows_match": False, "schema_match": True,
+                     "hash_match": None, "err": None},
+        "errored": {"rows_match": True, "schema_match": True,
+                    "hash_match": True, "err": "boom"},
+        "legacy_opaque": 1981,
+    }
+    assert _passed_keys(art) == {"ok_hash", "ok_rows_only", "legacy_opaque"}
+    assert _passed_keys(["a", "b"]) == set()
+    assert _passed_keys("junk") == set()
+
+
 def test_readme_inventory_table_matches_registry():
     """The README verification map must list EVERY registered query with
     the right check kind — regenerated wholesale when queries are added,

@@ -117,8 +117,14 @@ def _stratified_order(names: list[str]) -> list[str]:
 
 
 def _previous_sample() -> set[str]:
-    """Keys recorded in the latest driver ``CORRECTNESS_r*.json``
-    artifact (empty set if none is readable)."""
+    """Keys that PASSED the latest driver ``CORRECTNESS_r*.json``
+    hard-check (empty set if none is readable).
+
+    Only passing keys are demoted to the rotation tail: a key that
+    failed or errored last round must stay in the front 50 so the
+    driver re-verifies the fix next round instead of rotating the
+    failure out of sight for ~8 rounds.
+    """
     import json
     from pathlib import Path
 
@@ -131,9 +137,38 @@ def _previous_sample() -> set[str]:
     if best is None:
         return set()
     try:
-        return set(json.loads(best[1].read_text()))
+        data = json.loads(best[1].read_text())
     except (OSError, ValueError):
         return set()
+    return _passed_keys(data)
+
+
+def _passed_keys(data: object) -> set[str]:
+    """Extract the keys that passed from a parsed CORRECTNESS artifact.
+
+    Tolerant of shape drift: a non-dict artifact yields the empty set
+    (no usable sample — rotation still works, just without demotion),
+    and a key mapped to a non-dict record is assumed checked-and-passed
+    so legacy shapes keep rotating.
+    """
+    if not isinstance(data, dict):
+        return set()
+    passed: set[str] = set()
+    for key, rec in data.items():
+        if not isinstance(rec, dict):
+            passed.add(key)
+            continue
+        ok = (
+            rec.get("err") is None
+            and rec.get("rows_match", True)
+            and rec.get("schema_match", True)
+            # hash_match is absent/None for rows-only checks; only an
+            # explicit False (value mismatch) keeps the key in front.
+            and rec.get("hash_match") is not False
+        )
+        if ok:
+            passed.add(key)
+    return passed
 
 
 def spark_queries() -> dict[str, QueryFn]:

@@ -96,10 +96,24 @@ class SensorStreamReader(DataSourceStreamReader):
     def latestOffset(self):
         if self._advance <= 0:
             return {"batch": self._n_batches}
+        # _seen re-learns the checkpointed position from the
+        # commit/partitions callbacks Spark replays on restart. Should
+        # a Spark version ever poll latestOffset on a fresh reader
+        # BEFORE those callbacks, _seen would still be 0 and a naive
+        # min(_seen + advance, n) could regress below the checkpointed
+        # start; because _seen is also raised from partitions' START
+        # offset (not just end/commit), the first planned range
+        # re-floors it, and every subsequent poll is monotone — the
+        # recovery test (tests/test_streaming_recovery.py) pins the
+        # drained-rows invariant either way.
         return {"batch": min(self._seen + self._advance, self._n_batches)}
 
     def partitions(self, start, end):
-        self._seen = max(self._seen, end["batch"])
+        # Learn from BOTH ends: `end` advances the poll window, and
+        # `start` (the checkpointed offset on restart) floors it so a
+        # fresh reader can never plan or report a range below what a
+        # previous incarnation already committed.
+        self._seen = max(self._seen, start["batch"], end["batch"])
         return [
             InputPartition((b, b + 1))
             for b in range(start["batch"], end["batch"])
