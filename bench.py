@@ -203,6 +203,27 @@ def main() -> None:
     spread: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
+
+    def _timed(key: str, fn, reps: int = 3):
+        """Cold once, then ``reps`` warm back-to-back passes: record the
+        cold time, the warm MIN, and the warm max−min spread. Single
+        warm samples on the shared JVM swing ±40% (gen entries moved 3x
+        between the r9 driver run and the solo close on identical
+        code), so EVERY bench entry goes through here — no entry is a
+        single rep, and every entry carries its spread so a noisy
+        number is visible as such. Returns the last run's value (recall
+        asserts read it)."""
+        t0 = time.perf_counter()
+        out = fn()
+        cold[key] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn()
+            runs.append(time.perf_counter() - t0)
+        timings[key] = round(min(runs), 3)
+        spread[key] = round(max(runs) - min(runs), 3)
+        return out
     for name in HEADLINE:
         try:
             t0 = time.perf_counter()
@@ -247,27 +268,22 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    def _gen_pass_tpch() -> None:
+        with ThreadPoolExecutor(8) as ex:
+            list(ex.map(lambda t: _noop_tpch(t, sf_num), TPCH_TABLES))
+
+    def _gen_pass_tpcds() -> None:
+        with ThreadPoolExecutor(8) as ex:
+            list(ex.map(lambda t: _noop_tpcds(t, sf_num), TPCDS_TABLES))
+
     try:
-        # Same cold/warm protocol as the query loop: the first timed
-        # pass pays plan+codegen compile (cold), the immediate rerun is
-        # the steady-state number that rides the suite total.
-        t0 = time.perf_counter()
-        with ThreadPoolExecutor(8) as ex:
-            list(ex.map(lambda t: _noop_tpch(t, sf_num), TPCH_TABLES))
-        cold["gen_tpch"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        with ThreadPoolExecutor(8) as ex:
-            list(ex.map(lambda t: _noop_tpch(t, sf_num), TPCH_TABLES))
-        timings["gen_tpch"] = round(time.perf_counter() - t0, 3)
+        # Same cold + min-of-3-warm protocol as the query loop. These
+        # were the noisiest single-rep entries in the driver artifact
+        # (gen_tpch 5.9 s driver vs 4.2 s solo vs 2.0 s r8 on the same
+        # code) — min-of-3 makes the recorded number the steady state.
+        _timed("gen_tpch", _gen_pass_tpch)
         total += timings["gen_tpch"]
-        t0 = time.perf_counter()
-        with ThreadPoolExecutor(8) as ex:
-            list(ex.map(lambda t: _noop_tpcds(t, sf_num), TPCDS_TABLES))
-        cold["gen_tpcds"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        with ThreadPoolExecutor(8) as ex:
-            list(ex.map(lambda t: _noop_tpcds(t, sf_num), TPCDS_TABLES))
-        timings["gen_tpcds"] = round(time.perf_counter() - t0, 3)
+        _timed("gen_tpcds", _gen_pass_tpcds)
         total += timings["gen_tpcds"]
     except Exception as exc:  # noqa: BLE001
         errors["gen"] = f"{type(exc).__name__}: {exc}"[:200]
@@ -289,13 +305,17 @@ def main() -> None:
     # Best of three passes: a long-lived JVM's gen throughput swings
     # ±40% with GC/JIT state after the query suite; the max is the
     # steady-state figure a dedicated generation job would sustain.
-    def _best_of_3(fn) -> int:
-        best = 0
+    # The rate spread (max−min across the 3 passes) lands in the same
+    # warm_spread map as the timing entries so the artifact shows how
+    # noisy each published rate was.
+    def _best_of_3(label: str, fn) -> int:
+        rates = []
         for _ in range(3):
             t0 = time.perf_counter()
             n = fn()
-            best = max(best, round(n / (time.perf_counter() - t0)))
-        return best
+            rates.append(round(n / (time.perf_counter() - t0)))
+        spread[label] = max(rates) - min(rates)
+        return max(rates)
 
     # Tables are submitted concurrently (thread pool → independent Spark
     # jobs; the scheduler fills idle cores with small-table tasks while
@@ -326,8 +346,12 @@ def main() -> None:
         return sum(rows_for(t, 1.0) for t in CARDINALITY)
 
     try:
-        gen_stats["tpch_sf1_rows_per_s"] = _best_of_3(_gen_tpch)
-        gen_stats["tpcds_sf1_rows_per_s"] = _best_of_3(_gen_tpcds)
+        gen_stats["tpch_sf1_rows_per_s"] = _best_of_3(
+            "tpch_sf1_rows_per_s", _gen_tpch
+        )
+        gen_stats["tpcds_sf1_rows_per_s"] = _best_of_3(
+            "tpcds_sf1_rows_per_s", _gen_tpcds
+        )
     except Exception as exc:  # noqa: BLE001
         errors["gen_throughput"] = f"{type(exc).__name__}: {exc}"[:200]
 
@@ -371,13 +395,8 @@ def main() -> None:
         # exactly this single-sample noise (convert.py unchanged).
         _convert_once()  # warm: codegen + committer setup
 
-        def _convert_rate() -> int:
-            t0 = time.perf_counter()
-            _convert_once()
-            return round(n_li / (time.perf_counter() - t0))
-
-        gen_stats["convert_lineitem_rows_per_s"] = max(
-            _convert_rate() for _ in range(3)
+        gen_stats["convert_lineitem_rows_per_s"] = _best_of_3(
+            "convert_lineitem_rows_per_s", lambda: (_convert_once(), n_li)[1]
         )
     except Exception as exc:  # noqa: BLE001
         errors["convert_throughput"] = f"{type(exc).__name__}: {exc}"[:200]
@@ -387,16 +406,13 @@ def main() -> None:
             build_table(spark, "lineitem", 1.0, 32).write.mode("overwrite").parquet(
                 li_path
             )
-        t0 = time.perf_counter()
-        qs["agg_group_sum"](spark, sf1_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()  # cold: pays codegen compile
-        cold["q1_sf1"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        qs["agg_group_sum"](spark, sf1_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        timings["q1_sf1"] = round(time.perf_counter() - t0, 3)
+        _timed(
+            "q1_sf1",
+            lambda: qs["agg_group_sum"](spark, sf1_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
     except Exception as exc:  # noqa: BLE001
         errors["q1_sf1"] = f"{type(exc).__name__}: {exc}"[:200]
 
@@ -438,18 +454,10 @@ def main() -> None:
             return n
 
 
-        t0 = time.perf_counter()
-        _jaccard_50k()  # cold: pays codegen compile
-        cold["dedup_jaccard_50k"] = round(time.perf_counter() - t0, 3)
         # This plan is big enough that the JVM is still JIT-warming on
-        # the second run — report the best of two warm passes (the
-        # steady-state a long-lived cluster job sustains).
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            n_pairs = _jaccard_50k()
-            best = min(best, time.perf_counter() - t0)
-        timings["dedup_jaccard_50k"] = round(best, 3)
+        # the second run — min of two warm passes (the steady state a
+        # long-lived cluster job sustains).
+        n_pairs = _timed("dedup_jaccard_50k", _jaccard_50k, reps=2)
         if n_pairs < 50_000 // 7:
             errors["dedup_jaccard_50k"] = (
                 f"planted recall broken: {n_pairs} pairs < {50_000 // 7}"
@@ -482,15 +490,7 @@ def main() -> None:
             ).mode("overwrite").save()
             spark.catalog.clearCache()  # the query caches signatures
 
-        t0 = time.perf_counter()
-        _minhash_50k()  # cold: pays codegen compile
-        cold["dedup_minhash_50k"] = round(time.perf_counter() - t0, 3)
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _minhash_50k()
-            best = min(best, time.perf_counter() - t0)
-        timings["dedup_minhash_50k"] = round(best, 3)
+        _timed("dedup_minhash_50k", _minhash_50k, reps=2)
         planted_total = (50_000 - 1) // 7
         planted_found = (
             qs["dedup_minhash"](spark, corpus_fix_dir)
@@ -526,15 +526,7 @@ def main() -> None:
             spark.catalog.clearCache()
             return n_multi
 
-        t0 = time.perf_counter()
-        _components_50k()  # cold: pays codegen compile
-        cold["dedup_components_50k"] = round(time.perf_counter() - t0, 3)
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            n_multi = _components_50k()
-            best = min(best, time.perf_counter() - t0)
-        timings["dedup_components_50k"] = round(best, 3)
+        n_multi = _timed("dedup_components_50k", _components_50k, reps=2)
         planted_total = (50_000 - 1) // 7
         if n_multi < 0.95 * planted_total:
             errors["dedup_components_50k"] = (
@@ -598,14 +590,23 @@ def main() -> None:
                 ("dedup_components_500k", _multi_clusters,
                  int(0.95 * planted_500k), "clusters>=95%"),
             ]
+            # Min-of-3 back-to-back reps, like every other entry: the
+            # r9 single-rep tier swung 3x between the driver run and
+            # the solo close (jaccard 30.0 vs 10.5 s — measurement, not
+            # plan). A soft per-tier budget sheds reps (3 → 2) rather
+            # than entries if the host is running slow.
+            tier_t0 = time.perf_counter()
+            tier_budget = float(
+                os.environ.get("SPARK_GRAFT_500K_BUDGET", "600")
+            )
             for key, run, floor, desc in tier:
                 try:
-                    t0 = time.perf_counter()
-                    run()  # cold: pays codegen compile at this shape
-                    cold[key] = round(time.perf_counter() - t0, 3)
-                    t0 = time.perf_counter()
-                    found = run()
-                    timings[key] = round(time.perf_counter() - t0, 3)
+                    reps = (
+                        3
+                        if time.perf_counter() - tier_t0 < 0.5 * tier_budget
+                        else 2
+                    )
+                    found = _timed(key, run, reps=reps)
                     if found < floor:
                         errors[key] = (
                             f"planted recall broken ({desc}): "
@@ -640,15 +641,7 @@ def main() -> None:
             spark.catalog.clearCache()
             return float(row["recall_at_k"])
 
-        t0 = time.perf_counter()
-        _ivf_50k()  # cold: pays codegen compile
-        cold["sim_ivf_50k"] = round(time.perf_counter() - t0, 3)
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            recall = _ivf_50k()
-            best = min(best, time.perf_counter() - t0)
-        timings["sim_ivf_50k"] = round(best, 3)
+        recall = _timed("sim_ivf_50k", _ivf_50k, reps=2)
         if recall < 0.4:
             errors["sim_ivf_50k"] = f"recall degraded: {recall} < 0.4"
     except Exception as exc:  # noqa: BLE001
@@ -668,15 +661,7 @@ def main() -> None:
             spark.catalog.clearCache()
             return out
 
-        t0 = time.perf_counter()
-        _bm25_50k()  # cold: pays codegen compile
-        cold["text_bm25_50k"] = round(time.perf_counter() - t0, 3)
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            rows = _bm25_50k()
-            best = min(best, time.perf_counter() - t0)
-        timings["text_bm25_50k"] = round(best, 3)
+        rows = _timed("text_bm25_50k", _bm25_50k, reps=2)
         ranks = sorted(r["rank"] for r in rows)
         from tpctools_spark.queries.retrieval import BM25_TOPK
 
@@ -710,15 +695,7 @@ def main() -> None:
             spark.catalog.clearCache()
             return float(row["recall_at_k"])
 
-        t0 = time.perf_counter()
-        _pq_50k()  # cold: pays codegen compile
-        cold["sim_pq_50k"] = round(time.perf_counter() - t0, 3)
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            recall = _pq_50k()
-            best = min(best, time.perf_counter() - t0)
-        timings["sim_pq_50k"] = round(best, 3)
+        recall = _timed("sim_pq_50k", _pq_50k, reps=2)
         if recall < 0.9:
             errors["sim_pq_50k"] = f"recall degraded: {recall} < 0.9"
 
@@ -736,15 +713,7 @@ def main() -> None:
             cb.write.mode("overwrite").parquet(os.path.join(pq_dir, "cb"))
             enc.write.mode("overwrite").parquet(os.path.join(pq_dir, "enc"))
 
-        t0 = time.perf_counter()
-        _pq_build_once()  # cold
-        cold["sim_pq_build_50k"] = round(time.perf_counter() - t0, 3)
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _pq_build_once()
-            best = min(best, time.perf_counter() - t0)
-        timings["sim_pq_build_50k"] = round(best, 3)
+        _timed("sim_pq_build_50k", _pq_build_once, reps=2)
 
         cbr = spark.read.parquet(os.path.join(pq_dir, "cb"))
         encr = spark.read.parquet(os.path.join(pq_dir, "enc"))
@@ -757,15 +726,7 @@ def main() -> None:
                 .collect()
             )
 
-        t0 = time.perf_counter()
-        rows = _pq_probe_once()  # cold
-        cold["sim_pq_probe_50k"] = round(time.perf_counter() - t0, 3)
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            rows = _pq_probe_once()
-            best = min(best, time.perf_counter() - t0)
-        timings["sim_pq_probe_50k"] = round(best, 3)
+        rows = _timed("sim_pq_probe_50k", _pq_probe_once, reps=2)
         probe_ids = {r["vec_id"] for r in rows}
         exact_ids = {
             r["e_id"]
@@ -793,7 +754,11 @@ def main() -> None:
     # catches join-order/AQE regressions the small fixtures can't
     # express.
     tpcds_sf1: dict[str, float] = {}
-    tpcds_sf1_passes = 0
+    # Per-query rep counts: reps shrink 3 → 2 → 1 as the suite budget
+    # drains, so a single "passes" scalar would overstate the protocol
+    # for late-alphabet queries — the artifact records what each
+    # query's min was actually a min OF.
+    tpcds_sf1_reps: dict[str, int] = {}
     try:
         from tpctools_spark.benchfix import ensure_tpcds_sf1
 
@@ -845,7 +810,7 @@ def main() -> None:
                         dt = round(time.perf_counter() - t0, 3)
                         if name not in tpcds_sf1 or dt < tpcds_sf1[name]:
                             tpcds_sf1[name] = dt
-                    tpcds_sf1_passes = max(tpcds_sf1_passes, reps)
+                    tpcds_sf1_reps[name] = reps
                 except Exception as exc:  # noqa: BLE001
                     errors[f"sf1_{name}"] = (
                         f"{type(exc).__name__}: {exc}"[:200]
@@ -867,6 +832,7 @@ def main() -> None:
     # queries over the generator's own layout via TPCTOOLS_TPCH_DIR.
     # Same warm-on-tiny protocol and its own soft budget.
     tpch_sf1: dict[str, float] = {}
+    tpch_sf1_reps: dict[str, int] = {}
     _TPCH_FIXTURE_FORM = [
         "agg_group_sum", "filter_pred",
         "tpch_q3_shipping_priority", "tpch_q4_order_priority",
@@ -927,6 +893,7 @@ def main() -> None:
                         dt = round(time.perf_counter() - t0, 3)
                         if name not in tpch_sf1 or dt < tpch_sf1[name]:
                             tpch_sf1[name] = dt
+                    tpch_sf1_reps[name] = reps
                 except Exception as exc:  # noqa: BLE001
                     errors[f"sf1_{name}"] = (
                         f"{type(exc).__name__}: {exc}"[:200]
@@ -957,8 +924,11 @@ def main() -> None:
         "warm_spread": spread,
         "gen_throughput": gen_stats,
         "tpcds_sf1_queries": tpcds_sf1,
-        "tpcds_sf1_passes": tpcds_sf1_passes,
+        "tpcds_sf1_reps": tpcds_sf1_reps,
+        "tpcds_sf1_min_reps": min(tpcds_sf1_reps.values(), default=0),
         "tpch_sf1_queries": tpch_sf1,
+        "tpch_sf1_reps": tpch_sf1_reps,
+        "tpch_sf1_min_reps": min(tpch_sf1_reps.values(), default=0),
         "errors": errors,
         "sf": sf_val,
     }

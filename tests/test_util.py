@@ -114,3 +114,24 @@ def test_scratch_sweep_collects_only_dead_pid_dirs(monkeypatch):
         for d in (live, cache):
             if os.path.exists(d):
                 os.rmdir(d)
+
+
+def test_spread_input_widens_narrow_and_skips_wide(spark):
+    """spread_input repartitions a 1-split fixture scan to full
+    parallelism but leaves an already-wide input untouched — the plan
+    must stay 100 TB-verbatim (no shuffle of document text at scale),
+    not just be documented as removable."""
+    from tpctools_spark.queries._util import spread_input
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 1000, 1, 1)
+    widened = spread_input(narrow)
+    assert widened.rdd.getNumPartitions() == target
+    assert "Repartition" in widened._jdf.queryExecution().analyzed().toString()
+
+    wide = spark.range(0, 1000, 1, target)
+    same = spread_input(wide)
+    assert same is wide  # no plan change at all, not even a no-op node
+
+    wider = spark.range(0, 1000, 1, target * 2)
+    assert spread_input(wider) is wider

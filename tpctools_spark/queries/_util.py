@@ -180,6 +180,26 @@ def global_rank(df, order_by, rn="rn", cumsums=None, partitions=None):
     )
 
 
+def spread_input(df):
+    """Repartition a scan to full parallelism ONLY when it arrives with
+    fewer input splits than the cluster has slots.
+
+    The small-SF fixtures land as one parquet file → a 1-partition scan
+    that would serialize the row-local heavy lifting (shingling, window
+    hashing) onto one core. At 100 TB the scan already has thousands of
+    splits, and an unconditional ``repartition(defaultParallelism)``
+    would be an avoidable full shuffle of document TEXT — the single
+    most expensive kind of byte to move. The partition count comes from
+    the planned physical scan (metadata only, no job), so at scale this
+    helper is a true no-op rather than a docstring promise.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def maybe_local_checkpoint(df):
     """``localCheckpoint(eager=False)`` — unless ``TPCTOOLS_NO_CHECKPOINT``
     is set, in which case the plan is returned unchanged.

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from tpctools_spark.catalog import table
 from tpctools_spark.queries._util import (
     release_local_checkpoint as _release_local_checkpoint,
+    spread_input,
     trunc_digits,
 )
 from tpctools_spark.registry import query
@@ -272,10 +273,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pipeline: shingle → 32-hash signature → 8 bands of 4 → band-hash
     buckets → self-join within buckets → signature agreement estimates
     Jaccard. Only documents sharing a band bucket are ever compared.
+    ``spread_input`` widens the single-file fixture scan; on a
+    many-split production corpus it is a metadata-checked no-op.
     """
-    docs = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread_input(table(spark, sf_dir, "documents"))
     # Cache the signatures: three consumers (band projection + both
     # rejoin legs) would otherwise recompute the shingle/agg pipeline.
     sig = _minhash_signatures(docs).cache()
@@ -589,12 +590,11 @@ def _shared_gram_counts(
     ``caches``: optional list the function appends its cached
     DataFrames to, so callers that fully consume the result inside
     their own lifetime (cluster components) can unpersist them."""
-    # The corpus arrives as one small parquet file → one input partition;
-    # spread it so shingling uses every core (at 100 TB the input is
-    # already many splits and this repartition is a no-op to remove).
-    docs = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # The fixture corpus arrives as one small parquet file → one input
+    # partition; spread_input widens it so shingling uses every core,
+    # and skips the shuffle entirely (metadata check) when the scan is
+    # already as wide as the cluster — the 100 TB case.
+    docs = spread_input(table(spark, sf_dir, "documents"))
     # Per-doc distinct gram set and its size, entirely row-local —
     # array_distinct replaces a 260k-row DISTINCT shuffle, and carrying
     # n (the set size) through the join replaces a sizes aggregation +
@@ -1806,9 +1806,7 @@ def dedup_boilerplate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     no join) and ``dedup_ngram_jaccard`` (whole-doc similarity):
     this is the span-level CROSS-doc pass.
     """
-    docs = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread_input(table(spark, sf_dir, "documents"))
     w = _words()
     nwin = F.ceil(F.size("w") / F.lit(float(_BP_W))).cast("int")
     segs = (
