@@ -53,6 +53,14 @@ def main() -> None:
         f"{len(rows_only)} rows-only",
         text,
     )
+    # Prose count in the repo-layout table ("The N-query operator
+    # inventory") — went stale at 391 when the regenerator only touched
+    # the table and the two summary sentences above.
+    text = re.sub(
+        r"The \d+-query operator inventory",
+        f"The {len(qs)}-query operator inventory",
+        text,
+    )
     open(README, "w").write(text)
     print(f"README inventory: {len(qs)} queries ({len(os_)} oracle)")
 

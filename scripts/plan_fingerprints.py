@@ -32,28 +32,6 @@ sys.path.insert(
 
 SF = "/root/testdata/sf0.001"
 
-# Keep in sync with tests/test_plan_sweep.py::_SIDE_EFFECTING_PREFIXES
-# (queries whose construction writes/streams are excluded there too).
-_SIDE_EFFECTING_PREFIXES = (
-    "stream_",
-    "sink_",
-    "scan_csv",
-    "scan_json",
-    "scan_binary",
-    "scan_schema",
-    "corpus_upsert",
-    "join_bucketed",
-    "join_dpp_partitioned",
-    "join_bloom_pruned",
-    "join_range_bucketed",
-    "quality_observe",
-    "quality_expectations",
-    "generate_table",
-    "layout_zorder",
-    "sample_",
-    "reshape_",
-)
-
 _EXPR_ID = re.compile(r"#\d+")
 # Catalyst names lambda variables with a SESSION-GLOBAL counter
 # (`lambda x_273#...`), so the same plan text varies with how many
@@ -81,32 +59,46 @@ def fingerprint(tree: str) -> tuple[str, dict[str, int]]:
 
 def main() -> int:
     os.environ["TPCTOOLS_NO_CHECKPOINT"] = "1"
+    from tpctools_spark.plan_exclusions import plan_exclusion_reason
     from tpctools_spark.registry import spark_queries
     from tpctools_spark.session import get_spark
 
     spark = get_spark("plan-fingerprints")
     spark.sparkContext.setLogLevel("ERROR")
     qs = spark_queries()
-    out: dict[str, dict] = {}
+    fps: dict[str, dict] = {}
+    excluded: dict[str, str] = {}
     failed: list[str] = []
     for name in sorted(qs):
-        if any(name.startswith(p) for p in _SIDE_EFFECTING_PREFIXES):
+        reason = plan_exclusion_reason(name)
+        if reason is not None:
+            excluded[name] = reason
             continue
         try:
             df = qs[name](spark, SF)
             tree = df._jdf.queryExecution().analyzed().toString()
             fp, nodes = fingerprint(tree)
-            out[name] = {"fp": fp, "nodes": nodes}
+            fps[name] = {"fp": fp, "nodes": nodes}
         except Exception as exc:  # noqa: BLE001
             failed.append(f"{name}: {type(exc).__name__}: {exc}"[:150])
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "PLANS.json",
     )
+    # Coverage is auditable from the artifact alone:
+    # len(fingerprints) + len(excluded) == registry size, every
+    # exclusion carries its reason (tests/test_plan_sweep.py pins it).
     with open(path, "w") as f:
-        json.dump(out, f, indent=1, sort_keys=True)
+        json.dump(
+            {"excluded": excluded, "fingerprints": fps},
+            f,
+            indent=1,
+            sort_keys=True,
+        )
         f.write("\n")
-    print(f"wrote {path}: {len(out)} fingerprints")
+    print(
+        f"wrote {path}: {len(fps)} fingerprints, {len(excluded)} excluded"
+    )
     for msg in failed:
         print(f"FAILED {msg}")
     return 1 if failed else 0

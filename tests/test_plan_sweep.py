@@ -53,26 +53,15 @@ from tpctools_spark.registry import spark_queries
 
 SF = "/root/testdata/sf0.001"
 
-# Queries whose construction writes/streams — covered by dedicated tests.
-_SIDE_EFFECTING_PREFIXES = (
-    "stream_",
-    "sink_",
-    "scan_csv",
-    "scan_json",
-    "scan_binary",
-    "scan_schema",
-    "corpus_upsert",
-    "join_bucketed",
-    "join_dpp_partitioned",
-    "join_bloom_pruned",
-    "join_range_bucketed",
-    "quality_observe",
-    "quality_expectations",
-    "generate_table",
-    "layout_zorder",
-    "sample_",
-    "reshape_",
+# Queries whose construction writes/streams — covered by dedicated
+# tests. Canonical prefix→reason map shared with the fingerprint
+# artifact so sweep and PLANS.json coverage cannot drift.
+from tpctools_spark.plan_exclusions import (  # noqa: E402
+    PLAN_EXCLUDED_PREFIXES,
+    plan_exclusion_reason,
 )
+
+_SIDE_EFFECTING_PREFIXES = tuple(PLAN_EXCLUDED_PREFIXES)
 
 # BNLJ is acceptable ONLY when the broadcast side is constant-size by
 # construction (one row, a probe vector, K centroids, scalar brackets).
@@ -346,3 +335,26 @@ def test_sweep_detects_planted_scaling_broadcast(spark):
     assert not broadcast_hints_over_scaling_scans(analyzed), (
         "aggregate-bounded subtree falsely flagged"
     )
+
+
+def test_plans_artifact_covers_registry():
+    """PLANS.json coverage is auditable: every registered query is
+    either fingerprinted or listed in the artifact's exclusion map
+    with a reason, exclusions match the canonical prefix map, and the
+    two partitions tile the registry exactly."""
+    import json
+
+    with open("/root/repo/PLANS.json") as f:
+        art = json.load(f)
+    fps, excluded = art["fingerprints"], art["excluded"]
+    registry = set(spark_queries())
+    assert set(fps) | set(excluded) == registry
+    assert not (set(fps) & set(excluded))
+    assert len(fps) + len(excluded) == len(registry)
+    for name, reason in excluded.items():
+        assert reason == plan_exclusion_reason(name), name
+        assert reason  # non-empty justification
+    for name in fps:
+        assert plan_exclusion_reason(name) is None, (
+            f"{name} is fingerprinted but matches an exclusion prefix"
+        )

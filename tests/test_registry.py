@@ -81,3 +81,13 @@ def test_readme_inventory_table_matches_registry():
         want = "oracle" if k in os_ else "rows-only"
         assert rows[k] == want, (k, rows[k], want)
     assert f"**{len(qs)} registered queries**" in text
+    # Pin EVERY numeric "N-query"/"N queries"/"N registered" prose count
+    # to the live registry size, so any future count sentence the
+    # generator forgets to rewrite fails here instead of going stale.
+    for m in re.finditer(
+        r"(\d+)(?=-query operator inventory| queries| registered queries)",
+        text,
+    ):
+        assert int(m.group(1)) == len(qs), (
+            f"stale count {m.group(0)!r} at README offset {m.start()}"
+        )
