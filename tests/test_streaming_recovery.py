@@ -246,3 +246,93 @@ def test_python_datasource_stream_resumes_from_checkpoint(spark, tmp_path):
         for r in spark.table(f"sensor_rec_b{i}").collect()
     }
     assert got == want_set
+
+
+def test_jsonl_sink_exactly_once_under_task_retry(tmp_path):
+    """Kill-and-retry proof for the custom write path: the FIRST
+    attempt of one write task stages a partial file and crashes; the
+    retry succeeds. After commit the directory must hold exactly one
+    copy of every row — no duplicates, no partial-file rows, no staged
+    garbage. Runs in a subprocess because task retries need a
+    ``local[2,2]`` master (the shared test session is local[4] =
+    maxFailures 1) and a SparkContext is a process singleton."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        """
+        import json, os, sys
+        sys.path.insert(0, "/root/repo")
+        from pyspark.sql import SparkSession
+        from tpctools_spark.sources import JsonDirSinkSource, JsonDirWriter
+
+        out = sys.argv[1]
+        marker = sys.argv[2]
+
+        class FaultyWriter(JsonDirWriter):
+            def write(self, iterator):
+                rows = list(iterator)
+                ids = [r[0] for r in rows]
+                if ids and min(ids) == 0 and not os.path.exists(marker):
+                    # First attempt of the partition holding id 0:
+                    # stage a PARTIAL file (the mid-write crash
+                    # residue a retry must not expose), then die.
+                    os.makedirs(self._staging(), exist_ok=True)
+                    part = os.path.join(self._staging(), "attempt-dead.jsonl")
+                    with open(part, "w", encoding="utf-8") as fh:
+                        for r in rows[: len(rows) // 2]:
+                            fh.write(
+                                json.dumps(dict(zip(self._cols, tuple(r))))
+                                + "\\n"
+                            )
+                    open(marker, "w").close()
+                    raise RuntimeError("planted first-attempt failure")
+                return super().write(iter(rows))
+
+        class FaultySink(JsonDirSinkSource):
+            @classmethod
+            def name(cls):
+                return "jsonl_dir_faulty"
+
+            def writer(self, schema, overwrite):
+                return FaultyWriter(self.options, schema)
+
+        spark = (
+            SparkSession.builder.master("local[2,2]")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.shuffle.partitions", "4")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.dataSource.register(FaultySink)
+        df = spark.range(0, 1000, 1, 4).selectExpr(
+            "id AS event_id", "id % 7 AS user_id"
+        )
+        df.write.format("jsonl_dir_faulty").option("path", out).mode(
+            "append"
+        ).save()
+        back = spark.read.schema("event_id BIGINT, user_id BIGINT").json(out)
+        rows = back.collect()
+        got = sorted(r.event_id for r in rows)
+        assert os.path.exists(marker), "fault was never planted"
+        assert len(rows) == 1000, f"row count {len(rows)} != 1000"
+        assert got == list(range(1000)), "duplicate or missing ids"
+        assert not os.path.exists(os.path.join(out, "_staging")), (
+            "staged garbage survived commit"
+        )
+        print("EXACTLY_ONCE_OK")
+        spark.stop()
+        """
+    )
+    out = str(tmp_path / "sink")
+    marker = str(tmp_path / "killed_once")
+    proc = subprocess.run(
+        [sys.executable, "-c", script, out, marker],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "EXACTLY_ONCE_OK" in proc.stdout, (
+        f"stdout:\n{proc.stdout[-2000:]}\nstderr:\n{proc.stderr[-2000:]}"
+    )

@@ -161,16 +161,32 @@ class _JsonDirCommit:  # WriterCommitMessage payload (picklable)
 
 
 class JsonDirWriter(DataSourceWriter):
-    """Executor-side writer: each task serializes ITS partition's rows
-    to one JSON-lines file under the target directory and reports a
-    commit message; nothing funnels through the driver. The same
-    skeleton (open per-task sink → stream rows → return commit token)
-    is how a REST/queue/internal-service sink is built when the
-    built-in sink menu doesn't cover it."""
+    """Executor-side writer with a staged exactly-once commit protocol.
+
+    Each task serializes ITS partition's rows to a uniquely-named
+    attempt file under ``<dir>/_staging/`` and reports that path in its
+    commit message; nothing funnels through the driver. Readers never
+    see staged files (Spark's file listing hides ``_``/``.``-prefixed
+    paths), so a task attempt that fails mid-write — or succeeds but
+    loses the race to a speculative twin — leaves only invisible
+    garbage. ``commit()`` then publishes EXACTLY the files named by the
+    per-partition winning attempts (one ``os.replace`` each — atomic on
+    a POSIX/HDFS-semantics filesystem) and sweeps the staging area;
+    ``abort()`` sweeps without publishing. Net effect: readers observe
+    either none of the job's output or exactly one copy of every row,
+    regardless of task retries (``tests/test_streaming_recovery.py``
+    plants a first-attempt crash and asserts it). On an object store
+    without atomic rename the same skeleton publishes via a manifest
+    instead; the task/driver split is identical."""
 
     def __init__(self, options, schema):
         self._dir = options.get("path")
         self._cols = [f.name for f in schema.fields]
+
+    def _staging(self) -> str:
+        import os
+
+        return os.path.join(self._dir, "_staging")
 
     def write(self, iterator):
         import json
@@ -179,8 +195,10 @@ class JsonDirWriter(DataSourceWriter):
 
         from pyspark.sql.datasource import WriterCommitMessage  # noqa: PLC0415
 
-        os.makedirs(self._dir, exist_ok=True)
-        tmp = os.path.join(self._dir, f"part-{uuid.uuid4().hex}.jsonl")
+        os.makedirs(self._staging(), exist_ok=True)
+        tmp = os.path.join(
+            self._staging(), f"attempt-{uuid.uuid4().hex}.jsonl"
+        )
         n = 0
         with open(tmp, "w", encoding="utf-8") as fh:
             for row in iterator:
@@ -194,19 +212,25 @@ class JsonDirWriter(DataSourceWriter):
         return msg
 
     def commit(self, messages):
-        # Driver-side finalize: in a transactional sink this is where
-        # staged files/offsets become visible atomically.
-        return None
-
-    def abort(self, messages):
+        # Driver-side finalize: publish exactly the winning attempts'
+        # files, then drop every orphaned (failed/retried) attempt.
         import os
+        import shutil
 
         for m in messages:
             if m is not None and getattr(m, "path", None):
-                try:
-                    os.remove(m.path)
-                except OSError:
-                    pass
+                final = os.path.join(
+                    self._dir,
+                    "part-" + os.path.basename(m.path).removeprefix("attempt-"),
+                )
+                os.replace(m.path, final)
+        shutil.rmtree(self._staging(), ignore_errors=True)
+        return None
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(self._staging(), ignore_errors=True)
 
 
 class JsonDirSinkSource(DataSource):
