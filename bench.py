@@ -165,6 +165,9 @@ COMPACT_KEYS = [
     "dedup_jaccard_500k",
     "dedup_minhash_500k",
     "dedup_components_500k",
+    "dedup_embedding_500k",
+    "dedup_lsh_500k",
+    "dedup_semantic_prune_500k",
     "sim_ivf_50k",
     "text_bm25_50k",
     "sim_pq_50k",
@@ -616,6 +619,137 @@ def main() -> None:
                     errors[key] = f"{type(exc).__name__}: {exc}"[:200]
         except Exception as exc:  # noqa: BLE001
             errors["tier_500k"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    # The 500k EMBEDDING-dedup tier: the bounded-occupancy blocking
+    # (dedup_embedding / dedup_semantic_prune) and the corpus-adaptive
+    # LSH get measured scale points, not just property tests. The
+    # corpus is SCATTERED geometry with planted near-dups (every id ≡ 0
+    # mod 70 copies id−10 at cosine ≈ 0.9996, same label) — with the
+    # label-CLUSTERED ANN fixture the true ≥0.3-cosine pair set is
+    # itself quadratic at this size, so no linear detector could exist;
+    # scattered geometry keeps ground truth = the 7142 planted pairs
+    # and every timing carries a recall floor. The occupancy bound is
+    # asserted on the same corpus.
+    if os.environ.get("SPARK_GRAFT_500K", "1") != "0":
+        try:
+            from pyspark.sql import functions as F
+
+            from tpctools_spark.generate_corpus import gen_embeddings_scattered
+
+            emb500_dir = os.path.join(sf1_dir, "emb500k_fixture")
+            emb500 = os.path.join(emb500_dir, "embeddings.parquet")
+            if not os.path.exists(os.path.join(emb500, "_SUCCESS")):
+                gen_embeddings_scattered(
+                    spark, 500_000, dim=64, parts=32
+                ).write.mode("overwrite").parquet(emb500)
+            planted_e500 = (500_000 - 1) // 70
+
+            def _pair_recall(qname: str) -> int:
+                n = (
+                    qs[qname](spark, emb500_dir)
+                    .filter(
+                        (F.col("vec_b") == F.col("vec_a") + 10)
+                        & (F.col("vec_b") % 70 == 0)
+                    )
+                    .count()
+                )
+                spark.catalog.clearCache()
+                return n
+
+            def _prune_catch() -> int:
+                # A planted pair is "caught" when the pruner dropped at
+                # least one member (a recall floor: occasional drops by
+                # random ≥tau neighbors only help it).
+                kept = qs["dedup_semantic_prune"](spark, emb500_dir).select(
+                    "vec_id"
+                )
+                pairs = spark.range(70, 500_000, 70).select(
+                    (F.col("id") - 10).alias("a"), F.col("id").alias("b")
+                )
+                n = (
+                    pairs.join(
+                        kept.select(
+                            F.col("vec_id").alias("a"), F.lit(1).alias("ka")
+                        ),
+                        "a",
+                        "left",
+                    )
+                    .join(
+                        kept.select(
+                            F.col("vec_id").alias("b"), F.lit(1).alias("kb")
+                        ),
+                        "b",
+                        "left",
+                    )
+                    .filter(F.col("ka").isNull() | F.col("kb").isNull())
+                    .count()
+                )
+                spark.catalog.clearCache()
+                return n
+
+            tier_e = [
+                ("dedup_embedding_500k",
+                 lambda: _pair_recall("dedup_embedding"),
+                 int(0.85 * planted_e500), "cells>=85%"),
+                ("dedup_lsh_500k",
+                 lambda: _pair_recall("dedup_lsh_cosine"),
+                 int(0.95 * planted_e500), "lsh>=95%"),
+                ("dedup_semantic_prune_500k", _prune_catch,
+                 int(0.85 * planted_e500), "prune>=85%"),
+            ]
+            tier_t0 = time.perf_counter()
+            tier_budget = float(
+                os.environ.get("SPARK_GRAFT_500K_BUDGET", "600")
+            )
+            for key, run, floor, desc in tier_e:
+                try:
+                    reps = (
+                        3
+                        if time.perf_counter() - tier_t0 < 0.5 * tier_budget
+                        else 2
+                    )
+                    found = _timed(key, run, reps=reps)
+                    if found < floor:
+                        errors[key] = (
+                            f"planted recall broken ({desc}): "
+                            f"{found} < {floor}"
+                        )
+                except Exception as exc:  # noqa: BLE001
+                    errors[key] = f"{type(exc).__name__}: {exc}"[:200]
+            # Occupancy bound at the measured scale: the blocking must
+            # hold its bounded-cell property on half a million vectors,
+            # not just in the 1k/2k property test.
+            try:
+                from tpctools_spark.queries.dedup import (
+                    _EMB_CELL_TARGET,
+                    _embedding_cells,
+                )
+
+                prep = spark.read.parquet(emb500).select(
+                    "vec_id",
+                    "label",
+                    F.transform(
+                        "embedding", lambda x: x.cast("double")
+                    ).alias("e"),
+                )
+                occ = int(
+                    _embedding_cells(prep)
+                    .groupBy("label", "subcell")
+                    .count()
+                    .agg(F.max("count"))
+                    .collect()[0][0]
+                )
+                gen_stats["emb500k_max_cell"] = occ
+                if occ > 4 * _EMB_CELL_TARGET:
+                    errors["emb500k_occupancy"] = (
+                        f"max cell {occ} > {4 * _EMB_CELL_TARGET}"
+                    )
+            except Exception as exc:  # noqa: BLE001
+                errors["emb500k_occupancy"] = (
+                    f"{type(exc).__name__}: {exc}"[:200]
+                )
+        except Exception as exc:  # noqa: BLE001
+            errors["tier_emb500k"] = f"{type(exc).__name__}: {exc}"[:200]
 
     # ANN retrieval at 25x the sf0.1 embeddings fixture: IVF cell-pruned
     # top-k + its recall against the in-query brute-force ground truth,

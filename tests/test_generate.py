@@ -128,14 +128,46 @@ def test_corpus_generator_partition_invariant(spark):
         gen_events,
     )
 
+    from tpctools_spark.generate_corpus import gen_embeddings_scattered
+
     for fn, key in [
         (gen_documents, "doc_id"),
         (gen_embeddings, "vec_id"),
+        (gen_embeddings_scattered, "vec_id"),
         (gen_events, "event_id"),
     ]:
         a = sorted(fn(spark, 200, parts=1).collect(), key=lambda r: r[0])
         b = sorted(fn(spark, 200, parts=7).collect(), key=lambda r: r[0])
         assert a == b, key
+
+
+def test_scattered_embeddings_plant_neardup_pairs(spark):
+    """Every id ≡ 0 (mod 70) must be a near-copy of id−70 (cosine
+    ≥ 0.999, same label) while unrelated adjacent vectors stay far
+    (cosine < 0.5) — the exactly-known ground truth the 500k dedup
+    bench tier asserts recall against."""
+    import math
+
+    from tpctools_spark.generate_corpus import gen_embeddings_scattered
+
+    rows = {
+        r.vec_id: (list(r.embedding), r.label)
+        for r in gen_embeddings_scattered(spark, 300).collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / math.sqrt(
+            sum(x * x for x in a) * sum(y * y for y in b)
+        )
+
+    for k in range(70, 300, 70):
+        ea, la = rows[k - 10]  # base is id-10: never itself a copy
+        eb, lb = rows[k]
+        assert la == lb
+        assert cos(ea, eb) >= 0.999, k
+    for k in range(1, 60):  # unrelated neighbors are scattered
+        assert cos(rows[k][0], rows[k - 1][0]) < 0.5, k
 
 
 def test_corpus_generator_plants_near_dups(spark):

@@ -150,6 +150,66 @@ def gen_embeddings(
     )
 
 
+def gen_embeddings_scattered(
+    spark: SparkSession,
+    n_vecs: int,
+    dim: int = 64,
+    parts: int = 8,
+    stride: int = 70,
+) -> DataFrame:
+    """embeddings in the fixture schema with SCATTERED geometry and
+    planted near-dup pairs — the dedup-family scale fixture.
+
+    Components are uniform-ish in [-0.5, 0.5] (hash-derived k/1000), so
+    pairwise cosines of unrelated vectors concentrate near 0 with
+    std ≈ 1/√dim, EXCEPT every id ≡ 0 (mod ``stride``, id > 0), which
+    copies id−10's vector plus a ±0.01 per-component perturbation
+    (cosine ≈ 0.9996 to its base) — planted positives with label
+    preserved (the base offset 10 keeps label = id % 10; ``stride``
+    must be a multiple of 10 and > 10 so a base id is never itself a
+    copy — a copy-of-a-copy would derive from the base's RAW hash
+    content, not its actual vector, silently unplanting the pair).
+
+    Why a second embedding generator: ``gen_embeddings`` is
+    label-CLUSTERED (the ANN/k-means fixture), and at 500k vectors that
+    geometry makes the TRUE ≥0.3-cosine pair set itself quadratic
+    (every same-label pair qualifies) — no detector could be linear in
+    the corpus because the ANSWER isn't. Scattered geometry keeps
+    ground truth = the planted pairs, so the 500k bench tier can assert
+    recall floors against an exactly known answer.
+    """
+    if stride % 10 != 0 or stride <= 10:
+        raise ValueError(
+            "stride must be a multiple of 10 and > 10 "
+            "(label preservation + acyclic copy bases)"
+        )
+    i = F.col("id")
+    is_copy = (i % stride == 0) & (i > 0)
+    base = F.when(is_copy, i - 10).otherwise(i)
+    # Double-mixed component hash: one _h round leaves the per-id salt
+    # sequence an arithmetic progression (h1 is linear in the salt), and
+    # the residual cross-dimension correlation concentrated sign-bit
+    # cells ~15x past their expected occupancy at 500k vectors
+    # (measured: max cell 460 vs E≈24). Feeding the first round's
+    # output back through _h as the row key breaks the progression;
+    # still plain integer arithmetic, still SQL-replicable.
+    emb = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda j: (
+            (_h(_h(base, j), j) % 1001 - 500).cast("double") / 1000.0
+            + F.when(
+                is_copy,
+                (_h(i, j + dim) % 21 - 10).cast("double") / 1000.0,
+            ).otherwise(F.lit(0.0))
+        ).cast("float"),
+    )
+    return spark.range(0, n_vecs, 1, parts).select(
+        i.alias("vec_id"),
+        emb.alias("embedding"),
+        (i % 10).cast("int").alias("label"),
+    )
+
+
 def gen_events(spark: SparkSession, n_events: int, parts: int = 8) -> DataFrame:
     """events in the fixture schema (TESTDATA events): event_id, typed
     ``ts`` TIMESTAMP, user_id, event_type, ``value`` DOUBLE (exact

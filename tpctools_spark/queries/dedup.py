@@ -1163,24 +1163,43 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustered.unionByName(singles)
 
 
-# Cosine-LSH signature geometry: 16 deterministic ±1 hyperplanes over
-# the 64-dim embeddings, banded 4×4. Plane signs come from an
-# arithmetic hash (i·2654435761 mod 97 — a bijection over any 97
+# Cosine-LSH signature geometry: deterministic ±1 hyperplanes over the
+# 64-dim embeddings, banded as 4 bands × b bits. Plane signs come from
+# an arithmetic hash (i·2654435761 mod 97 — a bijection over any 97
 # consecutive i, so ~balanced), NOT an RNG: both engines can rebuild
 # the exact same planes, which is what makes this LSH oracle-able.
-_LSH_PLANES = 16
+# b is CORPUS-ADAPTIVE: the smallest bit count keeping expected bucket
+# occupancy ≤ _LSH_BUCKET_TARGET (floor 4 — the original 4×4 geometry
+# at fixture scale), so candidate work stays O(N·occupancy) instead of
+# going quadratic inside fixed-cardinality buckets as the corpus grows
+# (b=4 → 16 keys/band would put ~31k vectors per bucket at 500k). The
+# recall trade is the honest one: growing b raises the effective
+# cosine threshold the bands recall (planted ≥0.999 near-dups survive
+# any realistic b; diffuse cos≈0.5 pairs are caught only while the
+# corpus is small enough to afford small b).
+_LSH_BANDS = 4
+_LSH_MIN_BITS = 4
 _LSH_DIM = 64
-_LSH_BAND_BITS = 4
+_LSH_BUCKET_TARGET = 32
 
 
-def _lsh_sign_is_pos(i: int | object) -> str:
-    return f"(({i}) * 2654435761) % 97 < 48"
+def _lsh_bits(n: int) -> int:
+    """Smallest b with target·2^b ≥ n, floored at _LSH_MIN_BITS —
+    integer-exact, mirrored by the oracle's list_filter CTE."""
+    b = 0
+    while _LSH_BUCKET_TARGET * (1 << b) < n:
+        b += 1
+    return max(_LSH_MIN_BITS, b)
 
 
 @query(
     "dedup_lsh_cosine",
-    oracle="""
-    WITH prep AS (
+    oracle=f"""
+    WITH geom AS (
+      SELECT GREATEST({_LSH_MIN_BITS}, list_filter(range(0, 41),
+               i -> {_LSH_BUCKET_TARGET} * (1::BIGINT << i) >= n)[1]) AS b
+      FROM (SELECT COUNT(*) AS n FROM embeddings)
+    ), prep AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
              CAST(list_sum(list_transform(embedding,
@@ -1188,24 +1207,19 @@ def _lsh_sign_is_pos(i: int | object) -> str:
                   AS DOUBLE) AS sq_norm
       FROM embeddings
     ), sig AS (
-      SELECT vec_id, """
-    + ", ".join(
-        "CASE WHEN list_sum(list_transform(range(1, 65), d -> "
-        f"CAST(e[d] * (CASE WHEN (({p} * 64 + d) * 2654435761) % 97 < 48 "
-        f"THEN 1 ELSE -1 END) AS DECIMAL(25,16)))) >= 0 THEN 1 ELSE 0 END AS b{p}"
-        for p in range(_LSH_PLANES)
-    )
-    + """
-      FROM prep
+      SELECT vec_id, g.b AS b,
+             list_transform(range(0, {_LSH_BANDS} * g.b), p ->
+               CASE WHEN list_reduce(list_transform(range(1, {_LSH_DIM + 1}), d ->
+                      e[d] * (CASE WHEN ((p * {_LSH_DIM} + d) * 2654435761) % 97 < 48
+                              THEN 1 ELSE -1 END)),
+                      (acc, x) -> acc + x) >= 0
+                    THEN 1 ELSE 0 END) AS s
+      FROM prep, geom g
     ), bands AS (
-    """
-    + "\n      UNION ALL\n".join(
-        f"      SELECT vec_id, {g} AS band, "
-        + " + ".join(f"b{4 * g + j} * {1 << j}" for j in range(4))
-        + " AS band_key FROM sig"
-        for g in range(_LSH_PLANES // _LSH_BAND_BITS)
-    )
-    + """
+      SELECT vec_id, t.band AS band,
+             list_sum(list_transform(range(0, b),
+               j -> s[t.band * b + j + 1] * (1::BIGINT << j))) AS band_key
+      FROM sig, (SELECT unnest(range(0, {_LSH_BANDS})) AS band) t
     ), cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM bands a JOIN bands b
@@ -1227,9 +1241,9 @@ def _lsh_sign_is_pos(i: int | object) -> str:
 )
 def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane (SimHash-for-
-    cosine) LSH: 16 deterministic ±1 planes → 16 sign bits → 4 bands
-    of 4 bits → candidate pairs only within matching (band, key)
-    buckets → exact-decimal cosine rescoring.
+    cosine) LSH: 4·b deterministic ±1 planes → sign bits → 4 bands of
+    b bits → candidate pairs only within matching (band, key) buckets
+    → exact-decimal cosine rescoring.
 
     The cosine twin of ``dedup_minhash`` (Jaccard) and the unblocked
     complement of ``dedup_embedding`` (which trusts a label/IVF cell):
@@ -1237,17 +1251,27 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking key, with recall controlled by bands × bits
     (P[match] = 1-(1-(1-θ/π)^bits)^bands). Plane signs are an
     arithmetic hash of (plane, dim), so Spark and DuckDB build
-    bit-identical signatures — the whole pipeline, not just the
-    rescoring, is oracle-checked; signature sums accumulate in exact
-    decimal so a boundary sign can't flip on FP order.
+    bit-identical signatures — the whole pipeline, including the
+    corpus-adaptive bit count (``_lsh_bits``: one metadata-cheap
+    count), is oracle-checked. Signature sums are ordered left-to-right
+    DOUBLE folds (Spark ``aggregate`` seeded 0.0, DuckDB
+    ``list_reduce`` seeded by its first element — IEEE-identical since
+    0.0 + x == x): the sign cannot flip on FP order because both
+    engines execute the same operation sequence, without paying
+    per-component decimal arithmetic in the O(N·4b·D) hot loop (the
+    decimal form made signatures ~10x the cost of the whole rest of
+    the pipeline).
 
-    Scale: one scan computes all 16 signature sums as map-side
-    partial aggregates after a posexplode (O(N·D) work, O(N·16)
-    shuffle bytes); the self-join touches only same-bucket pairs.
-    At 100 TB, band bits grow ~log N to hold bucket sizes constant —
-    the knob is a constant here, the plan shape is unchanged.
+    Scale: signatures are ROW-LOCAL (one array fold per plane — no
+    explode, no shuffle before the band join); the self-join touches
+    only same-bucket pairs, and b grows ~log N to hold expected bucket
+    occupancy at ``_LSH_BUCKET_TARGET`` — candidate generation stays
+    O(N·occupancy) at any corpus size (the 500k bench tier measures it
+    with planted ≥0.999-cosine near-dups at ≥95% recall).
     """
     emb = table(spark, sf_dir, "embeddings")
+    bits = _lsh_bits(emb.count())
+    planes = _LSH_BANDS * bits
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     sq_norm = F.aggregate(
         F.col("embedding"),
@@ -1258,26 +1282,38 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     prep = emb.select("vec_id", e.alias("e"), sq_norm.alias("sq_norm")).cache()
 
-    # (vec_id, pos, val) stream; pos is 1-based to match the oracle.
-    comps = prep.select(
-        "vec_id", F.posexplode("e").alias("pos0", "val")
-    ).select("vec_id", (F.col("pos0") + 1).alias("d"), "val")
-    sums = []
-    for p in range(_LSH_PLANES):
-        i = (F.lit(p * _LSH_DIM).cast("bigint") + F.col("d")) * F.lit(2654435761)
-        sign = F.when(F.pmod(i, F.lit(97)) < 48, 1).otherwise(-1)
-        sums.append(
-            F.sum((F.col("val").cast("decimal(25,16)") * sign)).alias(f"s{p}")
+    def _plane_sum(p: int) -> F.Column:
+        # Ordered fold over dims 1..D — the oracle's list_reduce twin.
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(_LSH_DIM)),
+            F.lit(0.0),
+            lambda acc, d: acc
+            + F.element_at(F.col("e"), d)
+            * F.when(
+                F.pmod(
+                    (F.lit(p * _LSH_DIM).cast("bigint") + d)
+                    * F.lit(2654435761),
+                    F.lit(97),
+                )
+                < 48,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
         )
-    sig = comps.groupBy("vec_id").agg(*sums)
-    bit = lambda p: (F.col(f"s{p}") >= 0).cast("int")  # noqa: E731
+
+    sig = prep.select(
+        "vec_id",
+        *[(_plane_sum(p) >= 0).cast("bigint").alias(f"b{p}") for p in range(planes)],
+    )
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(g).alias("band"),
-                sum(bit(4 * g + j) * (1 << j) for j in range(4)).alias("band_key"),
+                sum(
+                    F.col(f"b{g * bits + j}") * (1 << j)
+                    for j in range(bits)
+                ).alias("band_key"),
             )
-            for g in range(_LSH_PLANES // _LSH_BAND_BITS)
+            for g in range(_LSH_BANDS)
         ]
     )
     bands = sig.select("vec_id", F.explode(band_structs).alias("bk")).select(

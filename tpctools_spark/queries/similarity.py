@@ -765,19 +765,35 @@ def _dotf(a: Column, b: Column) -> Column:
     "dedup_semantic_prune",
     oracle=f"""
     WITH {_SQL_PREP}, {_SQL_CENT},
-    scored AS (
-      SELECT p.vec_id, p.label,
-             {_SQL_DOTF.format(a='p.e', b='c.centroid')}
-               / (sqrt({_SQL_DOTF.format(a='p.e', b='p.e')})
+    counts AS (
+      SELECT label, COUNT(*) AS n FROM prep GROUP BY label
+    ), bits AS (
+      SELECT label, list_filter(range(0, 41),
+               i -> 32 * (1::BIGINT << i) >= n)[1] AS b
+      FROM counts
+    ), tagged AS (
+      SELECT p.vec_id, p.label, p.e,
+             COALESCE(list_sum(list_transform(
+               range(0, least(bt.b, len(p.e))),
+               i -> CASE WHEN p.e[i + 1] >= ct.centroid[i + 1]
+                         THEN (1::BIGINT << i) ELSE 0::BIGINT END)), 0)
+               AS subcell
+      FROM prep p JOIN bits bt USING (label)
+                  JOIN cent ct ON p.label = ct.cell
+    ), scored AS (
+      SELECT t.vec_id, t.label, t.subcell,
+             {_SQL_DOTF.format(a='t.e', b='c.centroid')}
+               / (sqrt({_SQL_DOTF.format(a='t.e', b='t.e')})
                   * sqrt({_SQL_DOTF.format(a='c.centroid', b='c.centroid')}))
                AS cent_cos,
-             sqrt({_SQL_DOTF.format(a='p.e', b='p.e')}) AS nrm,
-             p.e AS e
-      FROM prep p JOIN cent c ON p.label = c.cell
+             sqrt({_SQL_DOTF.format(a='t.e', b='t.e')}) AS nrm,
+             t.e AS e
+      FROM tagged t JOIN cent c ON t.label = c.cell
     ), dropped AS (
       SELECT DISTINCT a.vec_id
       FROM scored a JOIN scored b
-        ON a.label = b.label AND a.vec_id <> b.vec_id
+        ON a.label = b.label AND a.subcell = b.subcell
+       AND a.vec_id <> b.vec_id
        AND {_SQL_DOTF.format(a='a.e', b='b.e')} / (a.nrm * b.nrm)
            >= {{tau}}
        AND (b.cent_cos < a.cent_cos
@@ -801,26 +817,36 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-pass approximation of SemDeDup's per-cluster sweep, expressible
     entirely as joins (no iteration).
 
-    Scale: centroids are |cells|xdim - broadcast; the pair join is
-    confined to same-cell pairs, and cell size is the clustering
-    granularity knob (at 100 TB, ~100k k-means cells keeps cells
-    O(10^3) rows => bounded quadratic work per cell, AQE-splittable).
-    Per-pair cost is ONE ordered-fold double dot against precomputed
-    norms (norms and centroid-cosines are per-VECTOR work); the fold
-    order is pinned on both engines, so the drop decision stays
-    bitwise-reproducible without per-pair decimal arithmetic.
+    Scale: centroids are |cells|xdim - broadcast, and the pair join is
+    blocked on (label, sign-bit subcell) via the same bounded-occupancy
+    ``_embedding_cells`` tagging as dedup_embedding: a raw label is a
+    FIXED-cardinality key (within-cell pairs grow quadratically with
+    the corpus), so each label sub-splits into 2^b sign cells with b
+    chosen per label to keep expected occupancy <= 32 — total pair work
+    is O(N·occupancy), linear in the corpus (the 500k bench tier
+    measures it). Near-dup pairs straddling a sub-cell boundary are
+    missed — the inherent blocking trade; at 100 TB the cells would be
+    real k-means cells and b seeded hyperplanes. Per-pair cost is ONE
+    ordered-fold double dot against precomputed norms (norms and
+    centroid-cosines are per-VECTOR work); the fold order is pinned on
+    both engines, so the drop decision stays bitwise-reproducible
+    without per-pair decimal arithmetic.
     """
+    from tpctools_spark.queries.dedup import _embedding_cells
+
     emb = table(spark, sf_dir, "embeddings")
     prep = emb.select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("e")
     )
+    tagged = _embedding_cells(prep)
     cent = _cell_centroids(prep)
     cent_norm = F.sqrt(_dotf(F.col("centroid"), F.col("centroid")))
     scored = (
-        prep.join(F.broadcast(cent), prep.label == cent.cell)
+        tagged.join(F.broadcast(cent), tagged.label == cent.cell)
         .select(
             "vec_id",
             "label",
+            "subcell",
             "e",
             (
                 _dotf(F.col("e"), F.col("centroid"))
@@ -833,6 +859,7 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = scored.select(
         F.col("vec_id").alias("a_id"),
         F.col("label").alias("a_label"),
+        F.col("subcell").alias("a_cell"),
         F.col("e").alias("a_e"),
         F.col("cent_cos").alias("a_cc"),
         F.col("nrm").alias("a_nrm"),
@@ -840,6 +867,7 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = scored.select(
         F.col("vec_id").alias("b_id"),
         F.col("label").alias("b_label"),
+        F.col("subcell").alias("b_cell"),
         F.col("e").alias("b_e"),
         F.col("cent_cos").alias("b_cc"),
         F.col("nrm").alias("b_nrm"),
@@ -851,6 +879,7 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a_label") == F.col("b_label"))
+            & (F.col("a_cell") == F.col("b_cell"))
             & (F.col("a_id") != F.col("b_id")),
         )
         .filter(
