@@ -219,3 +219,28 @@ def test_q72_shortfall_join_is_hash_not_nested_loop(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q74_periods_plan_as_channel_pivots(spark):
+    """Q74's two-period growth comparison runs as ONE conditional
+    aggregate per channel (r10 A/B: +40.1% sign-stable vs the 4-leg
+    filter-and-join form, 2.644 s vs 4.416 s min-of-5 at sf1) — two
+    fact aggregates, two customer joins, no exchange-reuse legs."""
+    from tpctools_spark.registry import spark_queries
+
+    plan = _plan(
+        spark_queries()["tpcds_q74_quantity_growth"](
+            spark, "/root/testdata/sf0.001"
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly two joins key on the customer surrogate (one pivoted
+    # aggregate per channel; the 4-leg form had four) — join STRATEGY
+    # is AQE's choice and not pinned
+    joins = [
+        ln
+        for ln in plan.splitlines()
+        if "Join" in ln and "c_customer_sk" in ln
+    ]
+    assert len(joins) == 2, plan

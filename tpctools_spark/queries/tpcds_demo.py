@@ -610,6 +610,19 @@ def tpcds_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd = F.broadcast(
         _t(spark, "date_dim").select("d_date_sk", "d_week_seq", "d_day_name")
     )
+    dates = _t(spark, "date_dim")
+
+    def weeks_of(year: int) -> DataFrame:
+        return F.broadcast(
+            dates.filter(F.col("d_year") == year).select("d_week_seq").distinct()
+        )
+
+    # A/B NEUTRAL (r10, interleaved min-of-5 at sf1): semi-joining the
+    # fact rows to the two years' week-seqs BEFORE the pivot aggregate
+    # (dropping ~2/3 of rows pre-shuffle) measured +2.9% on min and NOT
+    # sign-stable — the map-side partial aggregate already collapses
+    # everything to ~300 week keys, so there is no shuffle to save.
+    # The unfiltered single-pass pivot stays the shipped plan.
     wk = (
         ws.unionByName(cs)
         .join(dd, F.col("sold_date_sk") == dd.d_date_sk)
@@ -623,12 +636,6 @@ def tpcds_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    dates = _t(spark, "date_dim")
-
-    def weeks_of(year: int) -> DataFrame:
-        return F.broadcast(
-            dates.filter(F.col("d_year") == year).select("d_week_seq").distinct()
-        )
 
     y = wk.join(weeks_of(2001), "d_week_seq", "semi").alias("y")
     z = wk.join(weeks_of(2002), "d_week_seq", "semi").alias("z")

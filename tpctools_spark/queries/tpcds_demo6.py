@@ -520,6 +520,12 @@ def tpcds_q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     promotion LEFT JOIN feeds the spec's promo/no-promo split
     (p_promo_sk null-ness), counted in one pass.
     """
+    # A/B NEGATIVE (r10, interleaved min-of-5 at sf1): semi-reducing
+    # the 8x-larger inventory side to demanded (item, week) keys before
+    # the main join measured −18.7% (2.494 → 2.960 s), every rep
+    # slower — the extra key-only shuffle + distinct costs more than
+    # the 4-int-wide inventory rows it saves. The single two-sided
+    # equi join below stays the shipped plan.
     dd = _t(spark, "date_dim").select("d_date_sk", "d_week_seq")
     d1 = F.broadcast(dd.select(F.col("d_date_sk").alias("d1_sk"),
                                F.col("d_week_seq").alias("week")))
