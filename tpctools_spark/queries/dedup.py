@@ -931,6 +931,128 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_embedding_incremental",
+    oracle=f"""
+    WITH prep AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), counts AS (
+      SELECT label, COUNT(*) AS n FROM prep GROUP BY label
+    ), bits AS (
+      SELECT label, list_filter(range(0, 41),
+               i -> {_EMB_CELL_TARGET} * (1::BIGINT << i) >= n)[1] AS b
+      FROM counts
+    ), cents AS (
+      SELECT label, list(c ORDER BY pos) AS c FROM (
+        SELECT label, pos,
+               CAST(SUM(CAST(val AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS c
+        FROM (SELECT label, unnest(e) AS val,
+                     unnest(range(1, len(e) + 1)) AS pos
+              FROM prep)
+        GROUP BY label, pos)
+      GROUP BY label
+    ), tagged AS (
+      SELECT p.vec_id, p.label, p.e,
+             sqrt(list_reduce(list_transform(p.e, x -> x * x),
+                  (acc, x) -> acc + x)) AS nrm,
+             COALESCE(list_sum(list_transform(range(0, least(bt.b, len(p.e))),
+               i -> CASE WHEN p.e[i + 1] >= ct.c[i + 1]
+                         THEN (1::BIGINT << i) ELSE 0::BIGINT END)), 0)
+               AS subcell
+      FROM prep p JOIN bits bt USING (label) JOIN cents ct USING (label)
+    ), hits AS (
+      SELECT b.vec_id AS bd, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tagged b JOIN tagged c
+        ON b.label = c.label AND b.subcell = c.subcell
+       AND b.vec_id % 9 = 0 AND b.vec_id > 0
+       AND NOT (c.vec_id % 9 = 0 AND c.vec_id > 0)
+       AND list_reduce(list_transform(list_zip(b.e, c.e),
+             p -> p[1] * p[2]), (acc, x) -> acc + x)
+           / (b.nrm * c.nrm) >= 0.3
+      GROUP BY b.vec_id
+    )
+    SELECT p.vec_id,
+           CASE WHEN h.n IS NOT NULL THEN 'near_dup' ELSE 'accept' END
+             AS decision,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_neighbors
+    FROM prep p LEFT JOIN hits h ON h.bd = p.vec_id
+    WHERE p.vec_id % 9 = 0 AND p.vec_id > 0
+    """,
+)
+def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding dedup: admit an INCOMING batch of vectors
+    against the standing corpus — the production form of semantic
+    dedup (re-pairing the whole corpus on every ingest is a
+    non-starter at 100 TB; the new vectors probe the existing index).
+
+    The batch is the deterministic vec_id ≡ 0 (mod 9) slice; every
+    batch vector is admitted ('accept') or flagged ('near_dup', with
+    its same-cell corpus-neighbor count) by probing ONLY batch×corpus
+    pairs inside the bounded-occupancy (label, sign-bit subcell) cells
+    of ``_embedding_cells`` — batch-internal and corpus-internal pairs
+    are never generated, which is what bounds the per-ingest cost.
+    The embedding twin of ``pipeline_incremental_dedup`` (text) and
+    ``stream_incremental_dedup`` (its streaming form).
+
+    Scale: cell tagging is one row-local pass against broadcast
+    per-label bit counts/centroids (at 100 TB the standing corpus's
+    cells and centroids are a persisted index, built once and reused
+    per ingest); within-cell occupancy is held ≤ ~32 by construction,
+    so the probe join is O(batch · occupancy). Per-pair cosines use
+    the ordered-fold double dot (``_dotf``) against precomputed norms
+    — bitwise-reproducible across engines without per-pair decimals.
+    """
+    from tpctools_spark.queries.similarity import _dotf
+
+    emb = table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    prep = emb.select("vec_id", "label", e.alias("e"))
+    tagged = _embedding_cells(prep).withColumn(
+        "nrm", F.sqrt(_dotf(F.col("e"), F.col("e")))
+    )
+    is_batch = (F.col("vec_id") % 9 == 0) & (F.col("vec_id") > 0)
+    b = tagged.filter(is_batch).select(
+        F.col("vec_id").alias("bd"),
+        F.col("label").alias("label_b"),
+        F.col("subcell").alias("cell_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    c = tagged.filter(~is_batch).select(
+        F.col("label").alias("label_c"),
+        F.col("subcell").alias("cell_c"),
+        F.col("e").alias("ec"),
+        F.col("nrm").alias("nc"),
+    )
+    cosine = _dotf(F.col("eb"), F.col("ec")) / (F.col("nb") * F.col("nc"))
+    hits = (
+        b.join(
+            c,
+            (F.col("label_b") == F.col("label_c"))
+            & (F.col("cell_b") == F.col("cell_c")),
+        )
+        .filter(cosine >= 0.3)
+        .groupBy("bd")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return (
+        prep.filter(is_batch)
+        .select("vec_id")
+        .join(hits, prep.vec_id == hits.bd, "left")
+        .select(
+            "vec_id",
+            F.when(F.col("n").isNotNull(), "near_dup")
+            .otherwise("accept")
+            .alias("decision"),
+            F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias(
+                "n_neighbors"
+            ),
+        )
+    )
+
+
 # Loud upper bound for the components loop. With pointer halving the
 # label graph's effective diameter at least halves every round, so
 # convergence takes O(log2(longest chain)) + a small constant — 60
