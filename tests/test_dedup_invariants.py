@@ -205,3 +205,20 @@ def test_boilerplate_windows_flag_planted_copies(spark, planted_dir):
     for uid in range(10, 13):
         assert rows[uid].n_boilerplate == 0
         assert rows[uid].kept_words > 0
+
+
+def test_lsh_bits_scale_rule():
+    """Corpus-adaptive LSH geometry: the smallest b with 32·2^b ≥ n,
+    floored at 4 (the fixture geometry), so expected bucket occupancy
+    never exceeds the target at any corpus size."""
+    from tpctools_spark.queries.dedup import _LSH_BUCKET_TARGET, _lsh_bits
+
+    assert _lsh_bits(0) == 4
+    assert _lsh_bits(512) == 4  # 32·2^4 = 512: the old geometry's edge
+    assert _lsh_bits(513) == 5
+    assert _lsh_bits(500_000) == 14
+    for n in (1, 512, 513, 50_000, 500_000, 10_000_000):
+        b = _lsh_bits(n)
+        assert n <= _LSH_BUCKET_TARGET * (1 << b)  # occupancy bound
+        # and b is minimal (above the floor)
+        assert b == 4 or n > _LSH_BUCKET_TARGET * (1 << (b - 1))

@@ -86,6 +86,7 @@ _BNLJ_ALLOWED = {
     "mining_basket_lift",  # one-row n_orders total broadcast into the lift ratios (mining.py:86)
     "pipeline_curriculum_order",  # one-row quartile-cutpoint broadcast
     "pipeline_dedup_funnel",  # three one-row stage-count broadcasts (funnel row)
+    "pipeline_dedup_bias_report",  # one-row corpus-totals broadcast (bias denominator)
     "pipeline_mix_weights",  # one-row corpus-totals broadcast into per-source shares
     "pipeline_time_split",  # one-row time-cut + leak-count broadcasts
     "quality_benford_digits",  # one-row total broadcast into the 9-digit census

@@ -932,6 +932,83 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_dedup_bias_report",
+    oracle="""
+    WITH flagged AS (
+      SELECT lang, source,
+             CASE WHEN doc_id > MIN(doc_id) OVER (
+                    PARTITION BY sha256(lower(trim(text))))
+                  THEN 1 ELSE 0 END AS dropped
+      FROM documents
+    ), per AS (
+      SELECT lang, source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dropped) AS BIGINT) AS n_dropped
+      FROM flagged GROUP BY 1, 2
+    ), g AS (
+      SELECT SUM(n_docs) AS gd, SUM(n_dropped) AS gn FROM per
+    )
+    SELECT lang, source, n_docs, n_dropped,
+           CAST(floor(n_dropped / n_docs * 10000) AS DOUBLE) / 10000
+             AS drop_rate,
+           CASE WHEN gn > 0 THEN
+             CAST(floor((n_dropped / n_docs) / (gn / gd) * 10000)
+                  AS DOUBLE) / 10000
+           END AS bias_ratio
+    FROM per, g
+    """,
+)
+def pipeline_dedup_bias_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact audit: per (lang, source), how many documents
+    exact-dedup would drop, the group's drop rate, and its ratio to
+    the corpus-wide rate — the bias report a training-data pipeline
+    publishes alongside any dedup pass (deduplication is never
+    uniform; a filter that silently halves one language's corpus is a
+    dataset bug, not a space saving).
+
+    Drop decision matches ``dedup_exact`` exactly (sha256 of
+    normalized text, keep the lowest doc_id). One digest-keyed
+    min-aggregate (32-byte keys shuffle, never text), one group-by on
+    the low-cardinality (lang, source) census, and a one-row
+    corpus-totals broadcast for the bias denominator. ``bias_ratio``
+    is NULL when the corpus has no duplicates at all (both engines
+    agree on the CASE). Rates truncate at 4 digits (cross-engine
+    stable, see ``_util.trunc_digits``).
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("h"),
+    )
+    keep = docs.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    flagged = docs.join(keep, "h").select(
+        "lang",
+        "source",
+        (F.col("doc_id") != F.col("keep_id")).cast("int").alias("dropped"),
+    )
+    per = flagged.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dropped").cast("bigint").alias("n_dropped"),
+    )
+    g = per.agg(
+        F.sum("n_docs").alias("gd"), F.sum("n_dropped").alias("gn")
+    )
+    rate = F.col("n_dropped") / F.col("n_docs")
+    return per.crossJoin(F.broadcast(g)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_dropped",
+        trunc_digits(rate, 4).alias("drop_rate"),
+        F.when(
+            F.col("gn") > 0,
+            trunc_digits(rate / (F.col("gn") / F.col("gd")), 4),
+        ).alias("bias_ratio"),
+    )
+
+
+@query(
     "dedup_embedding_incremental",
     oracle=f"""
     WITH prep AS (
