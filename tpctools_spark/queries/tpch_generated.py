@@ -506,42 +506,55 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21: FRANCE suppliers who alone delivered late on
     multi-supplier finalized orders.
 
-    The EXISTS/NOT EXISTS pair over lineitem becomes a semi join (some
-    other supplier on the order) followed by an anti join (no other
-    supplier also late), both keyed on orderkey with the supplier
-    inequality as the residual condition — Catalyst's decorrelation
-    target shape, written directly.
+    The spec's EXISTS/NOT EXISTS pair over lineitem runs as ONE
+    min/max-only per-order aggregate instead of two self-probes
+    (shipped after a +35.1% sign-stable interleaved A/B at sf1:
+    semi+anti self-join form 2.511 s vs 1.630 s min-of-7, every rep
+    faster): "order has ≥2 distinct suppliers" ⟺ min(suppkey) ≠
+    max(suppkey), and "exactly one supplier was late" ⟺ the
+    late-supplier min equals its max (non-null). A late l1 line's
+    supplier is then necessarily that unique late supplier, so a semi
+    join to the qualifying orders keeps exactly the spec's l1 rows
+    (verified row-identical at sf0.01 before the A/B). Pure min/max —
+    map-side combinable, no Expand, no distinct, one lineitem
+    aggregate instead of two orderkey-wide probe shuffles.
     """
     li = _t(spark, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_receiptdate", "l_commitdate"
     )
     late = li.filter(F.col("l_receiptdate") > F.col("l_commitdate"))
-    other = li.select(
-        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
-    )
-    other_late = late.select(
-        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
-    )
     o = _t(spark, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
     n = _t(spark, "nation").filter(F.col("n_name") == "FRANCE")
     s = _t(spark, "supplier").join(
         F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
     )
+    late_supp = F.when(
+        F.col("l_receiptdate") > F.col("l_commitdate"), F.col("l_suppkey")
+    )
+    qualifying = (
+        li.groupBy(F.col("l_orderkey").alias("q_orderkey"))
+        .agg(
+            F.min("l_suppkey").alias("smin"),
+            F.max("l_suppkey").alias("smax"),
+            F.min(late_supp).alias("lmin"),
+            F.max(late_supp).alias("lmax"),
+        )
+        .filter(
+            (F.col("smin") != F.col("smax"))
+            & F.col("lmin").isNotNull()
+            & (F.col("lmin") == F.col("lmax"))
+        )
+        .select("q_orderkey")
+    )
+    gated = late.join(
+        o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    ).join(
+        qualifying,
+        F.col("l_orderkey") == F.col("q_orderkey"),
+        "left_semi",
+    )
     return (
-        late.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
-        .join(
-            other,
-            (F.col("l_orderkey") == F.col("o2_orderkey"))
-            & (F.col("l_suppkey") != F.col("o2_suppkey")),
-            "left_semi",
-        )
-        .join(
-            other_late,
-            (F.col("l_orderkey") == F.col("o3_orderkey"))
-            & (F.col("l_suppkey") != F.col("o3_suppkey")),
-            "left_anti",
-        )
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        gated.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
