@@ -370,14 +370,19 @@ def tpcds_q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ss = _t(spark, "store_sales")
     sr = _t(spark, "store_returns").select("sr_ticket_number", "sr_item_sk")
+    # Date-first reorder (same shuffle-volume rule as q75): the
+    # broadcast 1-year filter runs before the composite-key anti join,
+    # so ~5/6 of fact rows never enter that exchange. Filtering the
+    # left side of a LEFT ANTI join commutes; Catalyst won't hoist an
+    # inner join below an anti join on its own.
     ss_clean = (
-        ss.join(
+        ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .join(
             sr,
             (ss.ss_ticket_number == sr.sr_ticket_number)
             & (ss.ss_item_sk == sr.sr_item_sk),
             "left_anti",
         )
-        .join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
         .groupBy(
             "d_year",
             F.col("ss_item_sk").alias("item"),
@@ -388,13 +393,13 @@ def tpcds_q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = _t(spark, "web_sales")
     wr = _t(spark, "web_returns").select("wr_order_number", "wr_item_sk")
     ws_clean = (
-        ws.join(
+        ws.join(dd, ws.ws_sold_date_sk == dd.d_date_sk)
+        .join(
             wr,
             (ws.ws_order_number == wr.wr_order_number)
             & (ws.ws_item_sk == wr.wr_item_sk),
             "left_anti",
         )
-        .join(dd, ws.ws_sold_date_sk == dd.d_date_sk)
         .groupBy(
             F.col("d_year").alias("wy"),
             F.col("ws_item_sk").alias("witem"),
@@ -492,15 +497,19 @@ def tpcds_q80(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_ = _t(spark, rfact).select(
             f"{rpfx}_{rkey}", f"{rpfx}_item_sk", ramt, f"{rpfx}_net_loss"
         )
+        # Date-first reorder (same shuffle-volume rule as q75): the
+        # broadcast 1-year filter runs before the composite-key
+        # returns join, so ~5/6 of fact rows never enter the only wide
+        # exchange. Left-join filtering on the left side commutes.
         joined = (
-            f_.join(
+            f_.join(dd, F.col(f"{pfx}_sold_date_sk") == dd.d_date_sk)
+            .join(
                 r_,
                 (F.col(f"{pfx}_{rkey}") == F.col(f"{rpfx}_{rkey}"))
                 & (F.col(f"{pfx}_item_sk") == F.col(f"{rpfx}_item_sk")),
                 "left",
             )
             .join(promo, F.col(f"{pfx}_promo_sk") == promo.p_promo_sk, "left")
-            .join(dd, F.col(f"{pfx}_sold_date_sk") == dd.d_date_sk)
             .filter(
                 F.col("p_promo_sk").isNull() | (F.col("p_channel_tv") == "N")
             )
