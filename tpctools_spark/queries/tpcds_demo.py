@@ -1314,8 +1314,15 @@ def tpcds_q25(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, "date_dim").filter(F.col("d_year") == 2000).select("d_date_sk")
     )
     it = F.broadcast(_t(spark, "item").select("i_item_sk", "i_item_id"))
+    # Date-first reorder (same shuffle-volume rule as q75/q78/q80):
+    # the broadcast 1-year filter runs before BOTH composite-key fact
+    # hops, so ~5/6 of store_sales rows never enter either wide
+    # exchange. All joins here are inner, so the reorder is
+    # value-neutral; Catalyst's cost-based reorder is off by default
+    # and AQE never reorders, so the written order is the plan.
     return (
-        ss.join(
+        ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .join(
             sr,
             (ss.ss_item_sk == sr.sr_item_sk)
             & (ss.ss_ticket_number == sr.sr_ticket_number),
@@ -1325,7 +1332,6 @@ def tpcds_q25(spark: SparkSession, sf_dir: str) -> DataFrame:
             (sr.sr_item_sk == cs.cs_item_sk)
             & (sr.sr_customer_sk == cs.cs_bill_customer_sk),
         )
-        .join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
         .join(it, ss.ss_item_sk == it.i_item_sk)
         .groupBy("i_item_id")
         .agg(

@@ -166,15 +166,19 @@ def tpcds_q64(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ss_sales_price", "ss_ext_list_price",
     )
     sr = _t(spark, "store_returns").select("sr_ticket_number", "sr_item_sk")
+    # Date-first reorder (same shuffle-volume rule as q75/q78/q80):
+    # the broadcast 2-year filter runs before the composite-key
+    # sold⋈returned hop, so ~2/3 of store_sales rows never enter the
+    # wide exchange. Inner joins — value-neutral reorder.
     cross_sales = (
-        ss.join(
+        ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .join(
             sr,
             (ss.ss_ticket_number == sr.sr_ticket_number)
             & (ss.ss_item_sk == sr.sr_item_sk),
         )
         .join(cust, ss.ss_customer_sk == cust.c_customer_sk)
         .join(it, ss.ss_item_sk == it.i_item_sk)
-        .join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
         .groupBy(F.col("i_item_id").alias("item_id"), "d_year")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("cnt"),

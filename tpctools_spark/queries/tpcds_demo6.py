@@ -212,8 +212,13 @@ def _chain(spark: SparkSession):
     dd = F.broadcast(
         _t(spark, "date_dim").filter(F.col("d_year") == 2000).select("d_date_sk")
     )
+    # Date-first reorder (same shuffle-volume rule as q75/q78/q80):
+    # the broadcast 1-year filter runs before BOTH composite-key fact
+    # hops, so ~5/6 of store_sales rows never enter either wide
+    # exchange. Inner joins — value-neutral reorder.
     return (
-        ss.join(
+        ss.join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
+        .join(
             sr,
             (ss.ss_item_sk == sr.sr_item_sk)
             & (ss.ss_ticket_number == sr.sr_ticket_number),
@@ -223,7 +228,6 @@ def _chain(spark: SparkSession):
             (sr.sr_item_sk == cs.cs_item_sk)
             & (sr.sr_customer_sk == cs.cs_bill_customer_sk),
         )
-        .join(dd, ss.ss_sold_date_sk == dd.d_date_sk)
     )
 
 
