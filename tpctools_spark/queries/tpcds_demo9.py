@@ -535,6 +535,12 @@ def tpcds_q84(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("ca_address_sk")
     )
+    # The cd key-set broadcast is ~15 MB but CONSTANT (the demographics
+    # table is spec-fixed at 1.92M rows at every sf), while the probe
+    # side (customer) scales — so the hint is the 100 TB-correct
+    # choice. r10 A/B of the unhinted form: +2.9% on min-of-7, not
+    # sign-stable → kept. (The suite's 4.8 s entry for this query was
+    # 2-rep noise; min-of-7 measures 1.9 s.)
     cd = F.broadcast(_t(spark, "customer_demographics").select("cd_demo_sk"))
     hd = F.broadcast(
         _t(spark, "household_demographics").select("hd_demo_sk", "hd_income_band_sk")
