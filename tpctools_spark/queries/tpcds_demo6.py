@@ -550,12 +550,17 @@ def tpcds_q72(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("week") == F.col("week2"))
             & (inv.inv_quantity_on_hand < cs.cs_quantity),
         )
-        .join(w, inv.inv_warehouse_sk == w.w_warehouse_sk)
-        .join(it, cs.cs_item_sk == it.i_item_sk)
         .join(promo, cs.cs_promo_sk == promo.p_promo_sk, "left")
     )
+    # Second A/B NEGATIVE at this site (r10, min-of-7): pre-aggregating
+    # on the narrow (item_sk, warehouse_sk, week) keys before attaching
+    # the wide name strings measured −3.3% and not sign-stable — the
+    # matched-row count is too close to the group count at this shape
+    # for the narrow-key shuffle saving to beat the extra aggregate.
     return (
-        joined.groupBy("i_item_desc", "w_warehouse_name", "week")
+        joined.join(w, joined.inv_warehouse_sk == w.w_warehouse_sk)
+        .join(it, joined.cs_item_sk == it.i_item_sk)
+        .groupBy("i_item_desc", "w_warehouse_name", "week")
         .agg(
             F.sum(F.when(F.col("p_promo_sk").isNull(), 1).otherwise(0))
             .cast("bigint").alias("no_promo"),
