@@ -645,16 +645,29 @@ def main() -> None:
             planted_e500 = (500_000 - 1) // 70
 
             def _pair_recall(qname: str) -> int:
-                n = (
+                # ONE aggregate over the FULL pair enumeration: a bare
+                # .filter(planted).count() let Catalyst push the
+                # planted-pair predicate into the candidate joins, so
+                # the timed plan enumerated a tiny slice of the real
+                # work (the r10 lsh entry measured 22 s while the full
+                # enumeration ran >25 min — the skew it hid is fixed,
+                # but the bench must time the full job to prove it).
+                row = (
                     qs[qname](spark, emb500_dir)
-                    .filter(
-                        (F.col("vec_b") == F.col("vec_a") + 10)
-                        & (F.col("vec_b") % 70 == 0)
+                    .agg(
+                        F.count(F.lit(1)).alias("total"),
+                        F.count(
+                            F.when(
+                                (F.col("vec_b") == F.col("vec_a") + 10)
+                                & (F.col("vec_b") % 70 == 0),
+                                1,
+                            )
+                        ).alias("found"),
                     )
-                    .count()
+                    .collect()[0]
                 )
                 spark.catalog.clearCache()
-                return n
+                return row["found"]
 
             def _prune_catch() -> int:
                 # A planted pair is "caught" when the pruner dropped at

@@ -1379,7 +1379,33 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LSH_BANDS = 4
 _LSH_MIN_BITS = 4
 _LSH_DIM = 64
-_LSH_BUCKET_TARGET = 32
+_LSH_BUCKET_TARGET = 8
+
+# Plane-sign hash: the generator's two-round square-and-mix (_h) over
+# (plane, dim). A single multiplicative round made every plane's sign
+# pattern a ROTATION of one base sequence (mean inter-plane correlation
+# 0.47), so band keys collapsed to ~4k distinct values with ~11k-vector
+# buckets at 500k — quadratic pair enumeration. The second round
+# decorrelates planes (measured 0.086 mean |corr|, max bucket ~79 ≈ the
+# Poisson tail of the 8-target geometry). All integer arithmetic stays
+# inside BIGINT (h1 < P ≈ 1e9 ⇒ h1² < 1e18 < 2^63) on both engines.
+_LSH_P = 1_000_000_007
+_LSH_A = 654_435_761
+_LSH_B = 2_654_435_789 % _LSH_P
+_LSH_C = 97
+_LSH_SQL_H1 = f"((p * {_LSH_A} + d * {_LSH_B} + {_LSH_C}) % {_LSH_P})"
+_LSH_SQL_SIGN = (
+    f"(CASE WHEN 2 * ((({_LSH_SQL_H1} * {_LSH_SQL_H1}) % {_LSH_P} * 31"
+    f" + {_LSH_SQL_H1}) % {_LSH_P}) < {_LSH_P} THEN 1 ELSE -1 END)"
+)
+
+
+def _lsh_sign_pos(p: int, d: int) -> bool:
+    """True = +1 plane sign for (plane p, dim d) — the Python twin of
+    ``_LSH_SQL_SIGN`` (plan-time on the Spark side)."""
+    h1 = (p * _LSH_A + d * _LSH_B + _LSH_C) % _LSH_P
+    h2 = (h1 * h1 % _LSH_P * 31 + h1) % _LSH_P
+    return 2 * h2 < _LSH_P
 
 
 def _lsh_bits(n: int) -> int:
@@ -1409,8 +1435,7 @@ def _lsh_bits(n: int) -> int:
       SELECT vec_id, g.b AS b,
              list_transform(range(0, {_LSH_BANDS} * g.b), p ->
                CASE WHEN list_reduce(list_transform(range(1, {_LSH_DIM + 1}), d ->
-                      e[d] * (CASE WHEN ((p * {_LSH_DIM} + d) * 2654435761) % 97 < 48
-                              THEN 1 ELSE -1 END)),
+                      e[d] * {_LSH_SQL_SIGN}),
                       (acc, x) -> acc + x) >= 0
                     THEN 1 ELSE 0 END) AS s
       FROM prep, geom g
@@ -1448,25 +1473,38 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement of ``dedup_embedding`` (which trusts a label/IVF cell):
     LSH needs NO pre-existing blocking column — the signature IS the
     blocking key, with recall controlled by bands × bits
-    (P[match] = 1-(1-(1-θ/π)^bits)^bands). Plane signs are an
-    arithmetic hash of (plane, dim), so Spark and DuckDB build
-    bit-identical signatures — the whole pipeline, including the
-    corpus-adaptive bit count (``_lsh_bits``: one metadata-cheap
-    count), is oracle-checked. Signature sums are ordered left-to-right
-    DOUBLE folds (Spark ``aggregate`` seeded 0.0, DuckDB
-    ``list_reduce`` seeded by its first element — IEEE-identical since
-    0.0 + x == x): the sign cannot flip on FP order because both
-    engines execute the same operation sequence, without paying
-    per-component decimal arithmetic in the O(N·4b·D) hot loop (the
-    decimal form made signatures ~10x the cost of the whole rest of
-    the pipeline).
+    (P[match] = 1-(1-(1-θ/π)^bits)^bands). Plane signs are a two-round
+    square-and-mix hash of (plane, dim) (``_lsh_sign_pos``; see the
+    constants block for why one multiplicative round collapsed band-key
+    entropy) — a pure function of two plan-time constants — so they
+    are BAKED IN as literal ± terms:
+    each plane sum is one flat left-to-right chain of 64 add/negate
+    ops inside whole-stage codegen, not an interpreted higher-order
+    fold (the fold form was the signature bottleneck: 4b folds × 64
+    lambda evals per row). The chain's association ((t1+t2)+t3)…
+    is exactly DuckDB ``list_reduce``'s first-element seeding, and
+    IEEE-identical to a 0.0-seeded fold since 0.0 + x == x (a -0.0
+    vs +0.0 residue can only arise when every term is a signed zero,
+    and the ``>= 0`` sign test treats both zeros equally) — so Spark
+    and DuckDB build bit-identical signatures, and the whole pipeline,
+    including the corpus-adaptive bit count (``_lsh_bits``: one
+    metadata-cheap count), is oracle-checked.
 
-    Scale: signatures are ROW-LOCAL (one array fold per plane — no
-    explode, no shuffle before the band join); the self-join touches
-    only same-bucket pairs, and b grows ~log N to hold expected bucket
-    occupancy at ``_LSH_BUCKET_TARGET`` — candidate generation stays
-    O(N·occupancy) at any corpus size (the 500k bench tier measures it
-    with planted ≥0.999-cosine near-dups at ≥95% recall).
+    Scale: signatures are ROW-LOCAL (no explode, no shuffle before the
+    band join); the self-join touches only same-bucket pairs, and b
+    grows ~log N to hold expected bucket occupancy at
+    ``_LSH_BUCKET_TARGET`` (8: expected candidate volume
+    ≈ N·(occ-1)/2·bands ≈ 14·N — at target 32 the full pair
+    enumeration at 500k vectors was ~30M pairs and dominated the
+    runtime; planted-dup recall at ≥0.999 cosine stays ≥99.8% because
+    two extra bits only cost p² ≈ 0.97 per band). Candidate rescoring
+    is two-tier: a cheap ordered DOUBLE dot prefilters at 0.45 —
+    safely below the 0.5 output threshold, since the 64-term double
+    dot differs from the exact-decimal value by ≤ 64·ε·‖a‖‖b‖
+    ≈ 1e-14 relative — and only survivors (the near-dup tail, not the
+    ~14·N random-pair bulk) pay the exact DECIMAL(25,16) dot that the
+    oracle compares against. The 500k bench tier times the FULL pair
+    enumeration and asserts planted recall ≥95%.
     """
     emb = table(spark, sf_dir, "embeddings")
     bits = _lsh_bits(emb.count())
@@ -1481,25 +1519,27 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     prep = emb.select("vec_id", e.alias("e"), sq_norm.alias("sq_norm")).cache()
 
-    def _plane_sum(p: int) -> F.Column:
-        # Ordered fold over dims 1..D — the oracle's list_reduce twin.
-        return F.aggregate(
-            F.sequence(F.lit(1), F.lit(_LSH_DIM)),
-            F.lit(0.0),
-            lambda acc, d: acc
-            + F.element_at(F.col("e"), d)
-            * F.when(
-                F.pmod(
-                    (F.lit(p * _LSH_DIM).cast("bigint") + d)
-                    * F.lit(2654435761),
-                    F.lit(97),
-                )
-                < 48,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
-        )
+    # Plane signs at PLAN time (pure function of (plane, dim)); the
+    # oracle recomputes the same two-round hash inside its sig CTE.
+    _sign_pos = _lsh_sign_pos
 
-    sig = prep.select(
+    dims = prep.select(
+        "vec_id",
+        *[
+            F.element_at(F.col("e"), d).alias(f"d{d}")
+            for d in range(1, _LSH_DIM + 1)
+        ],
+    )
+
+    def _plane_sum(p: int) -> F.Column:
+        # Flat left-to-right ± chain — codegen, no per-element lambda.
+        acc = F.col("d1") if _sign_pos(p, 1) else -F.col("d1")
+        for d in range(2, _LSH_DIM + 1):
+            term = F.col(f"d{d}") if _sign_pos(p, d) else -F.col(f"d{d}")
+            acc = acc + term
+        return acc
+
+    sig = dims.select(
         "vec_id",
         *[(_plane_sum(p) >= 0).cast("bigint").alias(f"b{p}") for p in range(planes)],
     )
@@ -1538,16 +1578,26 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("ib"), F.col("e").alias("eb"),
         F.col("sq_norm").alias("nb"),
     )
+    # Two-tier rescore: a DOUBLE dot (cheap, codegen) prefilters at
+    # 0.45 — its error vs the exact value is ≤ 64·ε·‖a‖‖b‖, so no
+    # true ≥0.5 pair can fall below it — then only survivors pay the
+    # exact DECIMAL(25,16) dot the oracle compares against.
+    dot_fast = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     dot = F.aggregate(
         F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x * y),
         F.lit(0).cast("decimal(25,16)"),
         lambda acc, x: (acc + x.cast("decimal(25,16)")).cast("decimal(25,16)"),
     ).cast("double")
-    cos = dot / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
+    norms = F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))
     return (
         cand.join(pa, cand.vec_a == pa.ia)
         .join(pb, cand.vec_b == pb.ib)
-        .withColumn("cosine_raw", cos)
+        .filter(dot_fast / norms >= 0.45)
+        .withColumn("cosine_raw", dot / norms)
         .filter(F.col("cosine_raw") >= 0.5)
         .select("vec_a", "vec_b", trunc_digits(F.col("cosine_raw"), 4).alias("cosine"))
     )
