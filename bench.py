@@ -445,16 +445,26 @@ def main() -> None:
             )
 
         def _jaccard_50k() -> int:
-            n = (
+            # One aggregate over the FULL pair output (planted-found
+            # counted in the same pass) — a filter().count() would let
+            # Catalyst push the planted predicate into the candidate
+            # joins and time a pruned plan.
+            row = (
                 qs["dedup_ngram_jaccard"](spark, corpus_fix_dir)
-                .filter(
-                    (F.col("doc_b") == F.col("doc_a") + 1)
-                    & (F.col("doc_b") % 7 == 0)
+                .agg(
+                    F.count(F.lit(1)).alias("total"),
+                    F.count(
+                        F.when(
+                            (F.col("doc_b") == F.col("doc_a") + 1)
+                            & (F.col("doc_b") % 7 == 0),
+                            1,
+                        )
+                    ).alias("found"),
                 )
-                .count()
+                .collect()[0]
             )
             spark.catalog.clearCache()  # the query caches grams/pairs
-            return n
+            return row["found"]
 
 
         # This plan is big enough that the JVM is still JIT-warming on
@@ -562,16 +572,27 @@ def main() -> None:
             planted_500k = (500_000 - 1) // 7
 
             def _planted_pairs(qname: str) -> int:
-                n = (
+                # Single aggregate over the FULL pair output — a bare
+                # .filter(planted).count() lets Catalyst push the
+                # planted predicate into the candidate joins and time
+                # a pruned plan (see the embedding tier's _pair_recall
+                # for the measured case).
+                row = (
                     qs[qname](spark, corpus500_dir)
-                    .filter(
-                        (F.col("doc_b") == F.col("doc_a") + 1)
-                        & (F.col("doc_b") % 7 == 0)
+                    .agg(
+                        F.count(F.lit(1)).alias("total"),
+                        F.count(
+                            F.when(
+                                (F.col("doc_b") == F.col("doc_a") + 1)
+                                & (F.col("doc_b") % 7 == 0),
+                                1,
+                            )
+                        ).alias("found"),
                     )
-                    .count()
+                    .collect()[0]
                 )
                 spark.catalog.clearCache()
-                return n
+                return row["found"]
 
             def _multi_clusters() -> int:
                 n = (
