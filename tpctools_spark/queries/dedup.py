@@ -634,6 +634,12 @@ def _shared_gram_counts(
     # Pair generation from the per-gram posting list (≤ JACCARD_DF_CAP
     # entries by construction): ONE postings shuffle + a row-local
     # double-explode, instead of shuffling both legs of a self-join.
+    # Negative A/B (r10, 500k docs / 24M postings): collect_list's
+    # ObjectHashAggregate falls back to sort-based after 128 keys —
+    # raising spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+    # to 10M to keep it hash-based measured SLOWER warm (interleaved
+    # min-of-4: 27.1 s vs 10.5 s default) — a 24M-string-key object
+    # hash map thrashes GC; the sort-based path streams. Keep default.
     pg = (
         kept.groupBy("gram")
         .agg(F.collect_list(F.struct("doc_id", "n")).alias("ps"))

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tpctools_spark.catalog import table
-from tpctools_spark.queries._util import sql_trunc_digits, trunc_digits
+from tpctools_spark.queries._util import sql_trunc_digits, trunc_digits, spread_input
 from tpctools_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -1119,9 +1119,7 @@ def mining_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned merges match bit-for-bit. Output: the three merges with
     their frequencies.
     """
-    docs = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread_input(table(spark, sf_dir, "documents"))
     words = docs.select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w")
     ).filter(F.col("w").rlike("^[a-z]+$"))

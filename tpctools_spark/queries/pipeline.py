@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from tpctools_spark.catalog import table
-from tpctools_spark.queries._util import global_rank, trunc_digits
+from tpctools_spark.queries._util import global_rank, trunc_digits, spread_input
 from tpctools_spark.registry import query
 
 # Packing capacity (tokens per training sequence). Small relative to
@@ -133,12 +133,10 @@ def pipeline_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final (train_doc, eval_doc) count aggregation over matched
     pairs, whose size is bounded by true overlap, not corpus size.
     """
-    # Fixture parquet is one split → one task; spread shingling across
-    # cores. At 100 TB the input is already many splits and this
-    # repartition is a no-op to remove.
-    docs = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # Fixture parquet is one split → one task; spread_input widens the
+    # scan for shingling but is a metadata-checked NO-OP when the scan
+    # already has cluster-width splits (the 100 TB case).
+    docs = spread_input(table(spark, sf_dir, "documents"))
     # Overlapping 5-grams in ONE codegen regex pass (word-start
     # lookbehind + capture lookahead) — identical output to the
     # split/transform HOF formulation on single-space-tokenized text,
@@ -1261,4 +1259,96 @@ def pipeline_shard_dedup_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard_a",
         "shard_b",
         trunc_digits(F.col("jacc"), 4).alias("jaccard"),
+    )
+
+
+@query(
+    "pipeline_epoch_allocation",
+    oracle="""
+    WITH per_source AS (
+      SELECT source,
+             CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ), weighted AS (
+      SELECT source, n_tokens,
+             (CASE WHEN (s0 + 1) * (s0 + 1) <= n_tokens THEN s0 + 1
+                   WHEN s0 * s0 > n_tokens THEN s0 - 1
+                   ELSE s0 END) AS w
+      FROM (SELECT source, n_tokens,
+                   CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s0
+            FROM per_source)
+    ), tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(SUM(w) AS BIGINT) AS sum_w
+      FROM weighted
+    )
+    SELECT source, n_tokens,
+           CAST(floor(CAST(w AS DOUBLE) / CAST(sum_w AS DOUBLE) * 1000000)
+                AS DOUBLE) / 1000000 AS alloc_share,
+           CAST(floor(LEAST(4.0,
+                  ((2.0 * CAST(total_tokens AS DOUBLE)) * CAST(w AS DOUBLE))
+                  / (CAST(sum_w AS DOUBLE) * CAST(n_tokens AS DOUBLE)))
+                  * 1000000) AS DOUBLE) / 1000000 AS epochs,
+           CAST(floor(LEAST(4.0,
+                  ((2.0 * CAST(total_tokens AS DOUBLE)) * CAST(w AS DOUBLE))
+                  / (CAST(sum_w AS DOUBLE) * CAST(n_tokens AS DOUBLE)))
+                  * CAST(n_tokens AS DOUBLE) * 100) AS DOUBLE) / 100
+             AS realized_tokens,
+           (((2.0 * CAST(total_tokens AS DOUBLE)) * CAST(w AS DOUBLE))
+             / (CAST(sum_w AS DOUBLE) * CAST(n_tokens AS DOUBLE)) > 4.0)
+             AS capped
+    FROM weighted CROSS JOIN tot
+    """,
+)
+def pipeline_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation across sources with temperature-balanced
+    shares and per-source epoch caps — the planning step of a
+    fixed-compute pretraining mix (the square-root temperature family:
+    share_s ∝ n_s^0.5 upweights small sources relative to proportional
+    sampling without flattening to uniform; cap = 4 epochs bounds
+    repetition of any single source).
+
+    Every arithmetic step is cross-engine deterministic: weights are
+    INTEGER isqrt(n_tokens) — floor(sqrt(double)) plus a one-step
+    ±1 correction, so a correctly-rounded-up sqrt near a perfect
+    square cannot skew the weight — and the totals are exact BIGINT
+    sums; the only doubles are the final ratio/LEAST expressions,
+    written as the identical operation tree on both engines.
+
+    Scale: one map-side-combinable aggregation over the corpus (the
+    token count), then a |sources|-row table crossJoin'd with a ONE-row
+    broadcast total — nothing else shuffles; the corpus text is read
+    once, projection-pruned to (source, text).
+    """
+    docs = table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("bigint")).alias("n_tokens")
+    )
+    s0 = F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("bigint")
+    w = (
+        F.when((s0 + 1) * (s0 + 1) <= F.col("n_tokens"), s0 + 1)
+        .when(s0 * s0 > F.col("n_tokens"), s0 - 1)
+        .otherwise(s0)
+    )
+    weighted = per_source.select("source", "n_tokens", w.alias("w"))
+    tot = weighted.agg(
+        F.sum("n_tokens").alias("total_tokens"), F.sum("w").alias("sum_w")
+    )
+    epochs_raw = (
+        (F.lit(2.0) * F.col("total_tokens").cast("double"))
+        * F.col("w").cast("double")
+    ) / (F.col("sum_w").cast("double") * F.col("n_tokens").cast("double"))
+    epochs = F.least(F.lit(4.0), epochs_raw)
+    return weighted.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        trunc_digits(
+            F.col("w").cast("double") / F.col("sum_w").cast("double"), 6
+        ).alias("alloc_share"),
+        trunc_digits(epochs, 6).alias("epochs"),
+        trunc_digits(epochs * F.col("n_tokens").cast("double"), 2).alias(
+            "realized_tokens"
+        ),
+        (epochs_raw > 4.0).alias("capped"),
     )

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tpctools_spark.catalog import table
-from tpctools_spark.queries._util import global_rank, trunc_digits
+from tpctools_spark.queries._util import global_rank, trunc_digits, spread_input
 from tpctools_spark.registry import query
 
 
@@ -613,9 +613,7 @@ def text_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingling as the Jaccard family; no pairwise comparisons anywhere —
     novelty is corpus-global but computed in two aggregate passes.
     """
-    docs = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread_input(table(spark, sf_dir, "documents"))
     from tpctools_spark.queries.dedup import _shingles_rx
 
     grams = (
@@ -881,4 +879,78 @@ def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_JS_SRC_B).alias("source_b"),
         F.col("v").alias("vocab_size"),
         "js_nats",
+    )
+
+
+@query(
+    "text_ngram_coverage",
+    oracle="""
+    WITH grams AS (
+      SELECT DISTINCT doc_id, source, gram FROM (
+        SELECT doc_id, source,
+               UNNEST(list_transform(
+                 range(1, greatest(len(w) - 1, 1)),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        FROM (SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS w
+              FROM documents)
+      ) WHERE gram IS NOT NULL
+    ), eval_grams AS (
+      SELECT DISTINCT source, gram FROM grams WHERE doc_id % 7 = 0
+    ), train_grams AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 7 <> 0
+    )
+    SELECT e.source,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (t.gram IS NOT NULL) AS BIGINT) AS n_covered,
+           CAST(floor(CAST(COUNT(*) FILTER (t.gram IS NOT NULL) AS DOUBLE)
+                 / COUNT(*) * 1000000) AS DOUBLE) / 1000000 AS coverage
+    FROM eval_grams e LEFT JOIN train_grams t ON e.gram = t.gram
+    GROUP BY e.source
+    """,
+)
+def text_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-coverage diagnostic: per source, the fraction of the eval
+    split's distinct word-3-grams that also occur in the train split
+    (eval split = ``doc_id % 7 == 0`` — 7 is coprime with the
+    fixture's source cycle, so every source contributes eval docs). High coverage means the eval
+    slice is redundant with training data (a leakage/contamination
+    smell at the SPLIT level — the aggregate complement of
+    ``pipeline_contamination``'s per-document pair report); low
+    coverage means the split actually holds out novel text.
+
+    Scale: both sides reduce to DISTINCT gram sets before the join —
+    the train side is gram-keyed (vocabulary-sized, Zipf-bounded, far
+    smaller than postings) and the eval side is the small split by
+    construction, so the join input is bounded by vocabulary, not
+    corpus. One gram-keyed shuffle each side + one |sources|-group
+    aggregate; text is read once, projection-pruned.
+    """
+    from tpctools_spark.queries.dedup import _shingles_rx
+
+    docs = spread_input(table(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(_shingles_rx())).alias("gram"),
+    )
+    eval_g = (
+        grams.filter(F.col("doc_id") % 7 == 0).select("source", "gram").distinct()
+    )
+    train_g = (
+        grams.filter(F.col("doc_id") % 7 != 0)
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    covered = F.count("hit")
+    return (
+        eval_g.join(train_g, "gram", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            covered.alias("n_covered"),
+            trunc_digits(
+                covered.cast("double") / F.count(F.lit(1)), 6
+            ).alias("coverage"),
+        )
     )
