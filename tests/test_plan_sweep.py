@@ -89,6 +89,7 @@ _BNLJ_ALLOWED = {
     "pipeline_dedup_bias_report",  # one-row corpus-totals broadcast (bias denominator)
     "pipeline_mix_weights",  # one-row corpus-totals broadcast into per-source shares
     "pipeline_epoch_allocation",  # one-row (total_tokens, sum_w) broadcast into per-source epochs
+    "pipeline_dsir_importance",  # one-row LM-totals broadcast into the 256-bucket lambda table
     "pipeline_time_split",  # one-row time-cut + leak-count broadcasts
     "quality_benford_digits",  # one-row total broadcast into the 9-digit census
     "quality_referential_integrity",  # one-row per-edge rowcount broadcasts

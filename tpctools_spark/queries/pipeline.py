@@ -1352,3 +1352,125 @@ def pipeline_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (epochs_raw > 4.0).alias("capped"),
     )
+
+
+# Feature-hash buckets for the DSIR importance estimator. Small enough
+# that the per-bucket LM tables broadcast (a few KB); large enough that
+# the hashed-bigram buckets separate target-like from raw-like text.
+_DSIR_B = 256
+
+
+@query(
+    "pipeline_dsir_importance",
+    oracle=f"""
+    WITH bg AS (
+      SELECT doc_id, lang,
+             UNNEST(list_transform(range(1, greatest(len(w), 1)),
+               i -> w[i] || ' ' || w[i+1])) AS gram
+      FROM (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS w
+            FROM documents)
+    ), hashed AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT)
+               % {_DSIR_B} AS bucket
+      FROM bg WHERE gram IS NOT NULL
+    ), stat AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS c_r,
+             CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS c_t
+      FROM hashed GROUP BY bucket
+    ), tot AS (
+      SELECT CAST(SUM(c_r) AS BIGINT) AS n_r,
+             CAST(SUM(c_t) AS BIGINT) AS n_t
+      FROM stat
+    ), lam AS (
+      SELECT bucket,
+             ln((CAST(c_t + 1 AS DOUBLE) * CAST(n_r + {_DSIR_B} AS DOUBLE))
+                / (CAST(c_r + 1 AS DOUBLE) * CAST(n_t + {_DSIR_B} AS DOUBLE)))
+               AS lam
+      FROM stat CROSS JOIN tot
+    ), per_doc AS (
+      SELECT h.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             SUM(CAST(l.lam AS DECIMAL(25,16))) AS imp
+      FROM hashed h JOIN lam l ON h.bucket = l.bucket
+      GROUP BY h.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           CAST(floor(CAST(imp AS DOUBLE) * 10000) AS DOUBLE) / 10000
+             AS importance,
+           CAST(imp AS DOUBLE) > 0.0 AS selected
+    FROM per_doc
+    """,
+)
+def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting for data selection (the hashed
+    n-gram importance-resampling estimator of Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by the log-likelihood ratio between a TARGET bucket
+    LM (here the ``lang = 'en'`` slice stands in for the target
+    sample) and the RAW corpus LM, over md5-hashed word-bigram
+    features in ``_DSIR_B`` buckets with add-one smoothing. Positive
+    importance = target-like (``selected``); a real pipeline would
+    resample proportionally to exp(importance).
+
+    Determinism: bucket ids are md5-derived integers (the simhash
+    pattern), LM counts are exact BIGINTs, and each bucket's
+    log-ratio is ONE ln() of a ratio of exactly-representable doubles
+    with a pinned operation tree; per-document sums accumulate the
+    per-occurrence λ terms in DECIMAL(25,16) (order-free), so only
+    the final 1e-4 truncation touches engine floating point.
+
+    Scale: the corpus is scanned ONCE (bigrams explode row-locally);
+    both LMs reduce to one ``_DSIR_B``-row aggregate in the same pass
+    (map-side combinable — the shuffled table is 256 rows, not
+    postings); λ broadcasts back onto the bigram stream as a map-side
+    hash join; the only data-sized exchange is the per-document final
+    aggregation, partial-aggregated before it moves.
+    """
+    docs = table(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.trim(F.col("text"))), " ")
+    grams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat(
+                F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashed = docs.select(
+        "doc_id", "lang", F.explode(grams).alias("gram")
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("bigint")
+            % _DSIR_B
+        ).alias("bucket"),
+    )
+    stat = hashed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.count_if(F.col("lang") == "en").alias("c_t"),
+    )
+    tot = stat.agg(F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t"))
+    lam = (
+        (F.col("c_t") + 1).cast("double")
+        * (F.col("n_r") + _DSIR_B).cast("double")
+    ) / (
+        (F.col("c_r") + 1).cast("double")
+        * (F.col("n_t") + _DSIR_B).cast("double")
+    )
+    lam_tbl = stat.crossJoin(F.broadcast(tot)).select(
+        "bucket", F.log(lam).alias("lam")
+    )
+    imp = F.sum(F.col("lam").cast("decimal(25,16)"))
+    return (
+        hashed.join(F.broadcast(lam_tbl), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            trunc_digits(imp.cast("double"), 4).alias("importance"),
+            (imp.cast("double") > 0.0).alias("selected"),
+        )
+    )
