@@ -1515,7 +1515,6 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     bits = _lsh_bits(emb.count())
     planes = _LSH_BANDS * bits
-    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     sq_norm = F.aggregate(
         F.col("embedding"),
         F.lit(0).cast("decimal(25,16)"),
@@ -1523,7 +1522,12 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc + (x.cast("double") * x.cast("double")).cast("decimal(25,16)")
         ).cast("decimal(25,16)"),
     ).cast("double")
-    prep = emb.select("vec_id", e.alias("e"), sq_norm.alias("sq_norm")).cache()
+    # Carry the RAW float arrays (half the bytes of array<double>)
+    # through cache and the candidate join-back; every arithmetic site
+    # casts float→double per element (exact, row-local), so results
+    # are bit-identical to a double-array pipeline while the pair
+    # join's vector shuffle — the volume term at 500k+ — halves.
+    prep = emb.select("vec_id", "embedding", sq_norm.alias("sq_norm")).cache()
 
     # Plane signs at PLAN time (pure function of (plane, dim)); the
     # oracle recomputes the same two-round hash inside its sig CTE.
@@ -1532,7 +1536,7 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = prep.select(
         "vec_id",
         *[
-            F.element_at(F.col("e"), d).alias(f"d{d}")
+            F.element_at(F.col("embedding"), d).cast("double").alias(f"d{d}")
             for d in range(1, _LSH_DIM + 1)
         ],
     )
@@ -1577,24 +1581,26 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     pa = prep.select(
-        F.col("vec_id").alias("ia"), F.col("e").alias("ea"),
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"),
         F.col("sq_norm").alias("na"),
     )
     pb = prep.select(
-        F.col("vec_id").alias("ib"), F.col("e").alias("eb"),
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"),
         F.col("sq_norm").alias("nb"),
     )
     # Two-tier rescore: a DOUBLE dot (cheap, codegen) prefilters at
     # 0.45 — its error vs the exact value is ≤ 64·ε·‖a‖‖b‖, so no
     # true ≥0.5 pair can fall below it — then only survivors pay the
-    # exact DECIMAL(25,16) dot the oracle compares against.
-    dot_fast = F.aggregate(
-        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # exact DECIMAL(25,16) dot the oracle compares against. The
+    # float→double casts live INSIDE the zip_with lambdas so the pair
+    # join ships float arrays, not doubled ones.
+    prods = F.zip_with(
+        F.col("ea"), F.col("eb"),
+        lambda x, y: x.cast("double") * y.cast("double"),
     )
+    dot_fast = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
     dot = F.aggregate(
-        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x * y),
+        prods,
         F.lit(0).cast("decimal(25,16)"),
         lambda acc, x: (acc + x.cast("decimal(25,16)")).cast("decimal(25,16)"),
     ).cast("double")
