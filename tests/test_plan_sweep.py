@@ -90,6 +90,7 @@ _BNLJ_ALLOWED = {
     "pipeline_mix_weights",  # one-row corpus-totals broadcast into per-source shares
     "pipeline_epoch_allocation",  # one-row (total_tokens, sum_w) broadcast into per-source epochs
     "pipeline_dsir_importance",  # one-row LM-totals broadcast into the 256-bucket lambda table
+    "pipeline_importance_resample",  # same _dsir_per_doc core: one-row LM-totals broadcast
     "pipeline_time_split",  # one-row time-cut + leak-count broadcasts
     "quality_benford_digits",  # one-row total broadcast into the 9-digit census
     "quality_referential_integrity",  # one-row per-edge rowcount broadcasts

@@ -1359,10 +1359,10 @@ def pipeline_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the hashed-bigram buckets separate target-like from raw-like text.
 _DSIR_B = 256
 
-
-@query(
-    "pipeline_dsir_importance",
-    oracle=f"""
+# Shared oracle prefix: per-document DSIR importance (decimal `imp`),
+# consumed by pipeline_dsir_importance (report form) and
+# pipeline_importance_resample (Gumbel top-k consumer).
+_DSIR_CTES = f"""
     WITH bg AS (
       SELECT doc_id, lang,
              UNNEST(list_transform(range(1, greatest(len(w), 1)),
@@ -1396,38 +1396,14 @@ _DSIR_B = 256
       FROM hashed h JOIN lam l ON h.bucket = l.bucket
       GROUP BY h.doc_id
     )
-    SELECT doc_id, n_bigrams,
-           CAST(floor(CAST(imp AS DOUBLE) * 10000) AS DOUBLE) / 10000
-             AS importance,
-           CAST(imp AS DOUBLE) > 0.0 AS selected
-    FROM per_doc
-    """,
-)
-def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR-style importance weighting for data selection (the hashed
-    n-gram importance-resampling estimator of Xie et al. 2023, "Data
-    Selection for Language Models via Importance Resampling"): score
-    every document by the log-likelihood ratio between a TARGET bucket
-    LM (here the ``lang = 'en'`` slice stands in for the target
-    sample) and the RAW corpus LM, over md5-hashed word-bigram
-    features in ``_DSIR_B`` buckets with add-one smoothing. Positive
-    importance = target-like (``selected``); a real pipeline would
-    resample proportionally to exp(importance).
+"""
 
-    Determinism: bucket ids are md5-derived integers (the simhash
-    pattern), LM counts are exact BIGINTs, and each bucket's
-    log-ratio is ONE ln() of a ratio of exactly-representable doubles
-    with a pinned operation tree; per-document sums accumulate the
-    per-occurrence λ terms in DECIMAL(25,16) (order-free), so only
-    the final 1e-4 truncation touches engine floating point.
 
-    Scale: the corpus is scanned ONCE (bigrams explode row-locally);
-    both LMs reduce to one ``_DSIR_B``-row aggregate in the same pass
-    (map-side combinable — the shuffled table is 256 rows, not
-    postings); λ broadcasts back onto the bigram stream as a map-side
-    hash join; the only data-sized exchange is the per-document final
-    aggregation, partial-aggregated before it moves.
-    """
+def _dsir_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance: (doc_id, n_bigrams, imp) with
+    ``imp`` the exact DECIMAL(25,16) λ-sum (untruncated) — the shared
+    core of the report and resample ops; see
+    ``pipeline_dsir_importance`` for the full determinism story."""
     docs = table(spark, sf_dir, "documents")
     w = F.split(F.lower(F.trim(F.col("text"))), " ")
     grams = F.when(
@@ -1464,13 +1440,122 @@ def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     lam_tbl = stat.crossJoin(F.broadcast(tot)).select(
         "bucket", F.log(lam).alias("lam")
     )
-    imp = F.sum(F.col("lam").cast("decimal(25,16)"))
     return (
         hashed.join(F.broadcast(lam_tbl), "bucket")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            trunc_digits(imp.cast("double"), 4).alias("importance"),
-            (imp.cast("double") > 0.0).alias("selected"),
+            F.sum(F.col("lam").cast("decimal(25,16)")).alias("imp"),
+        )
+    )
+
+
+@query(
+    "pipeline_dsir_importance",
+    oracle=_DSIR_CTES
+    + """
+    SELECT doc_id, n_bigrams,
+           CAST(floor(CAST(imp AS DOUBLE) * 10000) AS DOUBLE) / 10000
+             AS importance,
+           CAST(imp AS DOUBLE) > 0.0 AS selected
+    FROM per_doc
+    """,
+)
+def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting for data selection (the hashed
+    n-gram importance-resampling estimator of Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by the log-likelihood ratio between a TARGET bucket
+    LM (here the ``lang = 'en'`` slice stands in for the target
+    sample) and the RAW corpus LM, over md5-hashed word-bigram
+    features in ``_DSIR_B`` buckets with add-one smoothing. Positive
+    importance = target-like (``selected``); a real pipeline would
+    resample proportionally to exp(importance).
+
+    Determinism: bucket ids are md5-derived integers (the simhash
+    pattern), LM counts are exact BIGINTs, and each bucket's
+    log-ratio is ONE ln() of a ratio of exactly-representable doubles
+    with a pinned operation tree; per-document sums accumulate the
+    per-occurrence λ terms in DECIMAL(25,16) (order-free), so only
+    the final 1e-4 truncation touches engine floating point.
+
+    Scale: the corpus is scanned ONCE (bigrams explode row-locally);
+    both LMs reduce to one ``_DSIR_B``-row aggregate in the same pass
+    (map-side combinable — the shuffled table is 256 rows, not
+    postings); λ broadcasts back onto the bigram stream as a map-side
+    hash join; the only data-sized exchange is the per-document final
+    aggregation, partial-aggregated before it moves.
+    """
+    per_doc = _dsir_per_doc(spark, sf_dir)
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        trunc_digits(F.col("imp").cast("double"), 4).alias("importance"),
+        (F.col("imp").cast("double") > 0.0).alias("selected"),
+    )
+
+
+# Resample size for the Gumbel top-k consumer: fixed k, the "sample a
+# training subset of k documents" contract.
+_DSIR_K = 100
+
+
+@query(
+    "pipeline_importance_resample",
+    oracle=_DSIR_CTES
+    + f"""
+    , keyed AS (
+      SELECT doc_id, n_bigrams,
+             CAST(imp AS DOUBLE)
+             - ln(-ln((CAST((((h1 * h1) % 1000000007 * 31 + h1)
+                             % 1000000007) AS DOUBLE) + 0.5)
+                      / 1000000007.0)) AS g_key
+      FROM (SELECT doc_id, n_bigrams, imp,
+                   (doc_id * 654435761
+                    + CAST(777 AS BIGINT) * 654435775 + 97)
+                     % 1000000007 AS h1
+            FROM per_doc)
+    )
+    SELECT doc_id, n_bigrams,
+           CAST(floor(g_key * 10000) AS DOUBLE) / 10000 AS g_key
+    FROM keyed
+    ORDER BY keyed.g_key DESC, doc_id
+    LIMIT {_DSIR_K}
+    """,
+)
+def pipeline_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel-top-k importance resampling — the CONSUMER of the DSIR
+    weights: draw ``_DSIR_K`` documents WITHOUT replacement with
+    probability ∝ exp(importance), via the Gumbel-top-k identity
+    (add independent Gumbel(0,1) noise to each log-weight, take the
+    top k). The noise is rand()-free: u derives from the generator's
+    two-round square-and-mix hash of doc_id, so the drawn sample is a
+    pure function of the corpus — reproducible across engines, runs,
+    and partitionings, which is what makes a sampled training subset
+    auditable.
+
+    Determinism: the importance is the exact decimal λ-sum; the
+    Gumbel key adds -ln(-ln(u)) with u = (h₂+0.5)/P strictly inside
+    (0,1); key ties (only possible for identical docs) break by
+    doc_id. Selection is ORDER BY key DESC LIMIT k — Spark plans a
+    TakeOrdered (per-partition top-k + driver merge of k·partitions
+    rows), never a global sort of the corpus.
+    """
+    per_doc = _dsir_per_doc(spark, sf_dir)
+    h1 = (
+        F.col("doc_id") * F.lit(654435761).cast("bigint")
+        + F.lit(777 * 654435775 + 97).cast("bigint")
+    ) % F.lit(1000000007)
+    h2 = (h1 * h1 % F.lit(1000000007) * F.lit(31) + h1) % F.lit(1000000007)
+    u = (h2.cast("double") + F.lit(0.5)) / F.lit(1000000007.0)
+    g_key = F.col("imp").cast("double") - F.log(-F.log(u))
+    return (
+        per_doc.select("doc_id", "n_bigrams", g_key.alias("g_key_raw"))
+        .orderBy(F.col("g_key_raw").desc(), "doc_id")
+        .limit(_DSIR_K)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            trunc_digits(F.col("g_key_raw"), 4).alias("g_key"),
         )
     )
