@@ -1399,12 +1399,10 @@ _DSIR_CTES = f"""
 """
 
 
-def _dsir_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document DSIR importance: (doc_id, n_bigrams, imp) with
-    ``imp`` the exact DECIMAL(25,16) λ-sum (untruncated) — the shared
-    core of the report and resample ops; see
-    ``pipeline_dsir_importance`` for the full determinism story."""
-    docs = table(spark, sf_dir, "documents")
+def _dsir_hashed(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, bucket) — one row per bigram OCCURRENCE, bucket
+    = md5-hash of the bigram mod ``_DSIR_B``. Row-local explode; works
+    on any documents-shaped DataFrame (static or a micro-batch)."""
     w = F.split(F.lower(F.trim(F.col("text"))), " ")
     grams = F.when(
         F.size(w) >= 2,
@@ -1415,7 +1413,7 @@ def _dsir_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    hashed = docs.select(
+    return docs.select(
         "doc_id", "lang", F.explode(grams).alias("gram")
     ).select(
         "doc_id",
@@ -1425,6 +1423,12 @@ def _dsir_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _DSIR_B
         ).alias("bucket"),
     )
+
+
+def _dsir_lam(hashed: DataFrame) -> DataFrame:
+    """256-row λ table from a hashed bigram stream: per-bucket
+    log-likelihood ratio between the target (lang='en') and raw LMs,
+    add-one smoothed. Exact BIGINT counts; one ln() per bucket."""
     stat = hashed.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("c_r"),
         F.count_if(F.col("lang") == "en").alias("c_t"),
@@ -1437,9 +1441,18 @@ def _dsir_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_r") + 1).cast("double")
         * (F.col("n_t") + _DSIR_B).cast("double")
     )
-    lam_tbl = stat.crossJoin(F.broadcast(tot)).select(
+    return stat.crossJoin(F.broadcast(tot)).select(
         "bucket", F.log(lam).alias("lam")
     )
+
+
+def _dsir_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance: (doc_id, n_bigrams, imp) with
+    ``imp`` the exact DECIMAL(25,16) λ-sum (untruncated) — the shared
+    core of the report and resample ops; see
+    ``pipeline_dsir_importance`` for the full determinism story."""
+    hashed = _dsir_hashed(table(spark, sf_dir, "documents"))
+    lam_tbl = _dsir_lam(hashed)
     return (
         hashed.join(F.broadcast(lam_tbl), "bucket")
         .groupBy("doc_id")

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructType
 
 from tpctools_spark.queries.mining import _PSI_ORACLE_SQL
+from tpctools_spark.queries._util import trunc_digits
 from tpctools_spark.registry import query
 from tpctools_spark.schemas import TESTDATA
 
@@ -1031,4 +1032,126 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     return spark.read.parquet(out_dir).select("doc_id", "decision").orderBy(
         "doc_id"
+    )
+
+
+@query(
+    "stream_dsir_router",
+    oracle="""
+    WITH bg AS (
+      SELECT doc_id, lang,
+             UNNEST(list_transform(range(1, greatest(len(w), 1)),
+               i -> w[i] || ' ' || w[i+1])) AS gram
+      FROM (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS w
+            FROM documents)
+    ), hashed AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT)
+               % 256 AS bucket
+      FROM bg WHERE gram IS NOT NULL
+    ), stat AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS c_r,
+             CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS c_t
+      FROM hashed WHERE doc_id % 7 <> 0 GROUP BY bucket
+    ), tot AS (
+      SELECT CAST(SUM(c_r) AS BIGINT) AS n_r,
+             CAST(SUM(c_t) AS BIGINT) AS n_t
+      FROM stat
+    ), lam AS (
+      SELECT bucket,
+             ln((CAST(c_t + 1 AS DOUBLE) * CAST(n_r + 256 AS DOUBLE))
+                / (CAST(c_r + 1 AS DOUBLE) * CAST(n_t + 256 AS DOUBLE)))
+               AS lam
+      FROM stat CROSS JOIN tot
+    ), scored AS (
+      SELECT h.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CAST(l.lam AS DECIMAL(25,16))) AS DOUBLE) AS imp
+      FROM hashed h JOIN lam l ON h.bucket = l.bucket
+      WHERE h.doc_id % 7 = 0
+      GROUP BY h.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           CAST(floor(imp * 10000) AS DOUBLE) / 10000 AS importance,
+           CASE WHEN imp > 0.0 THEN 'target'
+                WHEN imp > -5.0 THEN 'general'
+                ELSE 'reject' END AS route
+    FROM scored
+    """,
+)
+def stream_dsir_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR scoring as a LIVE ingest router: incoming documents arrive
+    in micro-batches and each batch is scored against a STATIC λ table
+    built ONCE from the standing corpus (docs with doc_id % 7 != 0 —
+    the ingest split mirrors ``stream_incremental_dedup``), then routed
+    target / general / reject by importance thresholds — the streaming
+    form of ``pipeline_dsir_importance``, which is how a 100 TB
+    pipeline actually consumes selection weights: score-at-ingest
+    against a frozen reference LM, never a full-corpus re-score.
+
+    A document's score depends only on (document, static λ), so the
+    result is INVARIANT to micro-batching — the drain forces 4 separate
+    batches (maxFilesPerTrigger=1) and still equals the one-shot
+    oracle. Each foreachBatch probe is ingest-sized: row-local bigram
+    explode, broadcast λ hash join (256 rows, built once and cached),
+    per-doc partial aggregation. Buckets absent from the corpus LM
+    drop (inner join) on both engines.
+    """
+    import os
+
+    from tpctools_spark.catalog import table as _table
+    from tpctools_spark.queries.pipeline import _dsir_hashed, _dsir_lam
+    from tpctools_spark.queries.scans import _scratch_dir
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    is_in = F.col("doc_id") % 7 == 0
+    lam = _dsir_lam(_dsir_hashed(docs.filter(~is_in))).cache()
+    lam.count()  # materialize the static LM once, before the stream
+
+    stage = _scratch_dir("dsirroute")
+    in_dir = os.path.join(stage, "in")
+    out_dir = os.path.join(stage, "out")
+    docs.filter(is_in).repartitionByRange(4, "doc_id").write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+
+    in_schema = docs.schema
+
+    def _score(bdf: DataFrame, batch_id: int) -> None:
+        (
+            _dsir_hashed(bdf)
+            .join(F.broadcast(lam), "bucket")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_bigrams"),
+                F.sum(F.col("lam").cast("decimal(25,16)"))
+                .cast("double")
+                .alias("imp"),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        spark.readStream.schema(in_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(_score)
+        .option("checkpointLocation", os.path.join(stage, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    scored = spark.read.parquet(out_dir)
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        trunc_digits(F.col("imp"), 4).alias("importance"),
+        F.when(F.col("imp") > 0.0, "target")
+        .when(F.col("imp") > -5.0, "general")
+        .otherwise("reject")
+        .alias("route"),
     )
