@@ -104,3 +104,27 @@ def test_bucket_pruned_scan_selects_one_bucket(spark):
     df = spark_queries()["scan_bucket_pruned"](spark, SF)
     plan = _plan(df)
     assert "SelectedBucketsCount: 1 out of" in plan
+
+
+def test_dsir_importance_broadcast_lm_no_sort(spark):
+    from tpctools_spark.registry import spark_queries
+
+    df = spark_queries()["pipeline_dsir_importance"](spark, SF)
+    plan = _plan(df)
+    # The 256-row lambda table must come back onto the bigram stream as
+    # a broadcast hash join (a shuffled join here would key the whole
+    # postings stream by bucket), and nothing in the pipeline sorts.
+    assert "BroadcastHashJoin" in plan
+    assert "Sort " not in plan
+
+
+def test_importance_resample_is_take_ordered(spark):
+    from tpctools_spark.registry import spark_queries
+
+    df = spark_queries()["pipeline_importance_resample"](spark, SF)
+    plan = _plan(df)
+    # ORDER BY key DESC LIMIT k must plan as TakeOrdered (per-partition
+    # top-k + driver merge) — a global Sort+Exchange here would order
+    # the full corpus to pick 100 rows.
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
