@@ -1496,21 +1496,24 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     including the corpus-adaptive bit count (``_lsh_bits``: one
     metadata-cheap count), is oracle-checked.
 
-    Scale: signatures are ROW-LOCAL (no explode, no shuffle before the
-    band join); the self-join touches only same-bucket pairs, and b
-    grows ~log N to hold expected bucket occupancy at
-    ``_LSH_BUCKET_TARGET`` (8: expected candidate volume
+    Scale: signatures are ROW-LOCAL (computed in the scan projection,
+    no shuffle before the band join); the self-join touches only
+    same-bucket pairs, and b grows ~log N to hold expected bucket
+    occupancy at ``_LSH_BUCKET_TARGET`` (8: expected candidate volume
     ≈ N·(occ-1)/2·bands ≈ 14·N — at target 32 the full pair
     enumeration at 500k vectors was ~30M pairs and dominated the
     runtime; planted-dup recall at ≥0.999 cosine stays ≥99.8% because
     two extra bits only cost p² ≈ 0.97 per band). Candidate rescoring
-    is two-tier: a cheap ordered DOUBLE dot prefilters at 0.45 —
-    safely below the 0.5 output threshold, since the 64-term double
+    is two-tier: the dims ride through the self-join as wide columns
+    so a flat-codegen DOUBLE dot gates at 0.45 INSIDE the join stage
+    — safely below the 0.5 output threshold, since the 64-term double
     dot differs from the exact-decimal value by ≤ 64·ε·‖a‖‖b‖
     ≈ 1e-14 relative — and only survivors (the near-dup tail, not the
-    ~14·N random-pair bulk) pay the exact DECIMAL(25,16) dot that the
-    oracle compares against. The 500k bench tier times the FULL pair
-    enumeration and asserts planted recall ≥95%.
+    ~14·N random-pair bulk) pay the distinct shuffle, the prep
+    join-backs, and the exact DECIMAL(25,16) dot that the oracle
+    compares against (r11 A/B at the 500k tier: 62.8 → 27.2 s vs the
+    narrow pairs-first shape). The 500k bench tier times the FULL
+    pair enumeration and asserts planted recall ≥95%.
     """
     emb = table(spark, sf_dir, "embeddings")
     bits = _lsh_bits(emb.count())
@@ -1533,13 +1536,10 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle recomputes the same two-round hash inside its sig CTE.
     _sign_pos = _lsh_sign_pos
 
-    dims = prep.select(
-        "vec_id",
-        *[
-            F.element_at(F.col("embedding"), d).cast("double").alias(f"d{d}")
-            for d in range(1, _LSH_DIM + 1)
-        ],
-    )
+    dim_exprs = [
+        F.element_at(F.col("embedding"), d).cast("double").alias(f"d{d}")
+        for d in range(1, _LSH_DIM + 1)
+    ]
 
     def _plane_sum(p: int) -> F.Column:
         # Flat left-to-right ± chain — codegen, no per-element lambda.
@@ -1549,9 +1549,52 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc = acc + term
         return acc
 
-    sig = dims.select(
-        "vec_id",
-        *[(_plane_sum(p) >= 0).cast("bigint").alias(f"b{p}") for p in range(planes)],
+    # Wide-payload shape (r11): the 64 dims ride THROUGH the band
+    # self-join as flat double columns, so the 0.45 dot gate is one
+    # 64-term codegen chain evaluated INSIDE the join stage — the
+    # ~14·N candidate bulk never hits a distinct shuffle, never
+    # re-joins prep, and never pays a per-pair higher-order-function
+    # fold (the r10 narrow shape spent ~23 s of the 500k tier's 61 s
+    # on exactly those three). A double sq-norm (flat square chain)
+    # rides along for the gate's denominator; the EXACT decimal norm
+    # still comes from prep at rescore time, so output values are
+    # bit-identical to the r10 shape (verified: identical collect()
+    # at 30k scattered, identical total/found 19433/7142 at 500k).
+    # Interleaved A/B (scripts/bench_ab.py, emb500k fixture, 3 reps):
+    # narrow 62.8 s vs wide 27.2 s min — 2.31×, sign-stable all reps.
+    # Shuffle volume: N·bands wide rows per side (O(N·dim), the same
+    # asymptotic as Spark's own BucketedRandomProjectionLSH
+    # payload-through-join) versus r10's 14·N-pair distinct + two
+    # 14·N-row prep joins — strictly less data movement at any N.
+    # Sign bits stay SEPARATE columns here (one small splittable
+    # expression each) and the band keys are assembled inside the
+    # Generate below: folding 16 64-term chains into one band-key
+    # expression produced a single ~1024-leaf expression that blew
+    # Janino's 64 KB method limit (the r10-ADVICE codegen-fallback
+    # risk, observed as a hard InternalCompilerException at 50k
+    # during the r11 A/B; the split form compiles at every tier).
+    # Residual fallback note (r10 ADVICE, checked r11): at SMALL
+    # corpora the WHOLE-STAGE unit fusing scan+dims+signs can still
+    # top 64 KB (stage fusion differs per tier); Spark then drops
+    # that one stage to the non-WSCG path — a row-based codegen'd
+    # projection WITH method splitting, not interpreted tree-walk —
+    # so it stays fast and correct (sf0.01 oracle green under the
+    # plain driver session). At the 500k bench tier, where perf
+    # matters, no fallback is logged and the gate's join stage
+    # compiles fused.
+    nsq_fast = sum(F.col(f"d{d}") * F.col(f"d{d}") for d in range(1, _LSH_DIM + 1))
+    sigw = (
+        emb.select("vec_id", *dim_exprs)
+        .select(
+            "vec_id",
+            *[
+                (_plane_sum(p) >= 0).cast("bigint").alias(f"b{p}")
+                for p in range(planes)
+            ],
+            nsq_fast.alias("nsq"),
+            *[F.col(f"d{d}") for d in range(1, _LSH_DIM + 1)],
+        )
+        .cache()
     )
     band_structs = F.array(
         *[
@@ -1565,21 +1608,40 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             for g in range(_LSH_BANDS)
         ]
     )
-    bands = sig.select("vec_id", F.explode(band_structs).alias("bk")).select(
-        "vec_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    bands = sigw.select(
+        "vec_id", "nsq",
+        *[F.col(f"d{d}") for d in range(1, _LSH_DIM + 1)],
+        F.explode(band_structs).alias("bk"),
+    ).select(
+        "vec_id", "nsq",
+        *[F.col(f"d{d}") for d in range(1, _LSH_DIM + 1)],
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
     )
-    a = bands.select(
-        F.col("vec_id").alias("vec_a"), "band", "band_key"
+    lhs = bands.select(
+        F.col("vec_id").alias("vec_a"), "band", "band_key",
+        F.col("nsq").alias("nsq_a"),
+        *[F.col(f"d{d}").alias(f"a{d}") for d in range(1, _LSH_DIM + 1)],
     )
-    b = bands.select(
-        F.col("vec_id").alias("vec_b"), "band", "band_key"
+    rhs = bands.select(
+        F.col("vec_id").alias("vec_b"), "band", "band_key",
+        F.col("nsq").alias("nsq_b"),
+        *[F.col(f"d{d}").alias(f"x{d}") for d in range(1, _LSH_DIM + 1)],
+    )
+    dot_gate = sum(
+        F.col(f"a{d}") * F.col(f"x{d}") for d in range(1, _LSH_DIM + 1)
     )
     cand = (
-        a.join(b, ["band", "band_key"])
+        lhs.join(rhs, ["band", "band_key"])
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(
+            dot_gate / (F.sqrt(F.col("nsq_a")) * F.sqrt(F.col("nsq_b")))
+            >= 0.45
+        )
         .select("vec_a", "vec_b")
         .distinct()
     )
+
     pa = prep.select(
         F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"),
         F.col("sq_norm").alias("na"),
@@ -1588,28 +1650,25 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"),
         F.col("sq_norm").alias("nb"),
     )
-    # Two-tier rescore: a DOUBLE dot (cheap, codegen) prefilters at
-    # 0.45 — its error vs the exact value is ≤ 64·ε·‖a‖‖b‖, so no
-    # true ≥0.5 pair can fall below it — then only survivors pay the
-    # exact DECIMAL(25,16) dot the oracle compares against. The
-    # float→double casts live INSIDE the zip_with lambdas so the pair
-    # join ships float arrays, not doubled ones.
+    # Exact rescore: survivors (already ≥0.45-gated, a few ×10³ rows
+    # that AQE broadcasts into both prep joins) pay the
+    # DECIMAL(25,16) dot the oracle compares against. The double-dot
+    # gate is provably lossless: the 64-term double dot differs from
+    # the exact-decimal value by ≤ 64·ε·‖a‖‖b‖ ≈ 1e-14 relative, so
+    # no true ≥0.5 pair can fall below 0.45.
     prods = F.zip_with(
         F.col("ea"), F.col("eb"),
         lambda x, y: x.cast("double") * y.cast("double"),
     )
-    dot_fast = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
     dot = F.aggregate(
         prods,
         F.lit(0).cast("decimal(25,16)"),
         lambda acc, x: (acc + x.cast("decimal(25,16)")).cast("decimal(25,16)"),
     ).cast("double")
     norms = F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))
+    out = cand.join(pa, cand.vec_a == pa.ia).join(pb, cand.vec_b == pb.ib)
     return (
-        cand.join(pa, cand.vec_a == pa.ia)
-        .join(pb, cand.vec_b == pb.ib)
-        .filter(dot_fast / norms >= 0.45)
-        .withColumn("cosine_raw", dot / norms)
+        out.withColumn("cosine_raw", dot / norms)
         .filter(F.col("cosine_raw") >= 0.5)
         .select("vec_a", "vec_b", trunc_digits(F.col("cosine_raw"), 4).alias("cosine"))
     )
