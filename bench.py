@@ -24,6 +24,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+
+def sf1_rep_policy(elapsed_s: float, budget_s: float) -> int:
+    """Per-query rep count for the sf1 suites under a draining soft
+    budget: 3 back-to-back reps while fresh, 2 past 55% of budget,
+    1 past 75%. The chosen count is recorded per query in
+    ``tpcds_sf1_reps`` / ``tpch_sf1_reps`` so the artifact says what
+    each min was actually a min OF (the r9-ADVICE rep-count low);
+    ``tests/test_bench_policies.py`` pins the thresholds."""
+    if elapsed_s < 0.55 * budget_s:
+        return 3
+    if elapsed_s < 0.75 * budget_s:
+        return 2
+    return 1
+
 # Headline suite: scan+agg, broadcast/shuffle/multiway joins, windows,
 # event-time sessions, dedup, similarity, text analysis.
 HEADLINE = [
@@ -170,7 +184,6 @@ COMPACT_KEYS = [
     "dedup_semantic_prune_500k",
     "sim_ivf_50k",
     "text_bm25_50k",
-    "sim_pq_50k",
     "sim_pq_build_50k",
     "sim_pq_probe_50k",
     "gen_tpch",
@@ -850,22 +863,15 @@ def main() -> None:
     # Lloyd + full-corpus encode, materialized to parquet — the
     # data-proportional cost a production deployment amortizes across
     # probes) and the PROBE (LUT → ADC over the code table → C-row
-    # exact rescore — the per-query cost) are timed separately.
-    # sim_pq_50k keeps reporting the fused pipeline for cross-round
-    # continuity. Recall of the SPLIT probe against exact fixed-point
-    # ground truth gates at >= 0.9 — the floor that caught the
-    # original ADC-only form at 0.0.
+    # exact rescore — the per-query cost) are timed separately and
+    # are the headline keys (r11: the fused sim_pq_50k entry, which
+    # re-trained the codebook inside every timed rep, is retired —
+    # its 8.5 s said nothing about the serving path; see the note at
+    # retrieval._pq_rescored). Recall of the SPLIT probe against
+    # exact fixed-point ground truth gates at >= 0.9 — the floor that
+    # caught the original ADC-only form at 0.0.
     try:
         emb_fix_dir = os.path.join(sf1_dir, "emb50k_fixture")
-
-        def _pq_50k() -> float:
-            row = qs["sim_pq_recall"](spark, emb_fix_dir).collect()[0]
-            spark.catalog.clearCache()
-            return float(row["recall_at_k"])
-
-        recall = _timed("sim_pq_50k", _pq_50k, reps=2)
-        if recall < 0.9:
-            errors["sim_pq_50k"] = f"recall degraded: {recall} < 0.9"
 
         from tpctools_spark.queries.retrieval import (
             _PQ_TOPK,
@@ -966,9 +972,7 @@ def main() -> None:
                 if elapsed > budget_s:
                     skipped_for_budget += 1
                     continue
-                reps = 3 if elapsed < 0.55 * budget_s else (
-                    2 if elapsed < 0.75 * budget_s else 1
-                )
+                reps = sf1_rep_policy(elapsed, budget_s)
                 try:
                     for _ in range(reps):
                         t0 = time.perf_counter()
@@ -1045,9 +1049,7 @@ def main() -> None:
                 if elapsed > budget_s:
                     skipped_for_budget += 1
                     continue
-                reps = 3 if elapsed < 0.55 * budget_s else (
-                    2 if elapsed < 0.75 * budget_s else 1
-                )
+                reps = sf1_rep_policy(elapsed, budget_s)
                 try:
                     if name in _TPCH_GEN_FORM:
                         os.environ["TPCTOOLS_TPCH_DIR"] = tpch_gen_dir

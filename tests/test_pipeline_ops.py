@@ -88,3 +88,128 @@ def test_pii_scrub_removes_pattern(spark, sf_dir):
     assert rows
     assert all(r.left_after == 0 for r in rows)
     assert all(r.n_redactions > 0 for r in rows)
+
+
+def test_dsir_cross_engine_divergence_stays_under_truncation_margin(
+    spark, sf_dir, duck
+):
+    """Harness guard for the DSIR determinism story (r10-ADVICE — and
+    the r11 measurement shows the docstring's original claim was
+    doubly optimistic):
+
+    Measured at sf0.001 (249 buckets): JVM StrictMath.log and
+    DuckDB's libm log return DIFFERENT doubles on 8 buckets (all
+    within 1 ulp), and the per-bucket DECIMAL(25,16) casts differ by
+    exactly one 1e-16 quantum on 27 buckets — including buckets whose
+    RAW doubles agree, because Spark quantizes the double's shortest
+    decimal repr (BigDecimal.valueOf) while DuckDB quantizes its
+    exact binary expansion, and they split when the repr ends in a
+    half-quantum '…5'. So per-document λ-sums are NOT engine-exact;
+    the family's oracles stay green because each document's sum sits
+    far from a 1e-4 truncation boundary relative to the worst-case
+    accumulated slack (n_bigrams × 1e-16).
+
+    This test pins each layer with a loud failure message:
+    1. raw λ within 1 ulp per bucket (libm/JVM drift detector),
+    2. decimal λ within ONE 1e-16 quantum per bucket (cast-rounding
+       drift detector), and
+    3. every document's truncation-boundary margin exceeds 1000× its
+       worst-case accumulated slack (the invariant that actually
+       keeps CORRECTNESS green; shrinkage shows up here first).
+    """
+    import math
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from tpctools_spark.catalog import table
+    from tpctools_spark.queries.pipeline import (
+        _DSIR_B,
+        _dsir_hashed,
+        _dsir_lam,
+        _dsir_per_doc,
+    )
+
+    lam_tbl = _dsir_lam(_dsir_hashed(table(spark, sf_dir, "documents")))
+    srows = {
+        r["bucket"]: (r["lam"], r["lam_dec"])
+        for r in lam_tbl.select(
+            "bucket",
+            "lam",
+            F.col("lam").cast("decimal(25,16)").alias("lam_dec"),
+        ).collect()
+    }
+    drows = {
+        b: (raw, dec)
+        for b, raw, dec in duck.execute(
+            f"""
+            WITH bg AS (
+              SELECT doc_id, lang,
+                     UNNEST(list_transform(range(1, greatest(len(w), 1)),
+                       i -> w[i] || ' ' || w[i+1])) AS gram
+              FROM (SELECT doc_id, lang,
+                           string_split(lower(trim(text)), ' ') AS w
+                    FROM documents)
+            ), hashed AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT)
+                       % {_DSIR_B} AS bucket
+              FROM bg WHERE gram IS NOT NULL
+            ), stat AS (
+              SELECT bucket,
+                     CAST(COUNT(*) AS BIGINT) AS c_r,
+                     CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS c_t
+              FROM hashed GROUP BY bucket
+            ), tot AS (
+              SELECT CAST(SUM(c_r) AS BIGINT) AS n_r,
+                     CAST(SUM(c_t) AS BIGINT) AS n_t
+              FROM stat
+            ), lam AS (
+              SELECT bucket,
+                     ln((CAST(c_t + 1 AS DOUBLE)
+                         * CAST(n_r + {_DSIR_B} AS DOUBLE))
+                        / (CAST(c_r + 1 AS DOUBLE)
+                           * CAST(n_t + {_DSIR_B} AS DOUBLE))) AS lam
+              FROM stat CROSS JOIN tot
+            )
+            SELECT bucket, lam, CAST(lam AS DECIMAL(25,16)) FROM lam
+            """
+        ).fetchall()
+    }
+    assert set(srows) == set(drows), "bucket sets diverged"
+    assert len(srows) > 0
+    quantum = Decimal("0.0000000000000001")
+    for b in sorted(srows):
+        s_raw, s_dec = srows[b]
+        d_raw, d_dec = drows[b]
+        assert abs(s_raw - d_raw) <= math.ulp(s_raw), (
+            f"bucket {b}: engines' log diverged beyond 1 ulp "
+            f"({s_raw!r} vs {d_raw!r}) — libm/JVM drift"
+        )
+        assert abs(s_dec - d_dec) <= quantum, (
+            f"bucket {b}: DECIMAL(25,16) casts differ by more than one "
+            f"quantum ({s_dec} vs {d_dec}) — cast-rounding drift beyond "
+            "the budgeted 1e-16 per occurrence"
+        )
+
+    # Layer 3: per-document margin from the nearest 1e-4 truncation
+    # boundary must dwarf the worst-case cross-engine slack
+    # (n_bigrams × 1e-16 accumulated quantum differences).
+    per_doc = _dsir_per_doc(spark, sf_dir).collect()
+    assert per_doc
+    worst = None
+    for r in per_doc:
+        scaled = r["imp"] * Decimal(10_000)  # exact: decimal arithmetic
+        frac = abs(scaled - scaled.to_integral_value())
+        margin = min(frac, 1 - frac) / Decimal(10_000)
+        slack = Decimal(r["n_bigrams"]) * quantum
+        if worst is None or margin / slack < worst[0]:
+            worst = (margin / slack, r["doc_id"], margin, slack)
+        assert margin > 1000 * slack, (
+            f"doc {r['doc_id']}: imp sits {margin} from a 1e-4 "
+            f"truncation boundary with cross-engine slack {slack} — "
+            "the truncation could flip between engines; the DSIR "
+            "oracle family is no longer trustworthy on this platform"
+        )
+    print(f"dsir worst margin/slack ratio: {float(worst[0]):.3g} "
+          f"(doc {worst[1]})")

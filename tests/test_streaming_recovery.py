@@ -336,3 +336,57 @@ def test_jsonl_sink_exactly_once_under_task_retry(tmp_path):
     assert "EXACTLY_ONCE_OK" in proc.stdout, (
         f"stdout:\n{proc.stdout[-2000:]}\nstderr:\n{proc.stderr[-2000:]}"
     )
+
+
+def test_stream_reader_offset_monotone_under_hostile_restart_order():
+    """The sources.py offset-clamp contract (r9-ADVICE low), pinned as
+    a pure protocol test — no Spark session needed.
+
+    An incremental ``SensorStreamReader`` re-learns its position from
+    the commit/partitions callbacks Spark replays on restart. The
+    hazard: a Spark version that polls latestOffset on a FRESH reader
+    BEFORE replaying those callbacks would see ``_seen == 0`` and
+    could hand out an offset BELOW the checkpointed start. The reader
+    floors ``_seen`` from partitions' START offset (not just
+    end/commit), so the first planned range re-floors it and every
+    later poll is monotone and ≥ the checkpointed position.
+    """
+    from tpctools_spark.sources import SensorStreamReader
+
+    opts = {"rowsperbatch": "10", "batches": "20", "advanceperpoll": "2"}
+
+    # Incarnation 1: normal protocol up to a committed offset of 4.
+    r1 = SensorStreamReader(dict(opts))
+    assert r1.initialOffset() == {"batch": 0}
+    assert r1.latestOffset() == {"batch": 2}
+    parts = r1.partitions({"batch": 0}, {"batch": 2})
+    assert [p.value for p in parts] == [(0, 1), (1, 2)]
+    r1.commit({"batch": 2})
+    assert r1.latestOffset() == {"batch": 4}
+    r1.partitions({"batch": 2}, {"batch": 4})
+    r1.commit({"batch": 4})
+
+    # Incarnation 2 (restart): HOSTILE order — latestOffset polled
+    # before any callback replay. The fresh reader knows nothing yet,
+    # so the poll may expose less than the checkpoint (2 here), but it
+    # must never make Spark go backwards: Spark plans from ITS
+    # checkpointed start, and that plan call re-floors the reader.
+    r2 = SensorStreamReader(dict(opts))
+    early = r2.latestOffset()["batch"]
+    assert early == 2  # below checkpoint: harmless, Spark ignores it
+    # Spark replays the checkpointed range (start=4) before reading on.
+    r2.partitions({"batch": 4}, {"batch": 4})
+    assert r2.latestOffset()["batch"] == 6  # re-floored: 4 + advance
+    # Monotone from here on, interleaved with commits.
+    seen = 0
+    for _ in range(12):
+        nxt = r2.latestOffset()["batch"]
+        assert nxt >= seen, f"latestOffset regressed {seen} -> {nxt}"
+        r2.partitions({"batch": seen}, {"batch": nxt})
+        r2.commit({"batch": nxt})
+        seen = nxt
+    # Capped at the feed size, never beyond.
+    assert seen <= 20
+    r3 = SensorStreamReader(dict(opts))
+    r3.partitions({"batch": 20}, {"batch": 20})
+    assert r3.latestOffset()["batch"] == 20

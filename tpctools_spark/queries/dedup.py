@@ -275,6 +275,16 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard. Only documents sharing a band bucket are ever compared.
     ``spread_input`` widens the single-file fixture scan; on a
     many-split production corpus it is a metadata-checked no-op.
+
+    Bench attribution (r11): the r10 `dedup_minhash_500k` move
+    (6.26 → 8.41 s) is the commit-1cd9a42 measurement change, not a
+    plan regression — an interleaved A/B on this query at the 500k
+    fixture, same JVM, timed the OLD style (.filter(planted).count(),
+    which lets Catalyst push the planted predicate into the candidate
+    joins and prune the plan) at 5.6 s min vs the NEW style (one agg
+    over the FULL pair output) at 7.4 s min, reproducing the delta
+    with identical found-counts (71423). The new number is the honest
+    one; accepted as the standing baseline.
     """
     docs = spread_input(table(spark, sf_dir, "documents"))
     # Cache the signatures: three consumers (band projection + both

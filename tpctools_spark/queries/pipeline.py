@@ -1485,12 +1485,22 @@ def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     importance = target-like (``selected``); a real pipeline would
     resample proportionally to exp(importance).
 
-    Determinism: bucket ids are md5-derived integers (the simhash
-    pattern), LM counts are exact BIGINTs, and each bucket's
-    log-ratio is ONE ln() of a ratio of exactly-representable doubles
-    with a pinned operation tree; per-document sums accumulate the
-    per-occurrence λ terms in DECIMAL(25,16) (order-free), so only
-    the final 1e-4 truncation touches engine floating point.
+    Determinism (measured, not assumed — r11 revision of an
+    overstated claim): bucket ids are md5-derived integers and LM
+    counts exact BIGINTs, but each bucket's ln() is NOT engine-exact
+    — JVM StrictMath.log vs DuckDB libm differ by 1 ulp on ~3% of
+    buckets at sf0.001 — and even where the doubles agree the
+    DECIMAL(25,16) casts can differ by one 1e-16 quantum (~11% of
+    buckets: Spark quantizes the shortest decimal repr, DuckDB the
+    exact binary expansion). The oracle family still matches because
+    per-document sums accumulate order-free in DECIMAL(25,16) and
+    every document's distance to a 1e-4 truncation boundary dwarfs
+    the worst-case accumulated slack (n_bigrams × 1e-16; measured
+    worst margin/slack ratio 3.7e7).
+    ``tests/test_pipeline_ops.py::
+    test_dsir_cross_engine_divergence_stays_under_truncation_margin``
+    pins all three layers so a libm/JVM/cast change fails loudly
+    there instead of as a silent truncation flip here.
 
     Scale: the corpus is scanned ONCE (bigrams explode row-locally);
     both LMs reduce to one ``_DSIR_B``-row aggregate in the same pass

@@ -1145,6 +1145,12 @@ def stream_dsir_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # The stream has drained and every foreachBatch already joined the
+    # broadcast LM, so the cached lambda table is dead weight from here
+    # — unpersist it instead of leaking one cached DataFrame per
+    # invocation into the session (r10-ADVICE low; the returned plan
+    # reads only the scored parquet, so this is safe).
+    lam.unpersist()
     scored = spark.read.parquet(out_dir)
     return scored.select(
         "doc_id",
