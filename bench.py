@@ -184,6 +184,8 @@ COMPACT_KEYS = [
     "dedup_semantic_prune_500k",
     "sim_ivf_50k",
     "text_bm25_50k",
+    "dsir_importance_500k",
+    "dsir_resample_500k",
     "sim_pq_build_50k",
     "sim_pq_probe_50k",
     "gen_tpch",
@@ -797,6 +799,87 @@ def main() -> None:
                 )
         except Exception as exc:  # noqa: BLE001
             errors["tier_emb500k"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    # DSIR at the 500k-document corpus (r11: the family's first scale
+    # proof point — importance scoring and the Gumbel top-k resample
+    # were new in r10 with sf-fixture timings only). Reuses the text
+    # tier's corpus500k fixture. Beyond timing, the two plan shapes the
+    # small-SF tests pin (tests/test_new_ops_plans.py) are re-asserted
+    # ON THE 500k PLAN: the 256-row λ table must still come back as a
+    # broadcast hash join (a shuffled join would key the whole ~100M-row
+    # bigram-occurrence stream by bucket), and the resample must still
+    # be TakeOrderedAndProject (a global sort would order 500k rows to
+    # keep 100). AQE can only downgrade these with data in hand, so the
+    # sf0.001 pin alone doesn't prove the 500k shape.
+    if os.environ.get("SPARK_GRAFT_500K", "1") != "0":
+        try:
+            from pyspark.sql import functions as F
+
+            from tpctools_spark.generate_corpus import gen_documents
+            from tpctools_spark.queries.pipeline import _DSIR_K
+
+            corpus500_dir = os.path.join(sf1_dir, "corpus500k_fixture")
+            docs500 = os.path.join(corpus500_dir, "documents.parquet")
+            if not os.path.exists(os.path.join(docs500, "_SUCCESS")):
+                gen_documents(
+                    spark, 500_000, parts=32, vocab_size=100_000
+                ).write.mode("overwrite").parquet(docs500)
+
+            # Plan assertions read the FINAL post-AQE plan, which only
+            # exists after executing the same DataFrame object (the
+            # test_new_ops_plans._plan pattern).
+            imp_df = qs["pipeline_dsir_importance"](spark, corpus500_dir)
+            imp_df.collect()
+            plan = (
+                imp_df._jdf.queryExecution().executedPlan().toString()
+            ).split("+- == Initial Plan ==")[0]
+            spark.catalog.clearCache()
+            if "BroadcastHashJoin" not in plan:
+                errors["dsir_importance_500k_plan"] = (
+                    "lambda join is not broadcast at 500k"
+                )
+
+            def _dsir_imp() -> int:
+                row = (
+                    qs["pipeline_dsir_importance"](spark, corpus500_dir)
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.count_if(F.col("selected")).alias("n_sel"),
+                    )
+                    .collect()[0]
+                )
+                spark.catalog.clearCache()
+                if row["n"] != 500_000:
+                    raise AssertionError(f"scored {row['n']} != 500000")
+                if not 0 < row["n_sel"] < 500_000:
+                    raise AssertionError(f"degenerate selection {row['n_sel']}")
+                return int(row["n_sel"])
+
+            _timed("dsir_importance_500k", _dsir_imp, reps=2)
+
+            res_df = qs["pipeline_importance_resample"](spark, corpus500_dir)
+            res_df.collect()
+            plan = (
+                res_df._jdf.queryExecution().executedPlan().toString()
+            ).split("+- == Initial Plan ==")[0]
+            spark.catalog.clearCache()
+            if "TakeOrderedAndProject" not in plan:
+                errors["dsir_resample_500k_plan"] = (
+                    "resample is not TakeOrdered at 500k"
+                )
+
+            def _dsir_res() -> int:
+                rows = qs["pipeline_importance_resample"](
+                    spark, corpus500_dir
+                ).collect()
+                spark.catalog.clearCache()
+                if len(rows) != _DSIR_K:
+                    raise AssertionError(f"resampled {len(rows)} != {_DSIR_K}")
+                return len(rows)
+
+            _timed("dsir_resample_500k", _dsir_res, reps=2)
+        except Exception as exc:  # noqa: BLE001
+            errors["tier_dsir500k"] = f"{type(exc).__name__}: {exc}"[:200]
 
     # ANN retrieval at 25x the sf0.1 embeddings fixture: IVF cell-pruned
     # top-k + its recall against the in-query brute-force ground truth,
