@@ -390,3 +390,91 @@ def test_stream_reader_offset_monotone_under_hostile_restart_order():
     r3 = SensorStreamReader(dict(opts))
     r3.partitions({"batch": 20}, {"batch": 20})
     assert r3.latestOffset()["batch"] == 20
+
+
+def test_dsir_router_resumes_from_checkpoint(spark, tmp_path):
+    """Crash the DSIR ingest router between a batch's parquet write
+    and its offset commit, restart from the same checkpoint, and prove
+    the routed output still equals the one-shot batch score (the
+    r10-VERDICT recovery gap for the family's streaming form).
+
+    The crash is INJECTED deterministically: the first incarnation's
+    scorer raises AFTER landing its first batch, so that batch's
+    offset never commits and the restart must re-execute it —
+    side-effects included. This is the at-least-once replay that
+    forced the router's sink from mode("append") (which double-counted
+    the replayed batch's documents) to per-batch-id overwrite dirs.
+    A plain stop() mid-drain does NOT reliably open this window (the
+    offset commit usually wins the race), which is why the fault is
+    injected rather than raced.
+    """
+    import pyspark.errors
+
+    from pyspark.sql import functions as F
+
+    from tpctools_spark.queries.pipeline import _dsir_hashed, _dsir_lam
+    from tpctools_spark.queries.streaming_demo import (
+        _dsir_route_read,
+        _dsir_route_start,
+        _dsir_score_fn,
+    )
+
+    docs = table(spark, SF, "documents").select("doc_id", "text", "lang")
+    is_in = F.col("doc_id") % 7 == 0
+    lam = _dsir_lam(_dsir_hashed(docs.filter(~is_in))).cache()
+    lam.count()
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    marker = str(tmp_path / "crashed_once")
+    docs.filter(is_in).repartitionByRange(8, "doc_id").write.parquet(in_dir)
+
+    want = {
+        (r["doc_id"], r["n_bigrams"], r["imp"])
+        for r in _dsir_hashed(docs.filter(is_in))
+        .join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.col("lam").cast("decimal(25,16)"))
+            .cast("double")
+            .alias("imp"),
+        )
+        .collect()
+    }
+
+    inner = _dsir_score_fn(lam, out_dir)
+
+    def faulty(bdf, batch_id):
+        inner(bdf, batch_id)  # side-effect lands...
+        if not os.path.exists(marker):
+            with open(marker, "w") as f:
+                f.write("x")
+            # ...then the "process dies" before the offset commit.
+            raise RuntimeError("injected crash after write, before commit")
+
+    schema = docs.schema
+    q = _dsir_route_start(
+        spark, schema, in_dir, out_dir, ckpt, lam, score_fn=faulty
+    )
+    try:
+        q.awaitTermination()
+        raise AssertionError("injected crash did not surface")
+    except pyspark.errors.exceptions.captured.StreamingQueryException:
+        pass
+    assert os.path.exists(marker), "fault was never injected"
+
+    q2 = _dsir_route_start(spark, schema, in_dir, out_dir, ckpt, lam)
+    q2.awaitTermination()
+    lam.unpersist()
+
+    got_rows = _dsir_route_read(spark, out_dir).collect()
+    got = {(r["doc_id"], r["n_bigrams"], r["imp"]) for r in got_rows}
+    # Row-count equality matters — an at-least-once replay that
+    # duplicates rows would still pass a set compare.
+    assert len(got_rows) == len(want), (
+        f"{len(got_rows)} rows for {len(want)} documents — replayed "
+        "batch double-counted"
+    )
+    assert got == want

@@ -1035,6 +1035,70 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dsir_score_fn(lam, out_dir: str):
+    """Build the router's foreachBatch scorer: score one micro-batch
+    against the broadcast λ table and land it in its OWN
+    ``batch-<id>`` directory with mode("overwrite").
+
+    foreachBatch is at-least-once — a batch whose offset commit never
+    lands is RE-EXECUTED on restart, side-effects included. With the
+    original mode("append") sink that replay double-counted every
+    document of the in-flight batch (deterministically reproduced by
+    the r11 recovery test's injected crash-after-write); per-batch-dir
+    overwrite makes the replay idempotent — the merge-view
+    generation-dir discipline."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tpctools_spark.queries.pipeline import _dsir_hashed
+
+    def _score(bdf: DataFrame, batch_id: int) -> None:
+        (
+            _dsir_hashed(bdf)
+            .join(F.broadcast(lam), "bucket")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_bigrams"),
+                F.sum(F.col("lam").cast("decimal(25,16)"))
+                .cast("double")
+                .alias("imp"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch-{batch_id}"))
+        )
+
+    return _score
+
+
+def _dsir_route_start(spark, in_schema, in_dir, out_dir, ckpt, lam,
+                      score_fn=None):
+    """Start the DSIR ingest-router drain (availableNow, one file per
+    micro-batch) and return the streaming query handle.
+
+    Extracted from ``stream_dsir_router`` so the checkpoint-recovery
+    test can kill the drain and restart from the same checkpoint;
+    ``score_fn`` lets the test wrap the scorer with fault injection."""
+    return (
+        spark.readStream.schema(in_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(score_fn or _dsir_score_fn(lam, out_dir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _dsir_route_read(spark, out_dir: str) -> DataFrame:
+    """Read the router's per-batch output dirs back as one relation
+    (recursive lookup: the ``batch-<id>`` dirs are not key=value
+    partitions)."""
+    return (
+        spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+    )
+
+
 @query(
     "stream_dsir_router",
     oracle="""
@@ -1118,31 +1182,8 @@ def stream_dsir_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).parquet(in_dir)
 
-    in_schema = docs.schema
-
-    def _score(bdf: DataFrame, batch_id: int) -> None:
-        (
-            _dsir_hashed(bdf)
-            .join(F.broadcast(lam), "bucket")
-            .groupBy("doc_id")
-            .agg(
-                F.count(F.lit(1)).alias("n_bigrams"),
-                F.sum(F.col("lam").cast("decimal(25,16)"))
-                .cast("double")
-                .alias("imp"),
-            )
-            .write.mode("append")
-            .parquet(out_dir)
-        )
-
-    q = (
-        spark.readStream.schema(in_schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(in_dir)
-        .writeStream.foreachBatch(_score)
-        .option("checkpointLocation", os.path.join(stage, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+    q = _dsir_route_start(
+        spark, docs.schema, in_dir, out_dir, os.path.join(stage, "ckpt"), lam
     )
     q.awaitTermination()
     # The stream has drained and every foreachBatch already joined the
@@ -1151,7 +1192,7 @@ def stream_dsir_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     # invocation into the session (r10-ADVICE low; the returned plan
     # reads only the scored parquet, so this is safe).
     lam.unpersist()
-    scored = spark.read.parquet(out_dir)
+    scored = _dsir_route_read(spark, out_dir)
     return scored.select(
         "doc_id",
         "n_bigrams",
