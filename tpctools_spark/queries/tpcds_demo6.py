@@ -542,8 +542,23 @@ def tpcds_q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.broadcast(_t(spark, "warehouse").select("w_warehouse_sk", "w_warehouse_name"))
     it = F.broadcast(_t(spark, "item").select("i_item_sk", "i_item_desc"))
     promo = F.broadcast(_t(spark, "promotion").select("p_promo_sk"))
+    # SHUFFLE_HASH hint on the cs-week side (r11): the main join's
+    # stream side is INVENTORY — ~9x the rows of catalog_sales and
+    # growing faster with sf (items x warehouses x weeks). The default
+    # SortMergeJoin sorts that side, and the r11 sf10 probe showed the
+    # sort dominating: q72 scaled 23.5x from sf1 while every other
+    # top-ten query scaled 1.2-5.7x. Building a shuffled-hash table on
+    # the cs side streams the 133M inventory rows unsorted.
+    # Interleaved A/Bs: sf10 min 32.3 -> 10.6 s (3.1x, sign-stable all
+    # 3 reps); sf1 min 3.07 -> 1.82 s (4/5 reps positive); identical
+    # 128740-group output. Scale note: the build side is cs x week per
+    # shuffle partition — it scales with sf while partitions scale with
+    # the cluster, and Spark's shuffled-hash join spills since 3.x, so
+    # the shape stays safe at 100 TB; the sort it replaces grew
+    # n log n on the FASTER-growing side.
     joined = (
         cs.join(d1, cs.cs_sold_date_sk == d1.d1_sk)
+        .hint("shuffle_hash")
         .join(
             inv.join(d2, inv.inv_date_sk == d2.d2_sk),
             (cs.cs_item_sk == inv.inv_item_sk)
