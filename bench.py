@@ -827,57 +827,50 @@ def main() -> None:
 
             # Plan assertions read the FINAL post-AQE plan, which only
             # exists after executing the same DataFrame object (the
-            # test_new_ops_plans._plan pattern).
-            imp_df = qs["pipeline_dsir_importance"](spark, corpus500_dir)
-            imp_df.collect()
-            plan = (
-                imp_df._jdf.queryExecution().executedPlan().toString()
-            ).split("+- == Initial Plan ==")[0]
-            spark.catalog.clearCache()
-            if "BroadcastHashJoin" not in plan:
+            # test_new_ops_plans._plan pattern) — so each timed run
+            # collects its own df and inspects the plan it just
+            # executed; no extra full execution is spent on the check.
+            def _final_plan(df) -> str:
+                return (
+                    df._jdf.queryExecution().executedPlan().toString()
+                ).split("+- == Initial Plan ==")[0]
+
+            plan_ok = {"bhj": False, "tko": False}
+
+            def _dsir_imp() -> int:
+                df = qs["pipeline_dsir_importance"](spark, corpus500_dir)
+                rows = df.collect()
+                if "BroadcastHashJoin" in _final_plan(df):
+                    plan_ok["bhj"] = True
+                spark.catalog.clearCache()
+                if len(rows) != 500_000:
+                    raise AssertionError(f"scored {len(rows)} != 500000")
+                n_sel = sum(1 for r in rows if r["selected"])
+                if not 0 < n_sel < 500_000:
+                    raise AssertionError(f"degenerate selection {n_sel}")
+                return n_sel
+
+            _timed("dsir_importance_500k", _dsir_imp, reps=2)
+            if not plan_ok["bhj"]:
                 errors["dsir_importance_500k_plan"] = (
                     "lambda join is not broadcast at 500k"
                 )
 
-            def _dsir_imp() -> int:
-                row = (
-                    qs["pipeline_dsir_importance"](spark, corpus500_dir)
-                    .agg(
-                        F.count(F.lit(1)).alias("n"),
-                        F.count_if(F.col("selected")).alias("n_sel"),
-                    )
-                    .collect()[0]
-                )
-                spark.catalog.clearCache()
-                if row["n"] != 500_000:
-                    raise AssertionError(f"scored {row['n']} != 500000")
-                if not 0 < row["n_sel"] < 500_000:
-                    raise AssertionError(f"degenerate selection {row['n_sel']}")
-                return int(row["n_sel"])
-
-            _timed("dsir_importance_500k", _dsir_imp, reps=2)
-
-            res_df = qs["pipeline_importance_resample"](spark, corpus500_dir)
-            res_df.collect()
-            plan = (
-                res_df._jdf.queryExecution().executedPlan().toString()
-            ).split("+- == Initial Plan ==")[0]
-            spark.catalog.clearCache()
-            if "TakeOrderedAndProject" not in plan:
-                errors["dsir_resample_500k_plan"] = (
-                    "resample is not TakeOrdered at 500k"
-                )
-
             def _dsir_res() -> int:
-                rows = qs["pipeline_importance_resample"](
-                    spark, corpus500_dir
-                ).collect()
+                df = qs["pipeline_importance_resample"](spark, corpus500_dir)
+                rows = df.collect()
+                if "TakeOrderedAndProject" in _final_plan(df):
+                    plan_ok["tko"] = True
                 spark.catalog.clearCache()
                 if len(rows) != _DSIR_K:
                     raise AssertionError(f"resampled {len(rows)} != {_DSIR_K}")
                 return len(rows)
 
             _timed("dsir_resample_500k", _dsir_res, reps=2)
+            if not plan_ok["tko"]:
+                errors["dsir_resample_500k_plan"] = (
+                    "resample is not TakeOrdered at 500k"
+                )
         except Exception as exc:  # noqa: BLE001
             errors["tier_dsir500k"] = f"{type(exc).__name__}: {exc}"[:200]
 
