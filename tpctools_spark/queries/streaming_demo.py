@@ -1016,8 +1016,15 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise("accept")
                 .alias("decision"),
             )
-            .write.mode("append")
-            .parquet(out_dir)
+            # Per-batch-id overwrite dir, NOT append: foreachBatch is
+            # at-least-once, and an append sink double-counts the
+            # in-flight batch replayed after a crash — the exact bug
+            # the r11 injected-crash recovery test demonstrated on
+            # stream_dsir_router's sink (81 rows for 72 docs); the
+            # per-batch generation dir makes the replay a no-op
+            # rewrite (see _dsir_score_fn).
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"batch-{batch_id}"))
         )
 
     q = (
@@ -1030,8 +1037,11 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir).select("doc_id", "decision").orderBy(
-        "doc_id"
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .select("doc_id", "decision")
+        .orderBy("doc_id")
     )
 
 
