@@ -650,6 +650,15 @@ def _shared_gram_counts(
     # to 10M to keep it hash-based measured SLOWER warm (interleaved
     # min-of-4: 27.1 s vs 10.5 s default) — a 24M-string-key object
     # hash map thrashes GC; the sort-based path streams. Keep default.
+    # r11 A/B NEGATIVE: replacing this posting-list build with a
+    # shuffled-hash SELF-JOIN on gram (both legs behind one
+    # ReusedExchange, per-partition hash join instead of collect_list)
+    # measured SLOWER at the 500k tier — interleaved min-of-3, 9.48 s
+    # posting-list vs 11.67 s self-join, identical (71448, 71428)
+    # output — and not sign-stable. The join materializes every
+    # same-gram row PAIR into the probe loop, while collect_list's
+    # sort-based aggregation streams postings once and the pair
+    # explode stays row-local; the posting-list form stays shipped.
     pg = (
         kept.groupBy("gram")
         .agg(F.collect_list(F.struct("doc_id", "n")).alias("ps"))
