@@ -478,3 +478,79 @@ def test_dsir_router_resumes_from_checkpoint(spark, tmp_path):
         "batch double-counted"
     )
     assert got == want
+
+
+def test_incremental_dedup_resumes_from_checkpoint(spark, tmp_path):
+    """The admission stream's twin of the DSIR-router recovery test:
+    crash between a batch's decision write and its offset commit,
+    restart from the same checkpoint, and prove the admitted output
+    is row-exact against the one-shot scoring — the replay must not
+    double-count the in-flight batch's documents.
+    """
+    import pyspark.errors
+
+    from pyspark.sql import functions as F
+
+    from tpctools_spark.generate_corpus import gen_documents
+    from tpctools_spark.queries.streaming_demo import (
+        _incr_admit_fn,
+        _incr_dedup_index,
+        _incr_dedup_start,
+    )
+
+    docs = gen_documents(spark, 500)
+    is_batch = (F.col("doc_id") % 7 == 0) & (F.col("doc_id") > 0)
+    corpus = docs.filter(~is_batch)
+    incoming = docs.filter(is_batch)
+    capped, pc, sizes_c, fps_c = _incr_dedup_index(corpus)
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    marker = str(tmp_path / "crashed_once")
+    incoming.repartitionByRange(8, "doc_id").write.parquet(in_dir)
+
+    # Expected: the same admit logic applied to ALL incoming docs at
+    # once (decisions depend only on (doc, standing index), so the
+    # one-shot scoring equals the drained union by construction).
+    exp_dir = str(tmp_path / "expected")
+    _incr_admit_fn(capped, pc, sizes_c, fps_c, exp_dir)(incoming, 0)
+    want_rows = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(exp_dir)
+        .collect()
+    )
+    want = {(r["doc_id"], r["decision"]) for r in want_rows}
+
+    inner = _incr_admit_fn(capped, pc, sizes_c, fps_c, out_dir)
+
+    def faulty(bdf, batch_id):
+        inner(bdf, batch_id)  # decision lands...
+        if not os.path.exists(marker):
+            with open(marker, "w") as f:
+                f.write("x")
+            # ...then the "process dies" before the offset commit.
+            raise RuntimeError("injected crash after write, before commit")
+
+    q = _incr_dedup_start(spark, docs.schema, in_dir, ckpt, faulty)
+    try:
+        q.awaitTermination()
+        raise AssertionError("injected crash did not surface")
+    except pyspark.errors.exceptions.captured.StreamingQueryException:
+        pass
+    assert os.path.exists(marker), "fault was never injected"
+
+    q2 = _incr_dedup_start(spark, docs.schema, in_dir, ckpt, inner)
+    q2.awaitTermination()
+
+    got_rows = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .collect()
+    )
+    got = {(r["doc_id"], r["decision"]) for r in got_rows}
+    assert len(got_rows) == len(want_rows), (
+        f"{len(got_rows)} rows for {len(want_rows)} documents — "
+        "replayed batch double-counted"
+    )
+    assert got == want

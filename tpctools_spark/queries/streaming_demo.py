@@ -947,9 +947,35 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(~is_batch)
     incoming = docs.filter(is_batch)
 
-    # Standing index: postings pruned by the corpus-only df-cap, per-doc
-    # gram counts, and exact fingerprints. Cached — the static side of
-    # every micro-batch probe.
+    capped, pc, sizes_c, fps_c = _incr_dedup_index(corpus)
+
+    stage = _scratch_dir("incrdedup")
+    in_dir = os.path.join(stage, "in")
+    out_dir = os.path.join(stage, "out")
+    incoming.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(
+        in_dir
+    )
+
+    q = _incr_dedup_start(
+        spark,
+        docs.schema,
+        in_dir,
+        os.path.join(stage, "ckpt"),
+        _incr_admit_fn(capped, pc, sizes_c, fps_c, out_dir),
+    )
+    q.awaitTermination()
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .select("doc_id", "decision")
+        .orderBy("doc_id")
+    )
+
+
+def _incr_dedup_index(corpus: DataFrame):
+    """The admission stream's STANDING index: df-capped grams, corpus
+    postings, per-doc gram counts, exact fingerprints — all cached,
+    the static side of every micro-batch probe."""
     cg = _doc_grams(corpus)
     capped = (
         cg.groupBy("gram")
@@ -970,13 +996,31 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     fps_c = corpus.select(F.md5("text").alias("fp")).distinct().cache()
+    return capped, pc, sizes_c, fps_c
 
-    stage = _scratch_dir("incrdedup")
-    in_dir = os.path.join(stage, "in")
-    out_dir = os.path.join(stage, "out")
-    incoming.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(
-        in_dir
+
+def _incr_dedup_start(spark, in_schema, in_dir, ckpt, admit):
+    """Start the admission drain (availableNow, one file per
+    micro-batch) — extracted, like ``_dsir_route_start``, so the
+    checkpoint-recovery test can crash it mid-drain and restart from
+    the same checkpoint with fault injection around ``admit``."""
+    return (
+        spark.readStream.schema(in_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(admit)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
     )
+
+
+def _incr_admit_fn(capped, pc, sizes_c, fps_c, out_dir: str):
+    """Build the admission scorer: decide exact_dup / near_dup /
+    accept for one micro-batch against the standing index, landing in
+    a per-batch-id overwrite dir (replay-idempotent — see
+    ``_dsir_score_fn`` for the at-least-once argument)."""
+    import os
 
     def _admit(bdf: DataFrame, batch_id: int) -> None:
         bg = _doc_grams(bdf)
@@ -1027,22 +1071,7 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(os.path.join(out_dir, f"batch-{batch_id}"))
         )
 
-    q = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(in_dir)
-        .writeStream.foreachBatch(_admit)
-        .option("checkpointLocation", os.path.join(stage, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return (
-        spark.read.option("recursiveFileLookup", "true")
-        .parquet(out_dir)
-        .select("doc_id", "decision")
-        .orderBy("doc_id")
-    )
+    return _admit
 
 
 def _dsir_score_fn(lam, out_dir: str):
