@@ -1451,7 +1451,16 @@ def _dsir_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``imp`` the exact DECIMAL(25,16) λ-sum (untruncated) — the shared
     core of the report and resample ops; see
     ``pipeline_dsir_importance`` for the full determinism story."""
-    hashed = _dsir_hashed(table(spark, sf_dir, "documents"))
+    # The hashed bigram stream has TWO consumers grouping on different
+    # keys (the 256-bucket λ aggregation, then the per-doc join+sum) —
+    # without a cache the explode+md5 pipeline executes twice (Spark
+    # reuses exchanges, not arbitrary subtrees). Caching it is a
+    # sign-stable 2.5× at the 500k tier (interleaved A/B, 3 reps:
+    # 36.6 → 14.9 s min, identical (500000, 245884) output); at 100 TB
+    # this is the standard persist-the-featurized-stream pattern, and
+    # MEMORY_AND_DISK spills rather than OOMs. Session hygiene follows
+    # the repo cache convention (bench/driver clearCache between reps).
+    hashed = _dsir_hashed(table(spark, sf_dir, "documents")).cache()
     lam_tbl = _dsir_lam(hashed)
     return (
         hashed.join(F.broadcast(lam_tbl), "bucket")
