@@ -1684,6 +1684,12 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot_gate = sum(
         F.col(f"a{d}") * F.col(f"x{d}") for d in range(1, _LSH_DIM + 1)
     )
+    # r11 A/B NEUTRAL: hint("shuffle_hash") on this self-join (the q72
+    # sort-side lesson) measured a wash at the 500k tier once the
+    # signature cache is warm (3.06 s SMJ vs 3.08 s SHJ min-of-3,
+    # identical 62870 candidates) — the join is not the residual
+    # bottleneck (cache build + rescore are); SMJ kept as the
+    # scale-safe default.
     cand = (
         lhs.join(rhs, ["band", "band_key"])
         .filter(F.col("vec_a") < F.col("vec_b"))
