@@ -133,6 +133,14 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
+            # The repo cache convention (see pipeline._dsir_per_doc /
+            # dedup.dedup_lsh_cosine): query builders may .cache()
+            # multi-consumer streams and rely on the HARNESS clearing
+            # between queries. Without this, a full 400-query sweep
+            # accumulates every cached DataFrame for the whole session
+            # (r11 ADVICE) — MEMORY_AND_DISK spills rather than OOMs,
+            # but disk/memory grows monotonically and later timings lie.
+            spark.catalog.clearCache()
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             spdf = sdf.toPandas()

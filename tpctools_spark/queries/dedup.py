@@ -1589,9 +1589,25 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle recomputes the same two-round hash inside its sig CTE.
     _sign_pos = _lsh_sign_pos
 
+    # Dimension drift fails LOUDLY (r11 ADVICE, same guard as
+    # similarity._wide_dims): element_at past the end would return
+    # NULL and silently drop pairs; instead d1 rides an assert_true on
+    # size(embedding) == _LSH_DIM — row-local, identity when right.
+    _dim_guard = F.assert_true(
+        F.size(F.col("embedding")) == _LSH_DIM,
+        F.concat(
+            F.lit(f"dedup_lsh_cosine: embedding dim != {_LSH_DIM} (got "),
+            F.size(F.col("embedding")).cast("string"),
+            F.lit(")"),
+        ),
+    )
     dim_exprs = [
+        F.when(_dim_guard.isNull(), F.element_at(F.col("embedding"), 1))
+        .cast("double")
+        .alias("d1")
+    ] + [
         F.element_at(F.col("embedding"), d).cast("double").alias(f"d{d}")
-        for d in range(1, _LSH_DIM + 1)
+        for d in range(2, _LSH_DIM + 1)
     ]
 
     def _plane_sum(p: int) -> F.Column:

@@ -1459,7 +1459,10 @@ def _dsir_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 36.6 → 14.9 s min, identical (500000, 245884) output); at 100 TB
     # this is the standard persist-the-featurized-stream pattern, and
     # MEMORY_AND_DISK spills rather than OOMs. Session hygiene follows
-    # the repo cache convention (bench/driver clearCache between reps).
+    # the repo cache convention: every harness that runs queries
+    # back-to-back clears between them (bench.py between reps,
+    # scripts/check_oracle.py before each query — added r12 so the
+    # convention actually holds everywhere, per r11 ADVICE).
     hashed = _dsir_hashed(table(spark, sf_dir, "documents")).cache()
     lam_tbl = _dsir_lam(hashed)
     return (

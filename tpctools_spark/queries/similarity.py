@@ -772,10 +772,30 @@ def _wide_dims(df: DataFrame, arr: str, prefix: str) -> list[Column]:
     columns — the payload that rides THROUGH a pair join so the
     per-pair dot can be a flat codegen chain instead of a per-pair
     higher-order fold (the r11 LSH lesson: the HOF fold was ~23 s of
-    the 61 s 500k LSH tier)."""
-    return [
+    the 61 s 500k LSH tier).
+
+    Dimension drift fails LOUDLY (r11 ADVICE): unlike the old
+    length-adaptive ``zip_with`` folds, ``element_at`` past the end
+    returns NULL (shorter input) or silently ignores extra dims
+    (longer), which would drop pairs instead of erroring. The first
+    flattened column therefore rides an ``assert_true`` on
+    ``size(arr) == _EMB_DIM`` — row-local (one array-length read per
+    row, no extra job), identity when the dim is right, and a runtime
+    error naming the observed dim when it is not."""
+    guard = F.assert_true(
+        F.size(F.col(arr)) == _EMB_DIM,
+        F.concat(
+            F.lit(f"_wide_dims: embedding dim != {_EMB_DIM} (got "),
+            F.size(F.col(arr)).cast("string"),
+            F.lit(")"),
+        ),
+    )
+    first = F.when(guard.isNull(), F.element_at(F.col(arr), 1)).alias(
+        f"{prefix}1"
+    )
+    return [first] + [
         F.element_at(F.col(arr), d).alias(f"{prefix}{d}")
-        for d in range(1, _EMB_DIM + 1)
+        for d in range(2, _EMB_DIM + 1)
     ]
 
 

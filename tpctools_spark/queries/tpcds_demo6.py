@@ -551,11 +551,20 @@ def tpcds_q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cs side streams the 133M inventory rows unsorted.
     # Interleaved A/Bs: sf10 min 32.3 -> 10.6 s (3.1x, sign-stable all
     # 3 reps); sf1 min 3.07 -> 1.82 s (4/5 reps positive); identical
-    # 128740-group output. Scale note: the build side is cs x week per
-    # shuffle partition — it scales with sf while partitions scale with
-    # the cluster, and Spark's shuffled-hash join spills since 3.x, so
-    # the shape stays safe at 100 TB; the sort it replaces grew
-    # n log n on the FASTER-growing side.
+    # 128740-group output. Scale note (corrected, r11 ADVICE): vanilla
+    # Spark's SHJ build-side HashedRelation does NOT spill — if one
+    # shuffle partition's cs-x-week build side outgrows task memory it
+    # raises SparkOutOfMemoryError rather than degrading. The hint is
+    # therefore a measured trade: it removes the n log n sort on the
+    # ~9x-larger, faster-growing inventory stream side (the proven
+    # sf10 bottleneck) in exchange for a residual hard-OOM risk at
+    # scales well beyond the tested sf10. Mitigation at larger sf:
+    # shuffle-partition count must scale with sf (keeping per-partition
+    # build bytes roughly constant — cs x week is uniformly hash-
+    # partitioned on item_sk, no skewed key), and AQE's runtime
+    # partition coalescing/splitting already targets a fixed
+    # advisory partition size; above a known-safe scale, dropping the
+    # hint falls back to the spill-safe SMJ default.
     joined = (
         cs.join(d1, cs.cs_sold_date_sk == d1.d1_sk)
         .hint("shuffle_hash")
