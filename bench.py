@@ -765,6 +765,30 @@ def main() -> None:
                         )
                 except Exception as exc:  # noqa: BLE001
                     errors[key] = f"{type(exc).__name__}: {exc}"[:200]
+            # r12 invariant: "no codegen fallback at the 500k tier"
+            # (dedup.py's LSH note) is CHECKED, not claimed in a
+            # comment. One untimed rep runs with codegen fallback
+            # DISABLED: a Janino compile failure in any whole stage
+            # (and, via CODEGEN_ONLY, any expression falling back to
+            # the interpreted path) becomes a hard error recorded in
+            # bench errors instead of a silent drop to the slower
+            # non-WSCG path. The observed sf0.01-tier fallback (fused
+            # scan+dims+signs topping Janino's 64 KB method limit)
+            # makes the tier boundary worth pinning.
+            try:
+                spark.conf.set("spark.sql.codegen.fallback", "false")
+                spark.conf.set(
+                    "spark.sql.codegen.factoryMode", "CODEGEN_ONLY"
+                )
+                _pair_recall("dedup_lsh_cosine")
+                gen_stats["lsh500k_codegen_strict"] = True
+            except Exception as exc:  # noqa: BLE001
+                errors["lsh500k_codegen_strict"] = (
+                    f"{type(exc).__name__}: {exc}"[:200]
+                )
+            finally:
+                spark.conf.unset("spark.sql.codegen.fallback")
+                spark.conf.unset("spark.sql.codegen.factoryMode")
             # Occupancy bound at the measured scale: the blocking must
             # hold its bounded-cell property on half a million vectors,
             # not just in the 1k/2k property test.

@@ -1569,8 +1569,6 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair enumeration and asserts planted recall ≥95%.
     """
     emb = table(spark, sf_dir, "embeddings")
-    bits = _lsh_bits(emb.count())
-    planes = _LSH_BANDS * bits
     sq_norm = F.aggregate(
         F.col("embedding"),
         F.lit(0).cast("decimal(25,16)"),
@@ -1584,6 +1582,13 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are bit-identical to a double-array pipeline while the pair
     # join's vector shuffle — the volume term at 500k+ — halves.
     prep = emb.select("vec_id", "embedding", sq_norm.alias("sq_norm")).cache()
+    # ONE parquet scan for the whole query (r12, interleaved A/B
+    # +3.4% sign-stable 3/3 at the 500k tier): the corpus count that
+    # sizes the geometry materializes the prep cache the rescore reads
+    # anyway, and the signature projection below builds FROM that cache
+    # — the r11 shape paid three separate scans (count, prep, sigw).
+    bits = _lsh_bits(prep.count())
+    planes = _LSH_BANDS * bits
 
     # Plane signs at PLAN time (pure function of (plane, dim)); the
     # oracle recomputes the same two-round hash inside its sig CTE.
@@ -1601,6 +1606,13 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(")"),
         ),
     )
+    # r12 A/B NEGATIVE — float dims through the join: flattening to
+    # FLOAT columns (cast to double per arithmetic reference) looked
+    # like it should halve the join payload, but UnsafeRow stores every
+    # fixed-width field in an 8-byte slot, so sort/shuffle bytes do not
+    # shrink at all and the ~3G extra float→double conversions cost
+    # -25% sign-stable (20.97 vs 26.18 s min, 3 interleaved reps,
+    # identical pairs). Dims flatten to DOUBLE once, here.
     dim_exprs = [
         F.when(_dim_guard.isNull(), F.element_at(F.col("embedding"), 1))
         .cast("double")
@@ -1653,7 +1665,7 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compiles fused.
     nsq_fast = sum(F.col(f"d{d}") * F.col(f"d{d}") for d in range(1, _LSH_DIM + 1))
     sigw = (
-        emb.select("vec_id", *dim_exprs)
+        prep.select("vec_id", *dim_exprs)
         .select(
             "vec_id",
             *[
@@ -1665,6 +1677,14 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
+
+    # r12 A/B NEGATIVE — first-match-band emit: carrying all 4 band
+    # keys on both join sides (to emit each pair only from its first
+    # matching band and drop the post-gate distinct) measured -15.7%
+    # (20.86 vs 24.12 s min, 3 interleaved reps, identical pairs): the
+    # distinct it removes runs over only the ~63k gate SURVIVORS, while
+    # the 8 extra bigints widen every one of the 2M×2 sort rows. The
+    # r11 shape (distinct after the gate) stays.
     band_structs = F.array(
         *[
             F.struct(
@@ -1677,13 +1697,11 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             for g in range(_LSH_BANDS)
         ]
     )
+    dim_cols = [F.col(f"d{d}") for d in range(1, _LSH_DIM + 1)]
     bands = sigw.select(
-        "vec_id", "nsq",
-        *[F.col(f"d{d}") for d in range(1, _LSH_DIM + 1)],
-        F.explode(band_structs).alias("bk"),
+        "vec_id", "nsq", *dim_cols, F.explode(band_structs).alias("bk")
     ).select(
-        "vec_id", "nsq",
-        *[F.col(f"d{d}") for d in range(1, _LSH_DIM + 1)],
+        "vec_id", "nsq", *dim_cols,
         F.col("bk.band").alias("band"),
         F.col("bk.band_key").alias("band_key"),
     )
