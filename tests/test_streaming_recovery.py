@@ -554,3 +554,173 @@ def test_incremental_dedup_resumes_from_checkpoint(spark, tmp_path):
         "replayed batch double-counted"
     )
     assert got == want
+
+
+# ---- r12: injected-crash recovery for the remaining stateful streams ----
+
+def _stage_ts_ordered_chunks(df, in_dir: str, n: int = 8) -> None:
+    """Write *df* as *n* ascending-ts range-partitioned files and stamp
+    strictly increasing mtimes so FileStreamSource (which orders by
+    modification time) delivers them oldest-ts-first. Time-ordered
+    arrival means no event is ever behind the watermark, so the drained
+    streaming result must equal the one-shot batch answer exactly."""
+    import glob
+
+    df.repartitionByRange(n, "ts").write.parquet(in_dir)
+    parts = sorted(glob.glob(os.path.join(in_dir, "part-*")))
+    assert len(parts) >= 2, "need multiple files for multiple batches"
+    base = time.time() - 3600
+    for i, p in enumerate(parts):
+        os.utime(p, (base + i * 10, base + i * 10))
+
+
+def _committed_dir_sink(out: str, prefix: str):
+    """foreachBatch sink committing one ``<prefix>-<batch_id>`` dir per
+    micro-batch via atomic rename; a replayed batch id skips the
+    EXTERNAL side effect only.
+
+    Stateful-operator nuance (Spark 4 enforces this via
+    STATE_STORE_COMMIT_VALIDATION_FAILED): the replayed batch must
+    still be FULLY PROCESSED — every state-store partition has to
+    re-commit its version for the replayed batch id — so the skip
+    branch drains the batch through a noop sink instead of returning
+    early. An early return would be exactly the "swallowing the batch"
+    bug the validator exists to catch."""
+
+    def fn(bdf, batch_id):
+        committed = os.path.join(out, f"{prefix}-{batch_id}")
+        if os.path.exists(committed):
+            bdf.write.format("noop").mode("overwrite").save()
+            return
+        tmp = os.path.join(out, f"tmp-{batch_id}")
+        bdf.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, committed)
+
+    return fn
+
+
+def _crash_once_after(fn, marker: str):
+    def faulty(bdf, batch_id):
+        fn(bdf, batch_id)  # side-effect lands...
+        if not os.path.exists(marker):
+            with open(marker, "w") as f:
+                f.write("x")
+            # ...then the "process dies" before the offset commit.
+            raise RuntimeError("injected crash after write, before commit")
+
+    return faulty
+
+
+def _drive_with_crash(spark, transform, schema, in_dir, ckpt, sink, marker,
+                      mode):
+    """Start the stream with a crash-once sink, assert the crash
+    surfaced, then restart from the SAME checkpoint with the clean sink
+    and drain to completion."""
+    import pyspark.errors
+
+    def start(fn):
+        ev = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        return (
+            transform(ev)
+            .writeStream.foreachBatch(fn)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start(_crash_once_after(sink, marker))
+    try:
+        q.awaitTermination()
+        raise AssertionError("injected crash did not surface")
+    except pyspark.errors.exceptions.captured.StreamingQueryException:
+        pass
+    assert os.path.exists(marker), "fault was never injected"
+    q2 = start(sink)
+    q2.awaitTermination()
+
+
+def test_stream_stream_join_resumes_from_checkpoint(spark, tmp_path):
+    """Crash the purchase×click stream-stream join between a batch's
+    output write and its offset commit, restart from the checkpoint,
+    and prove the union of committed batch outputs is row-exact against
+    the one-shot batch join — the dual-watermark join state must replay
+    the in-flight batch without duplicating its matches."""
+    import glob
+
+    from tpctools_spark.queries.streaming_demo import _purchase_click_join
+
+    ev = table(spark, SF, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir)
+    _stage_ts_ordered_chunks(ev, in_dir)
+
+    want_rows = _purchase_click_join(ev).collect()
+    want = {tuple(r) for r in want_rows}
+    assert want_rows, "fixture yields no purchase-click matches"
+
+    _drive_with_crash(
+        spark, _purchase_click_join, ev.schema, in_dir,
+        str(tmp_path / "ckpt"), _committed_dir_sink(out_dir, "batch"),
+        str(tmp_path / "crashed_once"), "append",
+    )
+
+    out_schema = _purchase_click_join(ev).schema
+    dirs = sorted(glob.glob(os.path.join(out_dir, "batch-*")))
+    got_rows = [
+        tuple(r)
+        for d in dirs
+        # explicit schema: a zero-match batch commits a dir with no
+        # data files, which schema inference would refuse to read
+        for r in spark.read.schema(out_schema).parquet(d).collect()
+    ]
+    assert len(got_rows) == len(want_rows), (
+        f"{len(got_rows)} rows for {len(want_rows)} matches — replayed "
+        "batch double-counted"
+    )
+    assert set(got_rows) == want
+
+
+def test_session_window_resumes_from_checkpoint(spark, tmp_path):
+    """The session-window twin: crash mid-drain, restart from the
+    checkpoint, and prove the final complete-mode view equals the batch
+    sessionization — the session-MERGE state (sessions spanning
+    micro-batch boundaries get merged in the store) must survive the
+    replay."""
+    from tpctools_spark.queries.streaming_demo import (
+        _latest_view_gen,
+        _session_window_agg,
+    )
+
+    ev = table(spark, SF, "events").select("user_id", "ts")
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir)
+    _stage_ts_ordered_chunks(ev, in_dir)
+
+    want_rows = _session_window_agg(ev).collect()
+    want = {tuple(r) for r in want_rows}
+    assert want_rows, "fixture yields no sessions"
+
+    _drive_with_crash(
+        spark, _session_window_agg, ev.schema, in_dir,
+        str(tmp_path / "ckpt"), _committed_dir_sink(out_dir, "view"),
+        str(tmp_path / "crashed_once"), "complete",
+    )
+
+    latest = _latest_view_gen(out_dir)
+    assert latest is not None
+    got_rows = spark.read.parquet(os.path.join(out_dir, latest)).collect()
+    got = {tuple(r) for r in got_rows}
+    assert len(got_rows) == len(want_rows), (
+        f"{len(got_rows)} sessions for {len(want_rows)} — state lost or "
+        "double-merged across the replay"
+    )
+    assert got == want

@@ -168,9 +168,19 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: the drained stream equals the batch gaps-and-islands
     sessionization (session start = first event of each island).
+    Recovery: the session-merge state survives a mid-drain crash —
+    injected-crash test in tests/test_streaming_recovery.py.
     """
-    ev = _stream_events(spark, sf_dir)
-    agg = (
+    return _drain_to_memory(
+        _session_window_agg(_stream_events(spark, sf_dir)), "complete"
+    )
+
+
+def _session_window_agg(ev: DataFrame) -> DataFrame:
+    """The session-window transform, factored out so the
+    checkpoint-recovery test (tests/test_streaming_recovery.py) can run
+    the SAME plan over a chunked file source with an injected crash."""
+    return (
         ev.withWatermark("ts", "30 minutes")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -182,7 +192,6 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return _drain_to_memory(agg, "complete")
 
 
 @query(
@@ -275,8 +284,17 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     satisfy the time range) — the canonical funnel/attribution shape.
     A time-range equi-join like this never devolves to nested-loop: the
     user_id equality keys the state store.
+    Recovery: the dual-watermark join state survives a mid-drain crash —
+    injected-crash test in tests/test_streaming_recovery.py.
     """
-    ev = _stream_events(spark, sf_dir)
+    return _drain_to_memory(
+        _purchase_click_join(_stream_events(spark, sf_dir)), "append"
+    )
+
+
+def _purchase_click_join(ev: DataFrame) -> DataFrame:
+    """The stream-stream join transform, factored out for the
+    checkpoint-recovery test (same reason as ``_session_window_agg``)."""
     clicks = (
         ev.filter(F.col("event_type") == "click")
         .select(
@@ -309,7 +327,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_time"),
         "purchase_value",
     )
-    return _drain_to_memory(joined, "append")
+    return joined
 
 
 def _latest_view_gen(out: str) -> str | None:
