@@ -1198,6 +1198,18 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COMPONENTS_MAX_ROUNDS = 60
 
 
+# First round that runs the pointer-halving lookup join. Near-dup
+# graphs converge in 2-4 plain-propagation rounds, so halving in the
+# first rounds is pure overhead (an extra graph-sized join + cache per
+# round); adversarial chains still converge in (this - 1) + O(log d)
+# rounds, so _COMPONENTS_MAX_ROUNDS stays a logic invariant. r12
+# interleaved A/B on dedup_cluster_components at the 500k corpus:
+# halve-from-1 (r11) 4.39 s vs halve-from-3 3.65 s min — +16.9%,
+# sign-stable 3/3, identical 500k-row cluster output; the chain-
+# topology property test (tests/test_round12_ops.py) still passes.
+_CC_HALVE_FROM = 3
+
+
 def _min_label_components(
     edges: DataFrame, max_rounds: int = _COMPONENTS_MAX_ROUNDS
 ) -> tuple[DataFrame, int]:
@@ -1255,33 +1267,43 @@ def _min_label_components(
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        stepped = (
-            labels.join(prop, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
-                ).alias("cluster_id"),
+        stepped_plan = labels.join(prop, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+            ).alias("cluster_id"),
+        )
+        if rounds >= _CC_HALVE_FROM:
+            # Pointer halving: label := min(label, label-of-label).
+            # Every cluster_id is itself a node id (labels start as own
+            # ids and only node-id minima propagate), so the lookup
+            # join is inner and row-preserving. Deferred for the first
+            # rounds (``_CC_HALVE_FROM`` — A/B verdict at its
+            # definition): near-dup graphs have tiny diameters and
+            # converge before halving can help, so the lookup join is
+            # pure overhead there; adversarial chains still converge
+            # in (halve_from - 1) + O(log d) rounds, so the max_rounds
+            # cap stays a logic invariant.
+            stepped = stepped_plan.cache()
+            lut = stepped.select(
+                F.col("doc_id").alias("cid"), F.col("cluster_id").alias("cc")
             )
-            .cache()
-        )
-        # Pointer halving: label := min(label, label-of-label). Every
-        # cluster_id is itself a node id (labels start as own ids and
-        # only node-id minima propagate), so the lookup join is inner
-        # and row-preserving.
-        lut = stepped.select(
-            F.col("doc_id").alias("cid"), F.col("cluster_id").alias("cc")
-        )
-        new_labels = (
-            stepped.join(lut, stepped.cluster_id == lut.cid)
-            .select(
-                "doc_id",
-                F.least(F.col("cluster_id"), F.col("cc")).alias("cluster_id"),
+            new_labels = (
+                stepped.join(lut, stepped.cluster_id == lut.cid)
+                .select(
+                    "doc_id",
+                    F.least(F.col("cluster_id"), F.col("cc")).alias(
+                        "cluster_id"
+                    ),
+                )
+                .localCheckpoint()
             )
-            .localCheckpoint()
-        )
+        else:
+            stepped = None
+            new_labels = stepped_plan.localCheckpoint()
         cur_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
-        stepped.unpersist()
+        if stepped is not None:
+            stepped.unpersist()
         _release_local_checkpoint(labels)
         labels = new_labels
         if cur_sum == prev_sum:
