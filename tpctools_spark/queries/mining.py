@@ -975,16 +975,24 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "doc_id", F.split(F.lower(F.trim("text")), " ").alias("w")
     )
+    # Lambda-free bigram build (r12, same move as pipeline._dsir_hashed):
+    # arrays_zip + slice pairs adjacent words natively and the concat
+    # runs post-explode in codegen — HOF transform() lambdas evaluate
+    # interpreted per element and dominated the DSIR profile. Byte-
+    # identical bigram strings; the trailing (w_n, NULL) struct is
+    # filtered, which also subsumes the old size>=2 guard.
+    zip_pairs = F.arrays_zip(
+        F.col("w").alias("w1"),
+        F.slice(F.col("w"), 2, F.greatest(F.size("w") - 1, F.lit(0))).alias(
+            "w2"
+        ),
+    )
     bigrams = (
-        words.filter(F.size("w") >= 2)
+        words.select("doc_id", F.explode(zip_pairs).alias("p"))
+        .filter(F.col("p.w2").isNotNull())
         .select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(w) - 1),"
-                    " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
-                )
-            ).alias("bg"),
+            F.concat(F.col("p.w1"), F.lit(" "), F.col("p.w2")).alias("bg"),
         )
     )
     vocab = words.select(F.explode("w").alias("word")).agg(
@@ -1131,18 +1139,28 @@ def mining_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     caches = [tok]
     learned = []
     for t in range(_BPE_ROUNDS):
-        pairs = tok.select(
-            F.explode(
-                # sequence(1, 0) counts DOWN in Spark — guard the
-                # single-symbol words (1-char words, fully merged words)
-                F.expr(
-                    "CASE WHEN size(split(tok, ' ')) >= 2 THEN"
-                    " transform(sequence(1, size(split(tok, ' ')) - 1),"
-                    " i -> concat(element_at(split(tok, ' '), i), ' ',"
-                    "             element_at(split(tok, ' '), i + 1)))"
-                    " ELSE array() END"
+        # Lambda-free adjacent-symbol pairing (r12): arrays_zip + slice
+        # instead of an interpreted transform() lambda; the trailing
+        # (sym_n, NULL) struct filter subsumes the old single-symbol
+        # guard (1-char words, fully merged words yield no pairs).
+        sym = F.split(F.col("tok"), " ")
+        pairs = (
+            tok.select(
+                F.explode(
+                    F.arrays_zip(
+                        sym.alias("a"),
+                        F.slice(
+                            sym, 2, F.greatest(F.size(sym) - 1, F.lit(0))
+                        ).alias("b"),
+                    )
+                ).alias("p")
+            )
+            .filter(F.col("p.b").isNotNull())
+            .select(
+                F.concat(F.col("p.a"), F.lit(" "), F.col("p.b")).alias(
+                    "pair"
                 )
-            ).alias("pair")
+            )
         )
         top = (
             pairs.groupBy("pair")
