@@ -1686,6 +1686,13 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # matters, no fallback is logged and the gate's join stage
     # compiles fused.
     nsq_fast = sum(F.col(f"d{d}") * F.col(f"d{d}") for d in range(1, _LSH_DIM + 1))
+    # Cache-content A/Bs (r12, 500k tier): dropping the 64 sign-bit
+    # columns from this cache and recomputing the plane chains on each
+    # join side measured inside noise (27.9 vs 29.7 s min over 2 reps
+    # with 12s spread — not sign-stable, not shipped); skipping the
+    # signature cache entirely (both sides projecting chains straight
+    # off the prep cache) ballooned the driver heap to OOM. The cached
+    # (sign bits + nsq + dims) row stays.
     sigw = (
         prep.select("vec_id", *dim_exprs)
         .select(
