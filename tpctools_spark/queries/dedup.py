@@ -1691,8 +1691,14 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join side measured inside noise (27.9 vs 29.7 s min over 2 reps
     # with 12s spread — not sign-stable, not shipped); skipping the
     # signature cache entirely (both sides projecting chains straight
-    # off the prep cache) ballooned the driver heap to OOM. The cached
-    # (sign bits + nsq + dims) row stays.
+    # off the prep cache) ballooned the driver heap to OOM. Pre-
+    # partitioning + pre-sorting the exploded bands table into a cache
+    # (hoping the self-join would elide both exchanges/sorts via the
+    # cache's preserved outputPartitioning) also measured a small LOSS
+    # (5.90 vs 5.54 s on the post-prep section, not sign-stable): the
+    # executed plan kept its exchanges anyway — AQE re-plans
+    # InMemoryTableScan reads — so the extra repartition was pure cost.
+    # The cached (sign bits + nsq + dims) row stays.
     sigw = (
         prep.select("vec_id", *dim_exprs)
         .select(
