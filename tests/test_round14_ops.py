@@ -74,3 +74,39 @@ def test_lsh_cosine_rejects_dim_drift(spark, tmp_path):
     )
     assert "dedup_lsh_cosine" in msg and "got 4" in msg
     spark.catalog.clearCache()
+
+
+def test_dsir_bigram_plan_is_lambda_free(spark):
+    """The r12 8.2× win came from evicting the interpreted HOF
+    transform() lambda from the bigram build; pin the shape so a
+    refactor cannot quietly reintroduce it. arrays_zip must feed the
+    explode and no ArrayTransform may appear anywhere in the analyzed
+    plan of the hashed stream."""
+    from tpctools_spark.catalog import table
+    from tpctools_spark.queries.pipeline import _dsir_hashed
+
+    plan = (
+        _dsir_hashed(table(spark, SF, "documents"))
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "arrays_zip" in plan, "native adjacent-pair zip missing"
+    assert "transform(" not in plan, (
+        "interpreted HOF transform() lambda reintroduced in the DSIR "
+        "bigram build (r12: ~12s of a 14.4s query at 500k)"
+    )
+
+
+def test_bigram_lm_plan_is_lambda_free(spark):
+    """Same pin for text_bigram_lm's gram stream (ported r12)."""
+    from tpctools_spark.registry import spark_queries
+
+    plan = (
+        spark_queries()["text_bigram_lm"](spark, SF)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "arrays_zip" in plan
+    assert "transform(sequence" not in plan
