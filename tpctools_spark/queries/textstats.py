@@ -191,30 +191,67 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     words = F.split(F.lower(F.trim(F.col("text"))), " ")
-    grams = F.when(
-        F.size(words) >= 4, F.sequence(F.lit(1), F.size(words) - 3)
-    ).otherwise(F.array().cast("array<int>"))
-    gram_hashes = F.transform(
-        grams,
-        lambda i: F.md5(
-            F.encode(
-                F.concat_ws(
-                    " ",
-                    F.element_at(words, i),
-                    F.element_at(words, i + 1),
-                    F.element_at(words, i + 2),
-                    F.element_at(words, i + 3),
-                ),
-                "utf-8",
-            )
-        ),
+    # Lambda-free 4-gram digests (r12): the old shape ran md5 INSIDE a
+    # transform() lambda — HOF lambdas evaluate interpreted per
+    # element, the exact pattern the DSIR profile measured 8-10× worse
+    # than codegen. arrays_zip pairs each word with its next three
+    # natively, the struct array explodes in codegen, and md5 runs
+    # post-explode inside WSCG; min/max/count regroup per doc (gram
+    # rows for one doc are partition-contiguous, so the partial
+    # aggregate collapses to one row per doc before the exchange) and
+    # a left join re-attaches the <4-word docs with NULL fingerprints
+    # and n_shingles 0 — byte-identical output to the row-local form
+    # (and the oracle). The trade is two doc-keyed exchanges of tiny
+    # (doc_id, 2×32-char, count) rows for the removal of every
+    # interpreted md5 call — the right side of the CPU/shuffle ledger
+    # at any scale.
+    def _tail(k: int) -> F.Column:
+        return F.slice(
+            words, k, F.greatest(F.size(words) - (k - 1), F.lit(0))
+        ).alias(f"w{k}")
+
+    quads = F.arrays_zip(words.alias("w1"), _tail(2), _tail(3), _tail(4))
+    gram_rows = (
+        docs.select("doc_id", F.explode(quads).alias("p"))
+        .filter(F.col("p.w4").isNotNull())
+        .select(
+            "doc_id",
+            F.md5(
+                F.encode(
+                    F.concat_ws(
+                        " ",
+                        F.col("p.w1"),
+                        F.col("p.w2"),
+                        F.col("p.w3"),
+                        F.col("p.w4"),
+                    ),
+                    "utf-8",
+                )
+            ).alias("gh"),
+        )
     )
-    return docs.select(
-        "doc_id",
-        F.md5(F.encode(F.lower(F.trim(F.col("text"))), "utf-8")).alias("content_fp"),
-        F.array_min(gram_hashes).alias("min_shingle_fp"),
-        F.array_max(gram_hashes).alias("max_shingle_fp"),
-        F.size(gram_hashes).cast("bigint").alias("n_shingles"),
+    per_doc = gram_rows.groupBy("doc_id").agg(
+        F.min("gh").alias("min_shingle_fp"),
+        F.max("gh").alias("max_shingle_fp"),
+        F.count(F.lit(1)).alias("n_grams"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(F.encode(F.lower(F.trim(F.col("text"))), "utf-8")).alias(
+                "content_fp"
+            ),
+        )
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "content_fp",
+            "min_shingle_fp",
+            "max_shingle_fp",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias(
+                "n_shingles"
+            ),
+        )
     )
 
 
