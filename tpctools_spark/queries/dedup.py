@@ -2293,27 +2293,30 @@ def dedup_boilerplate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_input(table(spark, sf_dir, "documents"))
     w = _words()
     nwin = F.ceil(F.size("w") / F.lit(float(_BP_W))).cast("int")
+    # Lambda-free window hashing (r12): explode the bare window INDEX
+    # sequence (native) and compute slice + array_join + md5 POST-
+    # explode inside whole-stage codegen — the old shape ran md5 inside
+    # a transform() lambda, which evaluates interpreted per element
+    # (the DSIR-profile lesson: 8-10× slower than codegen md5). The
+    # word array rides the Generate within one fused stage (no shuffle
+    # touches it), so no extra data movement. Identical (h, nw) rows.
     segs = (
         docs.select("doc_id", w.alias("w"))
         .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), nwin - 1),
-                    lambda i: F.struct(
-                        F.md5(
-                            F.array_join(
-                                F.slice(F.col("w"), i * _BP_W + 1, _BP_W), " "
-                            )
-                        ).alias("h"),
-                        F.least(
-                            F.lit(_BP_W), F.size("w") - i * _BP_W
-                        ).alias("nw"),
-                    ),
-                )
-            ).alias("s"),
+            "doc_id", "w", F.explode(F.sequence(F.lit(0), nwin - 1)).alias("i")
         )
-        .select("doc_id", F.col("s.h").alias("h"), F.col("s.nw").alias("nw"))
+        .select(
+            "doc_id",
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("w"), F.col("i") * _BP_W + 1, F.lit(_BP_W)),
+                    " ",
+                )
+            ).alias("h"),
+            F.least(
+                F.lit(_BP_W), F.size("w") - F.col("i") * _BP_W
+            ).alias("nw"),
+        )
     )
     dfreq = segs.groupBy("h").agg(
         F.countDistinct("doc_id").alias("df")
