@@ -111,7 +111,16 @@ def _shingles_rx() -> F.Column:
     """Overlapping word 3-grams of lower(trim(text)) via one codegen
     regex (word-start lookbehind + capture lookahead) — equal to
     ``_shingles(_words())`` on single-space-tokenized text, ~4× faster
-    than the interpreted HOF lambda and free of its GC spikes."""
+    than the interpreted HOF lambda and free of its GC spikes.
+
+    r12 A/B NEGATIVE: the lambda-free ``arrays_zip + slice`` pairing
+    that beat HOF lambdas everywhere else (see pipeline._dsir_hashed)
+    LOSES to this regex for trigrams — 1.51 vs 1.13 s over the 500k
+    corpus explode, identical (doc_id, shingle) multiset — because the
+    regex emits the gram array in one scan without materializing the
+    three-slice zip structs. Regex kept for the 3-gram hot paths;
+    arrays_zip remains the right form where the pair/window feeds
+    further codegen work per element (hashing, concat+md5)."""
     return F.expr(
         r"regexp_extract_all(lower(trim(text)),"
         r" '(?<=^|\\s)(?=(\\S+ \\S+ \\S+))', 1)"
