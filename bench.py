@@ -789,6 +789,10 @@ def main() -> None:
             finally:
                 spark.conf.unset("spark.sql.codegen.fallback")
                 spark.conf.unset("spark.sql.codegen.factoryMode")
+                # A throw inside _pair_recall skips its own clearCache;
+                # drop any half-built prep/sig caches here so the
+                # following 500k checks measure a cold catalog.
+                spark.catalog.clearCache()
             # Occupancy bound at the measured scale: the blocking must
             # hold its bounded-cell property on half a million vectors,
             # not just in the 1k/2k property test.

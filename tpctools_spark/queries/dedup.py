@@ -1225,15 +1225,18 @@ def _min_label_components(
     """Connected components over a symmetric ``(src, dst)`` edge table
     by min-label propagation WITH pointer halving.
 
-    Each round does (1) the neighbor step — every node adopts the min
+    Each round does the neighbor step — every node adopts the min
     label among itself and its neighbors (one edges⋈labels join + one
-    min-agg on dst) — and (2) the halving step — every label is mapped
-    through the label table again (label := label[label], one
-    graph-node-sized self-join). Step 2 is classic pointer jumping: a
-    length-d label chain shortens to ⌈d/2⌉, so adversarial chain
-    graphs converge in O(log d) rounds instead of the O(d) that plain
-    propagation needs — the guard that makes ``max_rounds`` a real
-    invariant rather than a tunable. Labels are monotone decreasing,
+    min-agg on dst) — and, from round ``_CC_HALVE_FROM`` on, also the
+    halving step — every label is mapped through the label table again
+    (label := label[label], one graph-node-sized self-join). The
+    halving step is classic pointer jumping: a length-d label chain
+    shortens to ⌈d/2⌉, so adversarial chain graphs converge in
+    O(log d) rounds instead of the O(d) that plain propagation needs —
+    the guard that makes ``max_rounds`` a real invariant rather than a
+    tunable. Deferring it to round ``_CC_HALVE_FROM`` skips its
+    graph-sized join on the tiny-diameter graphs that dominate
+    near-dup workloads (see the A/B at the constant's definition). Labels are monotone decreasing,
     so the global SUM(label) is an exact convergence witness; driver
     state is one scalar per round, never the labels.
 
@@ -1372,7 +1375,8 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     which docs to drop when A~B~C but A≁C. Components come from
     min-label propagation WITH pointer halving (`_min_label_components`):
     each round every node adopts the smallest label among itself and
-    its neighbors, then labels shortcut through the label table
+    its neighbors, and from round `_CC_HALVE_FROM` on labels also
+    shortcut through the label table
     (label := label[label]) — so even adversarial chain-shaped graphs
     converge in O(log diameter) rounds, and the loud
     `_COMPONENTS_MAX_ROUNDS` cap is a logic invariant, not a tunable

@@ -563,11 +563,17 @@ def tpcds_q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build bytes roughly constant — cs x week is uniformly hash-
     # partitioned on item_sk, no skewed key), and AQE's runtime
     # partition coalescing/splitting already targets a fixed
-    # advisory partition size; above a known-safe scale, dropping the
-    # hint falls back to the spill-safe SMJ default.
+    # advisory partition size; above a known-safe scale, set
+    # SPARK_GRAFT_Q72_SHJ=0 to drop the hint and fall back to the
+    # spill-safe SMJ default (r12 ADVICE: the fallback must be
+    # reachable without a code edit).
+    import os as _os
+
+    cs_week = cs.join(d1, cs.cs_sold_date_sk == d1.d1_sk)
+    if _os.environ.get("SPARK_GRAFT_Q72_SHJ", "1") != "0":
+        cs_week = cs_week.hint("shuffle_hash")
     joined = (
-        cs.join(d1, cs.cs_sold_date_sk == d1.d1_sk)
-        .hint("shuffle_hash")
+        cs_week
         .join(
             inv.join(d2, inv.inv_date_sk == d2.d2_sk),
             (cs.cs_item_sk == inv.inv_item_sk)
