@@ -25,6 +25,59 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Committed solo reference for the host-calibration job below: warm
+# min-of-3 of `spark.range(2**28).selectExpr("xxhash64(id)")` into a
+# noop sink on an otherwise-idle local[32] build host (measured 0.51 /
+# 0.64 / 0.76 s across probes). Pure fixed-size CPU work — independent
+# of SF_DIR, data layout, and every query in the suite — so when a
+# bench artifact's calibration lands far above this, the HOST was slow,
+# not the code (the r12 driver run was ~2.5x inflated by contention and
+# nothing in the artifact said so; this field makes that self-evident).
+_CALIB_REF_S = 0.65
+
+
+def _calibration_verdict(start: float, end: float,
+                         ref: float = _CALIB_REF_S) -> dict:
+    """Fold the two calibration samples into the artifact entry, with a
+    WARNING string when the run is contention-suspect: start/end
+    disagreeing >20% (load changed mid-suite) or either sample >1.5x
+    the committed reference (host slower than the solo baseline).
+    Pure function — pinned by tests/test_bench_policies.py."""
+    out: dict = {"start": start, "end": end, "ref": ref}
+    warns = []
+    hi, lo = max(start, end), min(start, end)
+    if lo > 0 and hi / lo > 1.2:
+        warns.append(
+            f"start/end calibration disagree {hi / lo:.2f}x (>1.2x): "
+            "host load changed mid-suite"
+        )
+    if hi > 1.5 * ref:
+        warns.append(
+            f"calibration {hi:.2f}s is {hi / ref:.1f}x the committed "
+            f"solo reference {ref}s: host contended, timings inflated"
+        )
+    if warns:
+        out["warning"] = "; ".join(warns)
+    return out
+
+
+def _calibration_run(spark) -> float:
+    """Time the fixed synthetic calibration job: one untimed warm-up
+    (pays the per-process codegen compile), then warm min-of-3."""
+    def _pass() -> None:
+        spark.range(2 ** 28).selectExpr("xxhash64(id) AS h").write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    _pass()
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _pass()
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 3)
+
+
 def sf1_rep_policy(elapsed_s: float, budget_s: float) -> int:
     """Per-query rep count for the sf1 suites under a draining soft
     budget: 3 back-to-back reps while fresh, 2 past 55% of budget,
@@ -215,6 +268,15 @@ def main() -> None:
     # bench record (round 3 lost its record to a single AnalysisException
     # raised before any output) — time each query under try/except,
     # report failures in "errors", and always print the compact line.
+    # Host calibration, sample 1 of 2 (suite start): a fixed synthetic
+    # job whose time depends only on host speed. Sample 2 runs at suite
+    # end; both land in the artifact so a contended run is self-evident
+    # (see _calibration_verdict).
+    try:
+        calib_start = _calibration_run(spark)
+    except Exception:  # noqa: BLE001 — calibration must never kill bench
+        calib_start = -1.0
+
     N_WARM = 3
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -1189,6 +1251,13 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
+    # Host calibration, sample 2 of 2 (suite end).
+    try:
+        calib_end = _calibration_run(spark)
+    except Exception:  # noqa: BLE001
+        calib_end = -1.0
+    host_calibration = _calibration_verdict(calib_start, calib_end)
+
     full = {
         "metric": "suite_wall_time",
         "value": round(total, 3),
@@ -1196,6 +1265,7 @@ def main() -> None:
         "queries": timings,
         "cold_queries": cold,
         "warm_spread": spread,
+        "host_calibration_s": host_calibration,
         "gen_throughput": gen_stats,
         "tpcds_sf1_queries": tpcds_sf1,
         "tpcds_sf1_reps": tpcds_sf1_reps,
@@ -1220,6 +1290,7 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: timings[k] for k in COMPACT_KEYS if k in timings},
+        "host_calibration_s": host_calibration,
         "gen_throughput": gen_stats,
         "sf": sf_val,
         "detail": "bench_out.json",

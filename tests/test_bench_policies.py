@@ -43,3 +43,36 @@ def test_compact_keys_drop_retired_pq_fused_entry():
     assert "sim_pq_50k" not in bench.COMPACT_KEYS
     assert "sim_pq_build_50k" in bench.COMPACT_KEYS
     assert "sim_pq_probe_50k" in bench.COMPACT_KEYS
+
+
+def test_calibration_verdict_clean_run_has_no_warning():
+    out = bench._calibration_verdict(0.6, 0.65, ref=0.65)
+    assert out["start"] == 0.6 and out["end"] == 0.65
+    assert out["ref"] == 0.65
+    assert "warning" not in out
+
+
+def test_calibration_verdict_flags_mid_suite_drift():
+    # start/end disagree >1.2x -> load changed mid-suite.
+    out = bench._calibration_verdict(0.6, 0.9, ref=0.65)
+    assert "warning" in out and "mid-suite" in out["warning"]
+
+
+def test_calibration_verdict_flags_contended_host():
+    # Both samples steady but >1.5x the committed reference -> the
+    # r12-driver failure mode: uniformly inflated timings.
+    out = bench._calibration_verdict(1.6, 1.62, ref=0.65)
+    assert "warning" in out and "contended" in out["warning"]
+
+
+def test_calibration_verdict_survives_failed_sample():
+    # A failed calibration records -1.0; must not divide by zero or
+    # emit a bogus drift warning that hides the real story.
+    out = bench._calibration_verdict(-1.0, 0.6, ref=0.65)
+    assert out["start"] == -1.0
+
+
+def test_calibration_ref_is_committed():
+    # The reference value is part of the artifact contract: a driver
+    # re-run compares against the same constant this repo committed.
+    assert 0.3 <= bench._CALIB_REF_S <= 1.5
