@@ -1260,6 +1260,19 @@ def _min_label_components(
     # mid-loop fails the job rather than recomputing; acceptable for a
     # loop whose total runtime is minutes, and restartable from the
     # pair table.)
+    # r13 A/B NEGATIVE — frontier filtering (.scratch/ab_cc13.out):
+    # carrying a per-node ``chg`` flag and semi-joining the edge list
+    # to last round's changed nodes (the graph_bfs_distance pattern,
+    # prescribed by the r12 verdict) measured neutral-to-slightly-
+    # negative at the 500k corpus: interleaved min 13.79 s frontier vs
+    # 12.43 s full, identical 500k-row output fingerprint and 71439
+    # multi-clusters. Near-dup graphs converge in 2–4 rounds, so the
+    # frontier can only shrink round ≥2's join input — and round 2's
+    # frontier is still most of the graph — while every round pays the
+    # flag column through the checkpoint plus the filter. Frontier
+    # filtering pays off when ROUNDS are many (deep BFS/chains); here
+    # pointer halving already bounds that case, so full propagation
+    # stays.
     labels = nodes.select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     ).localCheckpoint()
@@ -1511,6 +1524,191 @@ def _lsh_bits(n: int) -> int:
     return max(_LSH_MIN_BITS, b)
 
 
+def _lsh_sig_arrow(vecs: DataFrame, bits: int) -> DataFrame | None:
+    """Plane signatures + band keys + fast sq-norm as ONE Arrow-batched
+    map over ``(vec_id, embedding)`` — returns None when numpy/pyarrow
+    are unavailable (callers fall back to the codegen sign chains,
+    which produce bit-identical values).
+
+    Why Python in a hot path, against this repo's own rule: the r13
+    stage attribution (.scratch/prof_lsh13*.py) put ~21 s of the 500k
+    tier's ~23 s in the 64 plane-sign chains — 64 chains × 64 ± terms
+    generate methods so large that HotSpot's JIT limits leave them
+    running as INTERPRETED BYTECODE even when the stage compiles (WSCG
+    measured within noise; raising codegen.maxFields/hugeMethodLimit
+    recovered nothing). Measured on the 500k fixture, signature build
+    → noop: codegen chains 22.4 s, algebraic op-halving (T − 2·negsum)
+    9.2 s, THIS Arrow map 1.3 s warm (17×). The map is row-local and
+    Arrow-vectorized — the same batch shape as the multimodal family —
+    so the 100 TB posture (no shuffle before the band join) is
+    unchanged.
+
+    Bit-exactness argument (why the oracle does not change): the JVM
+    chain computes ((±d1 ± d2) ± d3)…, i.e. products e_d·(±1) folded
+    left-to-right with first-element seeding; the numpy loop below
+    initializes acc = e₁·s₁ and adds e_d·s_d in the same dim order —
+    every step is the same IEEE-754 double op in the same order, so
+    every plane sum (and therefore every sign bit and band key) is
+    bit-identical to the chain form and to the DuckDB oracle's
+    list_reduce. nsq likewise accumulates d² in dim order, exactly the
+    flat square chain. float32→float64 casts are exact; ±1.0
+    multiplies are exact; int64 band-key packing is integer-exact.
+    """
+    try:
+        import numpy as np
+        import pyarrow as pa  # noqa: F401
+    except ImportError:  # pragma: no cover — both ship in this env
+        return None
+    from pyspark.sql import types as spark_types
+
+    planes = _LSH_BANDS * bits
+    dim = _LSH_DIM
+    sgn = np.array(
+        [
+            [1.0 if _lsh_sign_pos(p, d) else -1.0 for p in range(planes)]
+            for d in range(1, dim + 1)
+        ]
+    )
+    pow2 = 1 << np.arange(bits, dtype=np.int64)
+    bands = _LSH_BANDS
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            idx_v = b.schema.get_field_index("vec_id")
+            idx_e = b.schema.get_field_index("embedding")
+            emb = b.column(idx_e)
+            n = b.num_rows
+            # Dim drift fails LOUDLY (mirrors the _dim_guard
+            # assert_true on the codegen path): ragged or null
+            # embeddings would otherwise silently mis-reshape.
+            if n:
+                offs = np.diff(emb.offsets.to_numpy())
+                if emb.null_count or not (offs == dim).all():
+                    bad = (
+                        "null"
+                        if emb.null_count
+                        else int(offs[offs != dim][0])
+                    )
+                    raise ValueError(
+                        f"dedup_lsh_cosine: embedding dim != {dim} "
+                        f"(got {bad})"
+                    )
+            e32 = emb.flatten().to_numpy(zero_copy_only=False)
+            e = e32.astype(np.float64).reshape(n, dim)
+            if n:
+                acc = e[:, 0:1] * sgn[0]
+                nsq = e[:, 0] * e[:, 0]
+                for d in range(1, dim):
+                    acc += e[:, d : d + 1] * sgn[d]
+                    nsq += e[:, d] * e[:, d]
+                sbits = (acc >= 0.0).astype(np.int64)
+            else:
+                sbits = np.zeros((0, planes), dtype=np.int64)
+                nsq = np.zeros(0)
+            out = {"vec_id": b.column(idx_v), "embedding": emb}
+            for g in range(bands):
+                out[f"k{g}"] = pa.array(
+                    sbits[:, g * bits : (g + 1) * bits] @ pow2,
+                    type=pa.int64(),
+                )
+            out["nsq"] = pa.array(nsq, type=pa.float64())
+            yield pa.RecordBatch.from_pydict(out)
+
+    schema = spark_types.StructType(
+        [
+            spark_types.StructField("vec_id", spark_types.LongType()),
+            spark_types.StructField(
+                "embedding",
+                spark_types.ArrayType(spark_types.FloatType()),
+            ),
+        ]
+        + [
+            spark_types.StructField(f"k{g}", spark_types.LongType())
+            for g in range(bands)
+        ]
+        + [spark_types.StructField("nsq", spark_types.DoubleType())]
+    )
+    return vecs.mapInArrow(gen, schema)
+
+
+def _lsh_pairs_from_bands(prep: DataFrame, bands: DataFrame) -> DataFrame:
+    """Shared LSH tail: band self-join → in-join 0.45 double-dot gate →
+    distinct → exact DECIMAL(25,16) rescore. ``bands`` must carry
+    (vec_id, nsq, d1..d64, band, band_key); both the Arrow and the
+    codegen-chain signature builders produce exactly that shape."""
+    lhs = bands.select(
+        F.col("vec_id").alias("vec_a"), "band", "band_key",
+        F.col("nsq").alias("nsq_a"),
+        *[F.col(f"d{d}").alias(f"a{d}") for d in range(1, _LSH_DIM + 1)],
+    )
+    rhs = bands.select(
+        F.col("vec_id").alias("vec_b"), "band", "band_key",
+        F.col("nsq").alias("nsq_b"),
+        *[F.col(f"d{d}").alias(f"x{d}") for d in range(1, _LSH_DIM + 1)],
+    )
+    dot_gate = sum(
+        F.col(f"a{d}") * F.col(f"x{d}") for d in range(1, _LSH_DIM + 1)
+    )
+    # r11 A/B NEUTRAL: hint("shuffle_hash") on this self-join (the q72
+    # sort-side lesson) measured a wash at the 500k tier once the
+    # signature cache is warm (3.06 s SMJ vs 3.08 s SHJ min-of-3,
+    # identical 62870 candidates) — the join is not the residual
+    # bottleneck (cache build + rescore are); SMJ kept as the
+    # scale-safe default.
+    cand = (
+        lhs.join(rhs, ["band", "band_key"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(
+            dot_gate / (F.sqrt(F.col("nsq_a")) * F.sqrt(F.col("nsq_b")))
+            >= 0.45
+        )
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+
+    pa = prep.select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"),
+        F.col("sq_norm").alias("na"),
+    )
+    pb = prep.select(
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"),
+        F.col("sq_norm").alias("nb"),
+    )
+    # Exact rescore: survivors (already ≥0.45-gated, a few ×10³ rows
+    # that AQE broadcasts into both prep joins) pay the
+    # DECIMAL(25,16) dot the oracle compares against. The double-dot
+    # gate is provably lossless: the 64-term double dot differs from
+    # the exact-decimal value by ≤ 64·ε·‖a‖‖b‖ ≈ 1e-14 relative, so
+    # no true ≥0.5 pair can fall below 0.45. The F.aggregate fold here
+    # is per-SURVIVOR (a few ×10³ rows), not per-corpus-row — the r13
+    # fold sweep leaves it (converting the per-row sq_norm fold to a
+    # flat decimal chain measured a 3× LOSS: decimal codegen ops are
+    # heavier than the interpreted fold at 64 terms).
+    prods = F.zip_with(
+        F.col("ea"), F.col("eb"),
+        lambda x, y: x.cast("double") * y.cast("double"),
+    )
+    dot = F.aggregate(
+        prods,
+        F.lit(0).cast("decimal(25,16)"),
+        lambda acc, x: (acc + x.cast("decimal(25,16)")).cast("decimal(25,16)"),
+    ).cast("double")
+    norms = F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))
+    out = cand.join(pa, cand.vec_a == pa.ia).join(pb, cand.vec_b == pb.ib)
+    return (
+        out.withColumn("cosine_raw", dot / norms)
+        .filter(F.col("cosine_raw") >= 0.5)
+        .select(
+            "vec_a",
+            "vec_b",
+            trunc_digits(F.col("cosine_raw"), 4).alias("cosine"),
+        )
+    )
+
+
 @query(
     "dedup_lsh_cosine",
     oracle=f"""
@@ -1657,6 +1855,46 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         for d in range(2, _LSH_DIM + 1)
     ]
 
+    # r13: the signature build (plane signs + band keys + fast nsq)
+    # runs as ONE Arrow-batched numpy map — see _lsh_sig_arrow's
+    # docstring for the attribution (the codegen ± chains were ~21 s
+    # of the ~23 s tier: generated methods too large for HotSpot's
+    # JIT, so they ran as interpreted bytecode) and the bit-exactness
+    # argument (same IEEE ops in the same order → identical signs,
+    # keys, and nsq; the oracle is unchanged). Full-query interleaved
+    # A/B at 500k (.scratch/ab_lsh13.out): Arrow min 9.5 s vs chains
+    # min 30.3 s — 3.2×, sign-stable 4/4 pairs, identical output
+    # fingerprint (xxhash64 sum over all 19433 rows) and identical
+    # 7142/7142 planted recall. Per-stage: sig build 22.4 → 1.3 s.
+    # The chain form below remains as the no-numpy fallback,
+    # value-identical.
+    sig_arrow = _lsh_sig_arrow(prep.select("vec_id", "embedding"), bits)
+    if sig_arrow is not None:
+        sigw = sig_arrow.select(
+            "vec_id",
+            *[F.col(f"k{g}") for g in range(_LSH_BANDS)],
+            F.col("nsq"),
+            *dim_exprs,
+        ).cache()
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(g).alias("band"),
+                    F.col(f"k{g}").alias("band_key"),
+                )
+                for g in range(_LSH_BANDS)
+            ]
+        )
+        dim_cols = [F.col(f"d{d}") for d in range(1, _LSH_DIM + 1)]
+        bands_tbl = sigw.select(
+            "vec_id", "nsq", *dim_cols, F.explode(band_structs).alias("bk")
+        ).select(
+            "vec_id", "nsq", *dim_cols,
+            F.col("bk.band").alias("band"),
+            F.col("bk.band_key").alias("band_key"),
+        )
+        return _lsh_pairs_from_bands(prep, bands_tbl)
+
     def _plane_sum(p: int) -> F.Column:
         # Flat left-to-right ± chain — codegen, no per-element lambda.
         acc = F.col("d1") if _sign_pos(p, 1) else -F.col("d1")
@@ -1753,66 +1991,7 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bk.band").alias("band"),
         F.col("bk.band_key").alias("band_key"),
     )
-    lhs = bands.select(
-        F.col("vec_id").alias("vec_a"), "band", "band_key",
-        F.col("nsq").alias("nsq_a"),
-        *[F.col(f"d{d}").alias(f"a{d}") for d in range(1, _LSH_DIM + 1)],
-    )
-    rhs = bands.select(
-        F.col("vec_id").alias("vec_b"), "band", "band_key",
-        F.col("nsq").alias("nsq_b"),
-        *[F.col(f"d{d}").alias(f"x{d}") for d in range(1, _LSH_DIM + 1)],
-    )
-    dot_gate = sum(
-        F.col(f"a{d}") * F.col(f"x{d}") for d in range(1, _LSH_DIM + 1)
-    )
-    # r11 A/B NEUTRAL: hint("shuffle_hash") on this self-join (the q72
-    # sort-side lesson) measured a wash at the 500k tier once the
-    # signature cache is warm (3.06 s SMJ vs 3.08 s SHJ min-of-3,
-    # identical 62870 candidates) — the join is not the residual
-    # bottleneck (cache build + rescore are); SMJ kept as the
-    # scale-safe default.
-    cand = (
-        lhs.join(rhs, ["band", "band_key"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(
-            dot_gate / (F.sqrt(F.col("nsq_a")) * F.sqrt(F.col("nsq_b")))
-            >= 0.45
-        )
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
-
-    pa = prep.select(
-        F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"),
-        F.col("sq_norm").alias("na"),
-    )
-    pb = prep.select(
-        F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"),
-        F.col("sq_norm").alias("nb"),
-    )
-    # Exact rescore: survivors (already ≥0.45-gated, a few ×10³ rows
-    # that AQE broadcasts into both prep joins) pay the
-    # DECIMAL(25,16) dot the oracle compares against. The double-dot
-    # gate is provably lossless: the 64-term double dot differs from
-    # the exact-decimal value by ≤ 64·ε·‖a‖‖b‖ ≈ 1e-14 relative, so
-    # no true ≥0.5 pair can fall below 0.45.
-    prods = F.zip_with(
-        F.col("ea"), F.col("eb"),
-        lambda x, y: x.cast("double") * y.cast("double"),
-    )
-    dot = F.aggregate(
-        prods,
-        F.lit(0).cast("decimal(25,16)"),
-        lambda acc, x: (acc + x.cast("decimal(25,16)")).cast("decimal(25,16)"),
-    ).cast("double")
-    norms = F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))
-    out = cand.join(pa, cand.vec_a == pa.ia).join(pb, cand.vec_b == pb.ib)
-    return (
-        out.withColumn("cosine_raw", dot / norms)
-        .filter(F.col("cosine_raw") >= 0.5)
-        .select("vec_a", "vec_b", trunc_digits(F.col("cosine_raw"), 4).alias("cosine"))
-    )
+    return _lsh_pairs_from_bands(prep, bands)
 
 
 @query(
