@@ -142,6 +142,9 @@ def global_rank(df, order_by, rn="rn", cumsums=None, partitions=None):
             )
         ).alias("_a")
     )
+    # r13 fold sweep: these folds stay — the array holds ONE entry per
+    # shuffle partition (constant in the data), so interpreted
+    # evaluation costs O(partitions^2) scalars total, not per-row work.
     prefix = F.slice("_a", F.lit(1), F.col("_i"))  # the _i EARLIER partitions
     off_cols = [
         F.col("_e._gp").alias("_gp"),

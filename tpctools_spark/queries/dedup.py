@@ -1802,6 +1802,12 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair enumeration and asserts planted recall ≥95%.
     """
     emb = table(spark, sf_dir, "embeddings")
+    # r13 A/B NEGATIVE — flat decimal chain for this fold
+    # (.scratch/prof_lsh13.out): 64 per-term decimal casts + a 64-add
+    # decimal chain measured 6.2 s vs the fold's 2.0 s per 500k rows
+    # (3× loss, both reps) — decimal codegen ops allocate per step, so
+    # the chain trick only pays for DOUBLE/BIGINT arithmetic. The
+    # interpreted fold stays for exact-decimal accumulation.
     sq_norm = F.aggregate(
         F.col("embedding"),
         F.lit(0).cast("decimal(25,16)"),
@@ -2251,6 +2257,10 @@ def dedup_minhash_band_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sigs = _minhash_signatures(docs).cache()
     sig_el = lambda i: F.element_at("signature", i + 1)  # noqa: E731
+    # r13 fold sweep: stays a fold — 32 integer terms per CANDIDATE
+    # pair, and candidates are banding-bounded (occupancy-capped
+    # buckets), never corpus-sized; the band-eval query is a one-shot
+    # planner, not a 500k tier.
     agree = F.aggregate(
         F.zip_with(
             F.col("sa"), F.col("sb"), lambda x, y: F.when(x == y, 1).otherwise(0)

@@ -1361,6 +1361,10 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k = F.explode(F.sequence(F.lit(1), F.size("a"))).alias("k")
     out = arr.select("a", k)
+    # r13 fold sweep: stays a fold — the array is the collect_list of
+    # DISTINCT event durations (group-sized, one aggregated row), so
+    # the k x k interpreted product is bounded by duration cardinality,
+    # not event volume.
     surv = F.aggregate(
         F.slice("a", F.lit(1), F.col("k")),
         F.lit(1.0),

@@ -748,6 +748,9 @@ def sim_cosine_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     quant = emb.filter(scale > 0).select("vec_id", "label", q.alias("q"))
 
     def idot(a, b):
+        # r13 fold sweep: stays a fold — one 64-term integer fold per
+        # corpus row against the single broadcast probe (O(N) scalars,
+        # no pair term); the oracle pins the identical fold order.
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: x * y),
             F.lit(0).cast("bigint"),

@@ -277,6 +277,11 @@ def _pq_sql() -> str:
 
 
 def _pq_sq_l2(a, b):
+    # r13 fold sweep: stays a fold — every call site is constant-size
+    # (codebook LUT rows and the ~100-row exact-rescore shortlist), so
+    # the interpreted per-element cost never multiplies with the data;
+    # the data-sized N*M*K assignment joins already use
+    # _pq_sq_l2_unrolled (measured ~2x).
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("bigint"),
@@ -649,6 +654,9 @@ def _pq_exact_topk_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def sq_l2_full(a, b):
+        # r13 fold sweep: stays a fold — one 64-term integer fold per
+        # corpus row against the single broadcast probe (ground-truth
+        # leg only, no pair term).
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
             F.lit(0).cast("bigint"),

@@ -58,7 +58,17 @@ def _as_double(col: Column) -> Column:
 
 
 def _dot(a: Column, b: Column) -> Column:
-    """Exact-decimal dot product of two double arrays → double."""
+    """Exact-decimal dot product of two double arrays → double.
+
+    r13 fold-sweep verdict: stays a fold. The LSH-tier A/B of the
+    SAME op class (per-row 64-term DECIMAL accumulation,
+    dedup.py sq_norm, .scratch/prof_lsh13.out) measured the flat
+    decimal chain 3× SLOWER than this interpreted fold (6.2 s vs
+    2.0 s per 500k rows) — decimal codegen ops allocate per step, so
+    chains only pay off for DOUBLE/BIGINT arithmetic (_dot_chain,
+    _pq_sq_l2_unrolled). Exact-decimal dots are also per-corpus-row
+    ×O(1) here (probe/centroid scoring), never per-pair.
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x * y).cast("decimal(25,16)")),
         F.lit(0).cast("decimal(25,16)"),
@@ -349,6 +359,10 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = []
         for k in sorted(cents):
             lit_c = F.array(*[F.lit(int(v)) for v in cents[k]])
+            # r13 fold sweep: stays a fold — K x 64 integer terms per
+            # corpus row with K=constant clusters; exact-integer state
+            # keeps both engines bit-agreed, and the corpus leg is one
+            # scan per iteration, never a pair join.
             d2 = F.aggregate(
                 F.zip_with(
                     F.col("x"),
@@ -754,6 +768,12 @@ _SQL_DOTF = (
 
 
 def _dotf(a: Column, b: Column) -> Column:
+    # r13 fold-sweep verdict: stays a fold for per-VECTOR scoring.
+    # The chain rewrite of semantic-prune's four per-row _dotf calls
+    # measured a sign-stable 3/3 LOSS (.scratch/ab_prune13.out,
+    # 4.73 → 7.09 s at 500k, identical output): fused into the wide
+    # flatten, the ~600-op projection hits the JIT-size pathology.
+    # Per-PAIR dots (the data-squared term) use _dot_chain instead.
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -890,6 +910,24 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tagged = _embedding_cells(prep)
     cent = _cell_centroids(prep)
+    # Wide-column pair join (the r11 LSH shape): dims ride through the
+    # cell self-join as flat double columns so the per-pair dot is one
+    # codegen chain, not a per-pair HOF fold; the chain association
+    # equals the fold's (see _dot_chain), so the tau decision is
+    # bit-identical. Interleaved A/B (500k fixture, 5 reps): HOF
+    # 4.66 s -> wide 2.77 s min, sign-stable all reps, identical
+    # 230658-row output.
+    # r13 A/B NEGATIVE — per-vector chain scores
+    # (.scratch/ab_prune13.out): replacing the four per-row _dotf
+    # folds (cent·e, e·e ×2, cent·cent) with flat element_at chains
+    # fused into the wide-flatten projection measured a sign-stable
+    # LOSS at the 500k tier: old folds min 4.73 s vs chains 7.09 s,
+    # 3/3 interleaved pairs, identical 230658-row output fingerprint.
+    # The fused ~600-op projection (3 chains + 64 wide columns) hits
+    # the same JIT-size pathology the LSH sign chains did, while the
+    # fold shape splits score and flatten into two small projections.
+    # The interpreted folds stay; per-PAIR dots (the data-squared
+    # term) remain chains via _dot_chain below.
     cent_norm = F.sqrt(_dotf(F.col("centroid"), F.col("centroid")))
     scored = (
         tagged.join(F.broadcast(cent), tagged.label == cent.cell)
@@ -905,13 +943,6 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(_dotf(F.col("e"), F.col("e"))).alias("nrm"),
         )
     )
-    # Wide-column pair join (the r11 LSH shape): dims ride through the
-    # cell self-join as flat double columns so the per-pair dot is one
-    # codegen chain, not a per-pair HOF fold; the chain association
-    # equals the fold's (see _dot_chain), so the tau decision is
-    # bit-identical. Interleaved A/B (500k fixture, 5 reps): HOF
-    # 4.66 s -> wide 2.77 s min, sign-stable all reps, identical
-    # 230658-row output.
     scored = scored.select(
         "vec_id", "label", "subcell", "cent_cos", "nrm",
         *_wide_dims(scored, "e", "w"),
