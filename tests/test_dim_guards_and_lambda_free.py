@@ -1,4 +1,4 @@
-"""Semantic guards for the round-14 hardening work (driver round 12).
+"""Dimension-drift guards and lambda-free plan pins.
 
 Oracle checks prove Spark ≡ DuckDB; these pin properties the round's
 changes CLAIM: embedding-dimension drift fails loudly instead of

@@ -1,9 +1,9 @@
-"""Semantic guards for the round-13 additions, beyond oracle equality:
+"""Shard-dedup planner calibration guards, beyond oracle equality:
 the BH planted-shift and components-chain tests live in
-test_round12_ops.py (added this round); here, the shard-dedup planner's
+test_structural_guards.py; here, the shard-dedup planner's
 estimator calibration — an oracle proves Spark ≡ DuckDB, but only a
 ground-truth comparison proves the ESTIMATES mean anything (the lesson
-of the round-13 PQ recall fix)."""
+of the PQ recall fix)."""
 
 from __future__ import annotations
 

@@ -1,4 +1,4 @@
-"""Semantic guards for the round-12 additions, beyond oracle equality.
+"""Structural semantic guards, beyond oracle equality.
 
 Oracle checks prove Spark ≡ DuckDB; these pin the properties the ops
 CLAIM (the banded interval join reproduces the naive range join, the
@@ -178,7 +178,7 @@ def test_tar_shards_bytes_are_reproducible(spark):
     assert a == b and a
 
 
-def test_round12_ops_are_partitioning_invariant(spark):
+def test_structural_ops_are_partitioning_invariant(spark):
     """Results must not depend on the shuffle-partition count —
     the property that makes max_by tie-breaking (snapshot diff),
     two-pass global ranks (length batches), and the banded join's

@@ -1215,7 +1215,7 @@ _COMPONENTS_MAX_ROUNDS = 60
 # interleaved A/B on dedup_cluster_components at the 500k corpus:
 # halve-from-1 (r11) 4.39 s vs halve-from-3 3.65 s min — +16.9%,
 # sign-stable 3/3, identical 500k-row cluster output; the chain-
-# topology property test (tests/test_round12_ops.py) still passes.
+# topology property test (tests/test_structural_guards.py) still passes.
 _CC_HALVE_FROM = 3
 
 
@@ -1393,7 +1393,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (label := label[label]) — so even adversarial chain-shaped graphs
     converge in O(log diameter) rounds, and the loud
     `_COMPONENTS_MAX_ROUNDS` cap is a logic invariant, not a tunable
-    (chain-topology property test: tests/test_round12_ops.py).
+    (chain-topology property test: tests/test_structural_guards.py).
     Labels are monotone decreasing, so the global SUM(label) is a
     convergence witness; near-dup components have tiny diameters, so
     this runs 2-4 rounds on real corpora. Driver-side state is one

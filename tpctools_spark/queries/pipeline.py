@@ -1228,7 +1228,7 @@ def pipeline_shard_dedup_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, hot grams capped, never all-pairs) with the shard-pair gate
     applied as a broadcast semi-join against the ≤ topk planned pairs.
     A recall-calibration property test
-    (``tests/test_round13_ops.py``) plants cross-shard duplicates and
+    (``tests/test_shard_dedup_calibration.py``) plants cross-shard duplicates and
     asserts the planned-pairs run recovers ≥ 0.9 of what an all-pairs
     run finds.
 

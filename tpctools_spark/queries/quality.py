@@ -1397,7 +1397,7 @@ def quality_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     On the uniform fixtures every segment correctly ACCEPTS
     (Chebyshev at these n rejects only real shifts); the
     planted-shift property test drives the rejection path
-    (tests/test_round12_ops.py::test_fdr_bh_planted_shift_rejects).
+    (tests/test_structural_guards.py::test_fdr_bh_planted_shift_rejects).
 
     Scale posture: one scan → per-segment (n, Σcents) + one global
     (N, T, Σcents²) moment row (map-side combinable); everything

@@ -690,7 +690,7 @@ def sink_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot match — IO proportional to the hit count, not the table.
     The fixture file is a single row group, so the value here is the
     verified write surface + lossless round-trip (oracle) + the size
-    assertion in tests/test_round12_ops.py proving filters are
+    assertion in tests/test_structural_guards.py proving filters are
     physically present; the skipping payoff is a production-row-group
     phenomenon. Default NDV sizing is tuned for production row groups
     and inflates tiny files — acceptable for a demo, tune
