@@ -245,3 +245,37 @@ def test_lsh_bits_scale_rule():
         assert n <= _LSH_BUCKET_TARGET * (1 << b)  # occupancy bound
         # and b is minimal (above the floor)
         assert b == 4 or n > _LSH_BUCKET_TARGET * (1 << (b - 1))
+
+
+def test_lsh_arrow_and_chain_paths_are_bit_identical(spark, tmp_path):
+    """The r13 Arrow signature build claims BIT-identical results to
+    the codegen-chain fallback (same IEEE ops in the same order), so a
+    numpy/pyarrow upgrade that broke the accumulation order would be a
+    silent oracle break. Pin full-output equality (ids AND truncated
+    cosines) on a planted corpus exercising both paths."""
+    from tpctools_spark.generate_corpus import gen_embeddings_scattered
+    from tpctools_spark.queries import dedup as D
+    from tpctools_spark.registry import spark_queries
+
+    d = str(tmp_path / "parity")
+    gen_embeddings_scattered(spark, 3000, dim=64, parts=4).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/embeddings.parquet")
+
+    def rows():
+        out = sorted(
+            (r.vec_a, r.vec_b, r.cosine)
+            for r in spark_queries()["dedup_lsh_cosine"](spark, d).collect()
+        )
+        spark.catalog.clearCache()
+        return out
+
+    arrow_rows = rows()
+    real = D._lsh_sig_arrow
+    D._lsh_sig_arrow = lambda *a, **k: None  # force the chain fallback
+    try:
+        chain_rows = rows()
+    finally:
+        D._lsh_sig_arrow = real
+    assert arrow_rows, "parity corpus produced no pairs"
+    assert arrow_rows == chain_rows

@@ -1782,8 +1782,10 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     including the corpus-adaptive bit count (``_lsh_bits``: one
     metadata-cheap count), is oracle-checked.
 
-    Scale: signatures are ROW-LOCAL (computed in the scan projection,
-    no shuffle before the band join); the self-join touches only
+    Scale: signatures are ROW-LOCAL (one Arrow-batched map over the
+    scan — see ``_lsh_sig_arrow`` — or the codegen-chain projection
+    fallback; no shuffle before the band join); the self-join touches
+    only
     same-bucket pairs, and b grows ~log N to hold expected bucket
     occupancy at ``_LSH_BUCKET_TARGET`` (8: expected candidate volume
     ≈ N·(occ-1)/2·bands ≈ 14·N — at target 32 the full pair
