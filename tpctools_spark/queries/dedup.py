@@ -1634,11 +1634,32 @@ def _lsh_sig_arrow(vecs: DataFrame, bits: int) -> DataFrame | None:
     return vecs.mapInArrow(gen, schema)
 
 
+def _lsh_sq_norm(col: F.Column) -> F.Column:
+    """Exact DECIMAL(25,16) squared norm of a float embedding → double —
+    the oracle's ``sq_norm`` expression. Interpreted fold by design (the
+    flat decimal chain measured a 3× LOSS, note at the rescore site);
+    r13 moves every evaluation to the per-SURVIVOR rescore projection,
+    so the per-row cost never multiplies with the corpus."""
+    return F.aggregate(
+        col,
+        F.lit(0).cast("decimal(25,16)"),
+        lambda acc, x: (
+            acc + (x.cast("double") * x.cast("double")).cast("decimal(25,16)")
+        ).cast("decimal(25,16)"),
+    ).cast("double")
+
+
 def _lsh_pairs_from_bands(prep: DataFrame, bands: DataFrame) -> DataFrame:
     """Shared LSH tail: band self-join → in-join 0.45 double-dot gate →
     distinct → exact DECIMAL(25,16) rescore. ``bands`` must carry
     (vec_id, nsq, d1..d64, band, band_key); both the Arrow and the
-    codegen-chain signature builders produce exactly that shape."""
+    codegen-chain signature builders produce exactly that shape.
+    ``prep`` carries (vec_id, embedding) only — the exact decimal
+    sq_norm is computed HERE, per survivor (r13: keeping it in the
+    500k-row prep cache cost ~1.2 s/pass of interpreted decimal folds
+    for a value only the ~10³ rescore rows read; the rescore fold below
+    is the identical expression over the identical float array, so the
+    output is bit-unchanged)."""
     lhs = bands.select(
         F.col("vec_id").alias("vec_a"), "band", "band_key",
         F.col("nsq").alias("nsq_a"),
@@ -1670,23 +1691,24 @@ def _lsh_pairs_from_bands(prep: DataFrame, bands: DataFrame) -> DataFrame:
     )
 
     pa = prep.select(
-        F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"),
-        F.col("sq_norm").alias("na"),
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("ea")
     )
     pb = prep.select(
-        F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"),
-        F.col("sq_norm").alias("nb"),
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("eb")
     )
     # Exact rescore: survivors (already ≥0.45-gated, a few ×10³ rows
     # that AQE broadcasts into both prep joins) pay the
     # DECIMAL(25,16) dot the oracle compares against. The double-dot
     # gate is provably lossless: the 64-term double dot differs from
     # the exact-decimal value by ≤ 64·ε·‖a‖‖b‖ ≈ 1e-14 relative, so
-    # no true ≥0.5 pair can fall below 0.45. The F.aggregate fold here
-    # is per-SURVIVOR (a few ×10³ rows), not per-corpus-row — the r13
-    # fold sweep leaves it (converting the per-row sq_norm fold to a
-    # flat decimal chain measured a 3× LOSS: decimal codegen ops are
-    # heavier than the interpreted fold at 64 terms).
+    # no true ≥0.5 pair can fall below 0.45. The F.aggregate folds here
+    # (dot AND both sq_norms) are per-SURVIVOR (a few ×10³ rows), not
+    # per-corpus-row — the r13 fold sweep leaves them interpreted
+    # (flat decimal chains measured a 3× LOSS), and r13 moved the
+    # sq_norm folds HERE, ABOVE the joins, out of the 500k-row prep
+    # cache (~1.2 s/pass saved; a projection below the join would
+    # still evaluate per streamed prep row, so they must sit in the
+    # post-join projection to be per-survivor).
     prods = F.zip_with(
         F.col("ea"), F.col("eb"),
         lambda x, y: x.cast("double") * y.cast("double"),
@@ -1696,7 +1718,9 @@ def _lsh_pairs_from_bands(prep: DataFrame, bands: DataFrame) -> DataFrame:
         F.lit(0).cast("decimal(25,16)"),
         lambda acc, x: (acc + x.cast("decimal(25,16)")).cast("decimal(25,16)"),
     ).cast("double")
-    norms = F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))
+    norms = F.sqrt(_lsh_sq_norm(F.col("ea"))) * F.sqrt(
+        _lsh_sq_norm(F.col("eb"))
+    )
     out = cand.join(pa, cand.vec_a == pa.ia).join(pb, cand.vec_b == pb.ib)
     return (
         out.withColumn("cosine_raw", dot / norms)
@@ -1804,25 +1828,22 @@ def dedup_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair enumeration and asserts planted recall ≥95%.
     """
     emb = table(spark, sf_dir, "embeddings")
-    # r13 A/B NEGATIVE — flat decimal chain for this fold
-    # (.scratch/prof_lsh13.out): 64 per-term decimal casts + a 64-add
-    # decimal chain measured 6.2 s vs the fold's 2.0 s per 500k rows
-    # (3× loss, both reps) — decimal codegen ops allocate per step, so
-    # the chain trick only pays for DOUBLE/BIGINT arithmetic. The
-    # interpreted fold stays for exact-decimal accumulation.
-    sq_norm = F.aggregate(
-        F.col("embedding"),
-        F.lit(0).cast("decimal(25,16)"),
-        lambda acc, x: (
-            acc + (x.cast("double") * x.cast("double")).cast("decimal(25,16)")
-        ).cast("decimal(25,16)"),
-    ).cast("double")
+    # The exact DECIMAL(25,16) sq_norm (oracle's prep CTE) is NOT
+    # computed here: r13 deferred it to the rescore projection in
+    # ``_lsh_pairs_from_bands`` (``_lsh_sq_norm``), where it runs per
+    # SURVIVOR instead of per corpus row — the 500k prep cache paid
+    # ~1.2 s/pass of interpreted decimal folds (measured, vs 0.23 s
+    # without; .scratch/attr_lsh.py) for a value only ~10³ rescore rows
+    # read. The fold itself stays interpreted: the r12/r13 A/B measured
+    # a flat decimal chain 3× SLOWER (6.2 vs 2.0 s per 500k rows,
+    # .scratch/prof_lsh13.out) — decimal codegen ops allocate per step,
+    # so the chain trick only pays for DOUBLE/BIGINT arithmetic.
     # Carry the RAW float arrays (half the bytes of array<double>)
     # through cache and the candidate join-back; every arithmetic site
     # casts float→double per element (exact, row-local), so results
     # are bit-identical to a double-array pipeline while the pair
     # join's vector shuffle — the volume term at 500k+ — halves.
-    prep = emb.select("vec_id", "embedding", sq_norm.alias("sq_norm")).cache()
+    prep = emb.select("vec_id", "embedding").cache()
     # ONE parquet scan for the whole query (r12, interleaved A/B
     # +3.4% sign-stable 3/3 at the 500k tier): the corpus count that
     # sizes the geometry materializes the prep cache the rescore reads
