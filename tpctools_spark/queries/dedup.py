@@ -620,7 +620,21 @@ def _shared_gram_counts(
     # two rejoin shuffles. The whole pipeline has exactly two
     # postings-sized exchanges: the per-gram posting-list aggregation
     # and the pair-count aggregation.
-    gs = F.array_distinct(_shingles_rx())
+    # r13: grams are xxhash64-HASHED row-locally before everything else
+    # (guide §2.3 "shuffle keys, not payloads"): every downstream key —
+    # the df aggregation, the hot anti-join, the postings collect_list
+    # shuffle — becomes an 8-byte long instead of a ~25-byte string with
+    # string hashing/compares. No output column carries a gram, so the
+    # result is unchanged unless two distinct grams of the same corpus
+    # collide in 64 bits (P ≈ D²/2⁶⁵ ≈ 1e-5 at 2·10⁷ distinct grams,
+    # ~1e-9 at the oracle SFs) — the same whp-equivalence class as the
+    # md5-derived minhash family. Interleaved full-query A/B at 500k
+    # (.scratch/ab_gram_hash.py): hashed min 4.92 s vs string 6.72 s,
+    # faster in 4/4 pairs, identical (71448, 71428) output and
+    # fingerprint. The hash runs inside the interpreted transform()
+    # lambda, but one xxhash64 per element is cheaper than the string
+    # array_distinct it replaces (base build 1.56 vs 1.74 s).
+    gs = F.array_distinct(F.transform(_shingles_rx(), lambda s: F.xxhash64(s)))
     # Cache at the gram-array level: without the barrier CollapseProject
     # inlines the (interpreted) shingle+array_distinct pipeline into all
     # three consumers (the size filter, the n column, the explode) and
