@@ -139,7 +139,18 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
     (split/explode/xxhash64/hash-agg are all JVM-generated code).
     The tempting shuffle-free alternative — nested higher-order
     functions computing all 32 mins row-local — runs ~5× slower because
-    HOF lambdas are interpreted per element. The one shuffle here is
+    HOF lambdas are interpreted per element.
+
+    r13 A/B NEGATIVE — Arrow-batched signature build (the _lsh_sig_arrow
+    pattern; .scratch/proto_minhash_arrow.py): a mapInArrow twin (md5 +
+    hex-slice ints per shingle in Python, segment-min via numpy
+    reduceat) produced BIT-IDENTICAL signatures (all-integer pipeline,
+    fingerprint-equal at 500k) but measured 11.8 s vs 2.6 s for this
+    codegen path — 4.5× SLOWER. Unlike the LSH sign chains (64 fused
+    ±chains too big for HotSpot's JIT), md5+conv+hash-agg codegen is
+    already compiled and fast, while Python pays ~2 µs × 20M shingles
+    for as_py/encode/md5/int plus the Arrow transfer of every shingle
+    string. The JVM signature build stays. The one shuffle here is
     benign at any scale: partial (map-side) aggregation collapses each
     doc to 32 longs before the exchange, so shuffle bytes are
     O(n_docs·32·8), independent of document length. No array_distinct:
@@ -834,6 +845,13 @@ _EMB_CELL_TARGET = 32
 # All-integer (shiftleft/IF) so both engines agree bitwise; b = 0
 # (label at/below target size) short-circuits to one sub-cell because
 # Spark's sequence(0, -1) would count DOWN, not produce an empty list.
+# r13 A/B NEGATIVE — unrolled codegen chain (.scratch/ab_subcell.py):
+# a 40-term IF(i < least(b,size(e)) AND e[i+1] >= c[i+1], 1<<i, 0)
+# chain produced bit-identical subcells but measured 3.18 s vs the
+# fold's 2.42 s at 500k, slower in 4/4 interleaved pairs — b is
+# data-dependent (~11 here), so the chain evaluates ~4x the terms the
+# fold iterates, and each dead term still pays two element_at calls.
+# The interpreted fold stays: it runs exactly least(b, size(e)) steps.
 _SUBCELL_EXPR = (
     "IF(least(b, size(e)) = 0, 0L,"
     " aggregate(sequence(0, least(b, size(e)) - 1), 0L, (acc, i) -> acc"
@@ -1263,6 +1281,16 @@ def _min_label_components(
     graph-node-sized RDDs sit persisted on executors until driver GC
     happens to trigger ContextCleaner, quietly breaking the "state is
     graph-node-sized" claim on slow-converging graphs.
+
+    r13 A/B NEGATIVE — Observation-fused convergence
+    (.scratch/proto_observe_cc.py): folding the per-round SUM(label)
+    into the checkpoint job via ``df.observe(...)`` (one job per round
+    instead of two) measured not sign-stable at 500k (fused min 8.82 s
+    vs 9.24 s, faster only 2/4 interleaved pairs) and a LOSS at 50k
+    (3.09 vs 2.57 s, slower in all pairs): near-dup graphs converge in
+    ~2 rounds, the separate sum job over the already-checkpointed
+    (cached-block) labels is nearly free, and the CollectMetrics
+    listener wait costs more than it saves. Two jobs per round stay.
     """
     nodes = edges.select(F.col("src").alias("doc_id")).distinct()
     # Eager localCheckpoint, not cache(): each round references the
