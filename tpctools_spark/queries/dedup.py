@@ -965,6 +965,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         _EMB_DIM,
         _dot_chain,
         _dotf,
+        _emb_pairs_arrow,
         _wide_dims,
     )
 
@@ -974,6 +975,18 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = _embedding_cells(prep).withColumn(
         "nrm", F.sqrt(_dotf(F.col("e"), F.col("e")))
     )
+    # r13: the pair table comes from the Arrow within-cell pair scan
+    # (one shuffle, bounded numpy pair dots — see _emb_pairs_arrow for
+    # the A/B and the bit-exactness argument); the wide-column SMJ pair
+    # join below remains as the no-numpy fallback, value-identical
+    # (pinned by tests/test_estimator_accuracy.py's parity test).
+    arrow_pairs = _emb_pairs_arrow(tagged)
+    if arrow_pairs is not None:
+        return arrow_pairs.select(
+            "vec_a",
+            "vec_b",
+            trunc_digits(F.col("cosine_raw"), 4).alias("cosine"),
+        )
     # Wide-column pair join (the r11 LSH shape): dims ride through the
     # cell self-join as flat double columns so the per-pair dot —
     # which is also the OUTPUT cosine's numerator — is one codegen

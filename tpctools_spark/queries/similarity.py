@@ -831,6 +831,218 @@ def _dot_chain(pa: str, pb: str) -> Column:
     return acc
 
 
+def _cell_blocks(tab):
+    """Worker-side scaffolding for the Arrow within-cell pair scans:
+    sort an Arrow table of one shuffle partition by (label, subcell)
+    and yield ``(ids, E, slice)`` views per cell with ≥ 2 members.
+
+    ``E`` is the n×`_EMB_DIM` float64 matrix of the whole partition
+    (dim drift fails LOUDLY, mirroring ``_wide_dims``'s assert_true);
+    each yielded slice addresses one contiguous cell. Runs inside
+    ``mapInArrow`` — numpy/pyarrow imports are the caller's guard.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = tab.num_rows
+    idx = pc.sort_indices(
+        tab, sort_keys=[("label", "ascending"), ("subcell", "ascending")]
+    )
+    tab = tab.take(idx)
+    emb_col = tab.column("e").combine_chunks()
+    offs = np.diff(emb_col.offsets.to_numpy())
+    if emb_col.null_count or not (offs == _EMB_DIM).all():
+        bad = (
+            "null"
+            if emb_col.null_count
+            else int(offs[offs != _EMB_DIM][0])
+        )
+        raise ValueError(
+            f"_cell_blocks: embedding dim != {_EMB_DIM} (got {bad})"
+        )
+    E = emb_col.flatten().to_numpy(zero_copy_only=False).reshape(n, _EMB_DIM)
+    sub = tab.column("subcell").to_numpy()
+    lab_codes = (
+        pc.dictionary_encode(tab.column("label"))
+        .combine_chunks()
+        .indices.to_numpy(zero_copy_only=False)
+    )
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = (lab_codes[1:] != lab_codes[:-1]) | (sub[1:] != sub[:-1])
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
+    for s0, s1 in zip(starts, ends):
+        if s1 - s0 >= 2:
+            yield tab, E, slice(int(s0), int(s1))
+
+
+def _pair_dot_block(E, blk):
+    """All-pairs dot matrix of one cell, accumulated IN DIM ORDER —
+    acc starts at e₁ᵃ·e₁ᵇ and adds e_dᵃ·e_dᵇ per dim, the same IEEE
+    double op sequence as the left-assoc ``_dot_chain`` / the oracle's
+    0.0-seeded ``list_reduce``, so every pair dot is bit-identical to
+    the codegen-chain form (the ``_lsh_sig_arrow`` argument)."""
+    import numpy as np
+
+    Ec = E[blk]
+    acc = np.outer(Ec[:, 0], Ec[:, 0])
+    for d in range(1, _EMB_DIM):
+        acc += np.outer(Ec[:, d], Ec[:, d])
+    return acc
+
+
+def _prune_dropped_arrow(scored: DataFrame) -> DataFrame | None:
+    """The semantic-prune dropped set as ONE shuffle + an Arrow-batched
+    within-cell pair scan — returns None when numpy/pyarrow are missing
+    (callers fall back to the wide-column SMJ tail, which produces the
+    bit-identical set).
+
+    Why (guide §2.1/§2.2 + the r13 LSH Arrow lesson): the wide tail
+    shuffles BOTH self-join sides (500k × 64 double cols ≈ 2×280 MB),
+    sorts both for the SMJ, evaluates 12.7M chain dots, and pays a
+    distinct exchange — all to derive ≤ n_cells·occupancy dropped ids.
+    This form shuffles the slim scored cache ONCE (repartition on the
+    cell key), runs the bounded per-cell pair scan in numpy, and emits
+    only the dropped ids. Interleaved full-query A/B at 500k
+    (.scratch/ab_prune_full.py, JVM-quiesced reps): old min 6.98 s vs
+    new min 4.26 s, sign-stable 4/4, identical 230658-row output
+    fingerprint; tail-only 2.17 → 1.11 s (the SHJ hint was neutral).
+
+    Bit-exactness: per-pair dots accumulate in dim order
+    (``_pair_dot_block``); cosine divides by the same nrm product
+    (np.outer = one multiply per pair); tau/diversity comparisons are
+    the same IEEE predicates — membership of the dropped set cannot
+    differ from the chain form. A vec_id belongs to exactly one cell,
+    so per-cell uniqueness replaces the global distinct.
+    """
+    try:
+        import numpy as np  # noqa: F401
+        import pyarrow as pa  # noqa: F401
+    except ImportError:  # pragma: no cover — both ship in this env
+        return None
+    from pyspark.sql import types as spark_types
+
+    tau = _SEMANTIC_TAU
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        tabs = [pa.Table.from_batches([b]) for b in batches]
+        if not tabs:
+            return
+        tab = pa.concat_tables(tabs)
+        if tab.num_rows == 0:
+            return
+        out = []
+        ids_all = None
+        for stab, E, blk in _cell_blocks(tab):
+            if ids_all is None:
+                ids_all = stab.column("vec_id").to_numpy()
+                cc_all = stab.column("cent_cos").to_numpy()
+                nrm_all = stab.column("nrm").to_numpy()
+            cos = _pair_dot_block(E, blk) / np.outer(
+                nrm_all[blk], nrm_all[blk]
+            )
+            ci = cc_all[blk]
+            ic = ids_all[blk]
+            better = (ci[None, :] < ci[:, None]) | (
+                (ci[None, :] == ci[:, None]) & (ic[None, :] < ic[:, None])
+            )
+            drop = ((cos >= tau) & better).any(axis=1)
+            if drop.any():
+                out.append(ic[drop])
+        if out:
+            yield pa.RecordBatch.from_pydict(
+                {"vec_id": pa.array(np.concatenate(out), type=pa.int64())}
+            )
+
+    schema = spark_types.StructType(
+        [spark_types.StructField("vec_id", spark_types.LongType())]
+    )
+    return scored.repartition(F.col("label"), F.col("subcell")).mapInArrow(
+        gen, schema
+    )
+
+
+def _emb_pairs_arrow(tagged: DataFrame) -> DataFrame | None:
+    """``dedup_embedding``'s ≥0.3-cosine pair table as ONE shuffle + an
+    Arrow-batched within-cell pair scan — returns None when
+    numpy/pyarrow are missing (the caller falls back to the wide-column
+    SMJ pair join, which is bit-identical).
+
+    Same reasoning and bit-exactness argument as
+    ``_prune_dropped_arrow`` (dots accumulate in dim order via
+    ``_pair_dot_block``; products/divisions are commutative-identical
+    either pair orientation, so emitting vec_a = min id matches the
+    JVM join's a<b side assignment). Interleaved full-query A/B at
+    500k (.scratch/ab_emb_full.py, JVM-quiesced reps): old min 5.16 s
+    vs new min 3.61 s, sign-stable 4/4, identical 455062-pair output
+    fingerprint.
+
+    Input must carry (vec_id, label, subcell, nrm, e).
+    """
+    try:
+        import numpy as np  # noqa: F401
+        import pyarrow as pa  # noqa: F401
+    except ImportError:  # pragma: no cover — both ship in this env
+        return None
+    from pyspark.sql import types as spark_types
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        tabs = [pa.Table.from_batches([b]) for b in batches]
+        if not tabs:
+            return
+        tab = pa.concat_tables(tabs)
+        if tab.num_rows == 0:
+            return
+        oa, ob, oc = [], [], []
+        ids_all = None
+        for stab, E, blk in _cell_blocks(tab):
+            if ids_all is None:
+                ids_all = stab.column("vec_id").to_numpy()
+                nrm_all = stab.column("nrm").to_numpy()
+            cos = _pair_dot_block(E, blk) / np.outer(
+                nrm_all[blk], nrm_all[blk]
+            )
+            ic = ids_all[blk]
+            iu, ju = np.triu_indices(ic.shape[0], 1)
+            cv = cos[iu, ju]
+            keep = cv >= 0.3
+            if keep.any():
+                va, vb = ic[iu[keep]], ic[ju[keep]]
+                oa.append(np.minimum(va, vb))
+                ob.append(np.maximum(va, vb))
+                oc.append(cv[keep])
+        if oa:
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "vec_a": pa.array(np.concatenate(oa), type=pa.int64()),
+                    "vec_b": pa.array(np.concatenate(ob), type=pa.int64()),
+                    "cosine_raw": pa.array(
+                        np.concatenate(oc), type=pa.float64()
+                    ),
+                }
+            )
+
+    schema = spark_types.StructType(
+        [
+            spark_types.StructField("vec_a", spark_types.LongType()),
+            spark_types.StructField("vec_b", spark_types.LongType()),
+            spark_types.StructField("cosine_raw", spark_types.DoubleType()),
+        ]
+    )
+    return (
+        tagged.select("vec_id", "label", "subcell", "nrm", "e")
+        .repartition(F.col("label"), F.col("subcell"))
+        .mapInArrow(gen, schema)
+    )
+
+
 @query(
     "dedup_semantic_prune",
     oracle=f"""
@@ -943,6 +1155,21 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(_dotf(F.col("e"), F.col("e"))).alias("nrm"),
         )
     )
+    # r13: the dropped set comes from the Arrow within-cell pair scan
+    # (one shuffle, bounded numpy pair dots — see _prune_dropped_arrow
+    # for the A/B and the bit-exactness argument); the wide-column SMJ
+    # tail below remains as the no-numpy fallback, value-identical
+    # (pinned by tests/test_estimator_accuracy.py's parity test).
+    scored = scored.select(
+        "vec_id", "label", "subcell", "cent_cos", "nrm", "e"
+    ).cache()
+    dropped = _prune_dropped_arrow(scored)
+    if dropped is not None:
+        return scored.join(dropped, "vec_id", "left_anti").select(
+            "vec_id",
+            "label",
+            trunc_digits(F.col("cent_cos"), 4).alias("cent_cos"),
+        )
     scored = scored.select(
         "vec_id", "label", "subcell", "cent_cos", "nrm",
         *_wide_dims(scored, "e", "w"),
