@@ -279,3 +279,39 @@ def test_lsh_arrow_and_chain_paths_are_bit_identical(spark, tmp_path):
         D._lsh_sig_arrow = real
     assert arrow_rows, "parity corpus produced no pairs"
     assert arrow_rows == chain_rows
+
+
+def test_minhash_arrow_and_join_tails_are_value_identical(
+    spark, tmp_path
+):
+    """The r13 Arrow within-bucket agreement scan claims the same pair
+    set as the band-join + signature-rejoin fallback (the agreement
+    count is all-integer, so only candidate generation could drift).
+    Pin full output equality on a generated corpus with planted
+    near-dups exercising both paths."""
+    from tpctools_spark.generate_corpus import gen_documents
+    from tpctools_spark.queries import dedup as D
+    from tpctools_spark.registry import spark_queries
+
+    d = str(tmp_path / "parity")
+    gen_documents(spark, 3000, parts=4, vocab_size=5000).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/documents.parquet")
+
+    def rows():
+        out = sorted(
+            (r.doc_a, r.doc_b, r.est_jaccard)
+            for r in spark_queries()["dedup_minhash"](spark, d).collect()
+        )
+        spark.catalog.clearCache()
+        return out
+
+    arrow_rows = rows()
+    real = D._minhash_pairs_arrow
+    D._minhash_pairs_arrow = lambda *a, **k: None  # force the join tail
+    try:
+        join_rows = rows()
+    finally:
+        D._minhash_pairs_arrow = real
+    assert arrow_rows, "parity corpus produced no pairs"
+    assert arrow_rows == join_rows

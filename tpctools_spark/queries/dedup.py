@@ -286,6 +286,145 @@ def _fold_bucket(cols: list[F.Column]) -> F.Column:
     return acc
 
 
+def _minhash_band_structs(rows_per_band: int) -> F.Column:
+    """The 8 (band, bucket) structs of one signature, as an array —
+    shared by both tail shapes so bucket membership is one definition."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                _fold_bucket(
+                    [
+                        F.element_at("signature", b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("bucket"),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+
+
+def _minhash_pairs_arrow(bands: DataFrame) -> DataFrame | None:
+    """``dedup_minhash``'s candidate tail — (doc_a, doc_b, agree) with
+    agree ≥ 16 of 32 — as ONE shuffle + an Arrow within-bucket
+    agreement scan; returns None when numpy/pyarrow are missing (the
+    caller falls back to the band self-join + distinct + two signature
+    rejoins, which is value-identical).
+
+    Why (guide §2.3/§2.4 + the r13 cell-tail lesson): the JVM tail pays
+    a two-sided band self-join, a pre-gate distinct over every band
+    collision, and two signature rejoins (sig cached for 3 consumers).
+    Here the int32-narrowed signature rides the single band shuffle
+    (32×4 B instead of 32×8 B — guide §2.3 narrower types), the
+    within-bucket pair agreements are one vectorized numpy comparison,
+    and the distinct collapses the (tiny, post-gate) cross-band dupes.
+    Sig-through-the-JVM-join was also A/B'd: LOSS (min 8.40 vs 7.68 s —
+    the r11 "narrow shape wins" note holds for joins; the win needs the
+    Arrow scan). Interleaved full-query A/B at 500k
+    (.scratch/ab_minhash_tail.py, JVM-quiesced reps): old min 7.68 s vs
+    new min 6.17 s, faster 4/4 pairs, identical (71424, ...) output
+    fingerprint.
+
+    Bit-exactness is trivial: the agreement count is 32 integer
+    equalities summed (no floating point until the caller's unchanged
+    `round(cast(agree)/32.0, 4)` projection), and a doc contributes
+    exactly one row per band, so within-bucket ids are distinct and
+    `agree` is a pure function of the pair — distinct over
+    (doc_a, doc_b, agree) equals the old pre-gate candidate distinct.
+
+    Input must carry (doc_id, band, bucket, sig32).
+    """
+    try:
+        import numpy as np  # noqa: F401
+        import pyarrow as pa  # noqa: F401
+    except ImportError:  # pragma: no cover — both ship in this env
+        return None
+    from pyspark.sql import types as spark_types
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        tabs = [pa.Table.from_batches([b]) for b in batches]
+        if not tabs:
+            return
+        tab = pa.concat_tables(tabs)
+        n = tab.num_rows
+        if n == 0:
+            return
+        idx = pc.sort_indices(
+            tab,
+            sort_keys=[("band", "ascending"), ("bucket", "ascending")],
+        )
+        tab = tab.take(idx)
+        sc = tab.column("sig32").combine_chunks()
+        offs = np.diff(sc.offsets.to_numpy())
+        if sc.null_count or not (offs == N_MINHASH).all():
+            raise ValueError(
+                "_minhash_pairs_arrow: signature arity drift"
+            )
+        S = (
+            sc.flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(n, N_MINHASH)
+        )
+        ids = tab.column("doc_id").to_numpy()
+        band = tab.column("band").to_numpy()
+        bucket = tab.column("bucket").to_numpy()
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1])
+        # Vectorized within-block pair indices: row r (block position
+        # pos[r]) pairs, as the right element, with the pos[r] rows
+        # before it — no per-bucket Python loop.
+        starts_per_row = np.maximum.accumulate(
+            np.where(change, np.arange(n), 0)
+        )
+        pos = np.arange(n) - starts_per_row
+        total = int(pos.sum())
+        if total == 0:
+            return
+        j_idx = np.repeat(np.arange(n), pos)
+        cum = np.concatenate(([0], np.cumsum(pos)[:-1]))
+        i_idx = np.repeat(starts_per_row, pos) + (
+            np.arange(total) - np.repeat(cum, pos)
+        )
+        oa, ob, oc = [], [], []
+        chunk = 4_000_000  # bounds the total×32 comparison buffer
+        for s in range(0, total, chunk):
+            ii, jj = i_idx[s : s + chunk], j_idx[s : s + chunk]
+            agree = (S[ii] == S[jj]).sum(axis=1, dtype=np.int32)
+            keep = agree >= N_MINHASH // 2
+            if keep.any():
+                a, b = ids[ii[keep]], ids[jj[keep]]
+                oa.append(np.minimum(a, b))
+                ob.append(np.maximum(a, b))
+                oc.append(agree[keep])
+        if oa:
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_a": pa.array(np.concatenate(oa), type=pa.int64()),
+                    "doc_b": pa.array(np.concatenate(ob), type=pa.int64()),
+                    "agree": pa.array(np.concatenate(oc), type=pa.int32()),
+                }
+            )
+
+    schema = spark_types.StructType(
+        [
+            spark_types.StructField("doc_a", spark_types.LongType()),
+            spark_types.StructField("doc_b", spark_types.LongType()),
+            spark_types.StructField("agree", spark_types.IntegerType()),
+        ]
+    )
+    return (
+        bands.repartition(F.col("band"), F.col("bucket"))
+        .mapInArrow(gen, schema)
+        .distinct()
+    )
+
+
 @query("dedup_minhash", oracle=_MINHASH_ORACLE)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate candidate pairs.
@@ -307,31 +446,38 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     one; accepted as the standing baseline.
     """
     docs = spread_input(table(spark, sf_dir, "documents"))
+    rows_per_band = N_MINHASH // MINHASH_BANDS
+
+    # r13: the candidate tail comes from the Arrow within-bucket
+    # agreement scan (one shuffle of int32-narrowed signatures, numpy
+    # pair agreements — see _minhash_pairs_arrow for the A/B and the
+    # exactness argument); the band self-join + rejoins below remain
+    # as the no-numpy fallback, value-identical (pinned by
+    # tests/test_dedup_invariants.py's parity test). One consumer →
+    # no signature cache on this path.
+    bands_sig = _minhash_signatures(docs).select(
+        "doc_id",
+        F.col("signature").cast("array<int>").alias("sig32"),
+        F.explode(_minhash_band_structs(rows_per_band)).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket", "sig32")
+    arrow_pairs = _minhash_pairs_arrow(bands_sig)
+    if arrow_pairs is not None:
+        est = F.round(
+            F.col("agree").cast("double") / F.lit(float(N_MINHASH)), 4
+        )
+        return arrow_pairs.select(
+            "doc_a", "doc_b", est.alias("est_jaccard")
+        ).filter(F.col("est_jaccard") >= 0.5)
+
     # Cache the signatures: three consumers (band projection + both
     # rejoin legs) would otherwise recompute the shingle/agg pipeline.
     sig = _minhash_signatures(docs).cache()
 
-    rows_per_band = N_MINHASH // MINHASH_BANDS
     # Only (doc_id, band, bucket) flows through the self-join — the wide
     # signature arrays rejoin afterwards on the (small) candidate set.
     bands = sig.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        _fold_bucket(
-                            [
-                                F.element_at("signature", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(_minhash_band_structs(rows_per_band)).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
 
     left = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
