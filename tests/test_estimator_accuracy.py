@@ -192,6 +192,31 @@ def test_prune_arrow_and_smj_paths_are_bit_identical(spark, queries, tmp_path):
     assert arrow_pairs, "parity corpus produced no pairs"
     assert arrow_pairs == smj_pairs
 
+    # dedup_embedding_incremental: the Arrow within-cell batch-probe
+    # counts must match the wide-column probe join row for row.
+    def incr_rows():
+        out = sorted(
+            (r.vec_id, r.decision, r.n_neighbors)
+            for r in queries["dedup_embedding_incremental"](
+                spark, d
+            ).collect()
+        )
+        spark.catalog.clearCache()
+        return out
+
+    arrow_incr = incr_rows()
+    real_incr = S._emb_incr_hits_arrow
+    S._emb_incr_hits_arrow = lambda *a, **k: None  # force the probe join
+    try:
+        join_incr = incr_rows()
+    finally:
+        S._emb_incr_hits_arrow = real_incr
+    assert arrow_incr, "parity corpus produced no batch rows"
+    assert any(r[1] == "near_dup" for r in arrow_incr), (
+        "parity corpus flagged nothing"
+    )
+    assert arrow_incr == join_incr
+
 
 def test_chunk_cdc_chunks_cover_payload(spark, queries):
     """Chunk lengths per doc must sum to the doc's char count — CDC

@@ -830,6 +830,15 @@ def _shared_gram_counts(
     # to 10M to keep it hash-based measured SLOWER warm (interleaved
     # min-of-4: 27.1 s vs 10.5 s default) — a 24M-string-key object
     # hash map thrashes GC; the sort-based path streams. Keep default.
+    # r13 A/B REJECTED (not sign-stable): an Arrow within-gram pair
+    # scan replacing df-agg + anti-join + collect_list with ONE
+    # repartition(gram) (the df-cap fused as the block-size gate,
+    # numpy partial pair counting; .scratch/ab_gram_pairs.py) produced
+    # the identical (71448, -2895271403086445705) fingerprint but
+    # split 3/4 then 3/6 across two interleaved sessions with the OLD
+    # floor lower (6.69 vs 8.58 s min) — the sort-based collect_list
+    # streams postings at JVM speed and the Arrow transfer of 24M
+    # postings buys nothing stable. Kept the JVM shape.
     # r11 A/B NEGATIVE: replacing this posting-list build with a
     # shuffled-hash SELF-JOIN on gram (both legs behind one
     # ReusedExchange, per-partition hash join instead of collect_list)
@@ -1330,6 +1339,7 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         _EMB_DIM,
         _dot_chain,
         _dotf,
+        _emb_incr_hits_arrow,
         _wide_dims,
     )
 
@@ -1339,6 +1349,29 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = _embedding_cells(prep).withColumn(
         "nrm", F.sqrt(_dotf(F.col("e"), F.col("e")))
     )
+    is_batch = (F.col("vec_id") % 9 == 0) & (F.col("vec_id") > 0)
+    # r13: neighbor counts come from the Arrow within-cell scan (one
+    # shuffle, bounded numpy batch×corpus dots — see
+    # _emb_incr_hits_arrow for the A/B and the bit-exactness
+    # argument); the wide-column probe join below remains as the
+    # no-numpy fallback, value-identical (pinned by
+    # tests/test_estimator_accuracy.py's parity test).
+    arrow_hits = _emb_incr_hits_arrow(tagged)
+    if arrow_hits is not None:
+        return (
+            prep.filter(is_batch)
+            .select("vec_id")
+            .join(arrow_hits, prep.vec_id == arrow_hits.bd, "left")
+            .select(
+                "vec_id",
+                F.when(F.col("n").isNotNull(), "near_dup")
+                .otherwise("accept")
+                .alias("decision"),
+                F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias(
+                    "n_neighbors"
+                ),
+            )
+        )
     # Wide-column probe join — see dedup_embedding for the shape and
     # the bit-identity argument (similarity._dot_chain).
     tagged = tagged.select(
@@ -1880,6 +1913,17 @@ def _lsh_pairs_from_bands(prep: DataFrame, bands: DataFrame) -> DataFrame:
     # identical 62870 candidates) — the join is not the residual
     # bottleneck (cache build + rescore are); SMJ kept as the
     # scale-safe default.
+    # r13 A/B NEGATIVE — Arrow within-bucket candidate scan (the
+    # minhash/prune pattern: repartition(band, band_key) of the float32
+    # arrays + vectorized numpy pair dots + gate; .scratch/
+    # ab_lsh_cand.py): bit-identical output (19433,
+    # 6754358889222674800) but min 24.45 vs 9.90 s — 2.5× SLOWER,
+    # 0/4 reps. Unlike minhash (int32 sigs, tiny per-pair work moved
+    # out of a join+distinct+2 rejoins), here the in-join 0.45 gate
+    # already runs as flat-codegen column arithmetic inside the SMJ
+    # stream, while the Arrow form pays array-column explode+shuffle
+    # serialization plus per-pair numpy gathers over ~7M bucket
+    # collisions. The wide-dims-through-the-join shape stays.
     cand = (
         lhs.join(rhs, ["band", "band_key"])
         .filter(F.col("vec_a") < F.col("vec_b"))
