@@ -85,6 +85,7 @@ _BNLJ_ALLOWED = {
     "graph_pagerank_power",  # one-row node-count broadcast (teleport term, graph.py:117)
     "mining_basket_lift",  # one-row n_orders total broadcast into the lift ratios (mining.py:86)
     "pipeline_curriculum_order",  # one-row quartile-cutpoint broadcast
+    "pipeline_dedup_eval",  # one-row truth-total × one-row detector-stats cross (1 x 1, corpusgen.py)
     "pipeline_dedup_funnel",  # three one-row stage-count broadcasts (funnel row)
     "pipeline_dedup_bias_report",  # one-row corpus-totals broadcast (bias denominator)
     "pipeline_mix_weights",  # one-row corpus-totals broadcast into per-source shares

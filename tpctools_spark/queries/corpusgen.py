@@ -271,25 +271,55 @@ def pipeline_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("id") - 1).alias("da"), F.col("id").alias("db")
         )
     )
-    n_truth = truth.count()
-    n_detected = detected.count()
-    n_hit = detected.join(truth, ["da", "db"]).count()
-    return spark.createDataFrame(
-        [
-            (
-                n_truth,
-                n_detected,
-                n_hit,
-                float(int(n_hit / n_detected * 10000)) / 10000
-                if n_detected
-                else 0.0,
-                float(int(n_hit / n_truth * 10000)) / 10000
-                if n_truth
-                else 0.0,
+    # Single-DAG tail (r13): the original form ran THREE driver actions
+    # (truth.count(), detected.count(), detected⋈truth count) plus a
+    # createDataFrame — at the 500-doc eval size the detector DAG is
+    # overhead-dominated, and the extra jobs re-ran its reduce side.
+    # Scoring is now one relational DAG: detected left-joins the
+    # (broadcast, |dups|-sized) truth pairs once, one aggregate emits
+    # n_detected and n_hit together, and the precision/recall floors
+    # use the same double ops as the Python originals
+    # (floor(nh/nd·10⁴)/10⁴ ≡ float(int(nh/nd·10⁴))/10⁴ for
+    # non-negative counts), so the emitted row is value-identical.
+    # Interleaved A/B (.scratch/ab_dedup_eval.py): new faster 8/8
+    # pairs, min 3.52 → 2.03 s, identical (71, 76, 71, 0.9342, 1.0).
+    det_stats = (
+        detected.join(
+            F.broadcast(truth.withColumn("hit", F.lit(1))),
+            ["da", "db"],
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_detected"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        )
+    )
+    t_stats = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+
+    def _floor_ratio(num: str, den: str) -> F.Column:
+        return (
+            F.when(
+                F.col(den) > 0,
+                F.floor(
+                    F.col(num).cast("double")
+                    / F.col(den).cast("double")
+                    * 10000
+                ).cast("double")
+                / 10000,
             )
-        ],
-        "n_truth bigint, n_detected bigint, n_hit bigint, "
-        "precision_ double, recall_ double",
+            .otherwise(F.lit(0.0))
+        )
+
+    return (
+        F.broadcast(t_stats)
+        .crossJoin(det_stats)
+        .select(
+            "n_truth",
+            "n_detected",
+            "n_hit",
+            _floor_ratio("n_hit", "n_detected").alias("precision_"),
+            _floor_ratio("n_hit", "n_truth").alias("recall_"),
+        )
     )
 
 
