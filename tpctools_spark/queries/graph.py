@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tpctools_spark.catalog import table
+from tpctools_spark.queries._util import maybe_local_checkpoint
 from tpctools_spark.registry import query
 
 # Fixed-point scale: ranks are integers in units of 1e-9 of total mass.
@@ -106,10 +107,14 @@ def graph_pagerank_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round in the nested plan, but materializing ~1M rows to the
     # in-memory columnar cache costs MORE than re-running the cheap
     # scan+distinct+union thrice (A/B same-process at sf0.1: plain
-    # ~3.0s vs cached ~5.5-7.4s warm). With a high round count or an
-    # expensive edge derivation the trade flips — re-measure, don't
-    # assume.
-    edges = fwd.unionByName(rev)
+    # ~3.0s vs cached ~5.5-7.4s warm). r13: localCheckpoint is the
+    # form that DOES win — row blocks, no columnar encode, and the
+    # 4-use plan (deg + 3 rounds) collapses to one materialization
+    # (interleaved A/B at sf0.1: faster 6/6 pairs, min 2.27 → 2.01 s,
+    # identical top-20). Blocks are edge-list-sized and executor-local;
+    # freed by ContextCleaner when the result DF is dropped — same
+    # trade as `_min_label_components`' loop checkpoints.
+    edges = maybe_local_checkpoint(fwd.unionByName(rev))
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )
@@ -191,6 +196,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    # r13 A/B NEUTRAL — localCheckpoint(edges) (the pagerank/BFS win)
+    # measured NOT sign-stable here (faster 4/5, min 0.480 vs 0.472 s
+    # at sf0.1): the three `edges` consumers share the mod-97 distinct
+    # EXCHANGE via shuffle-stage reuse, and the post-shuffle re-agg is
+    # ≤4.6k rows — there is no re-derivation to save. Left plain.
     edges = pairs.select(
         F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
     ).distinct()
@@ -272,19 +282,24 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth-bounded by construction). Output is the per-distance node
     census (count + id-sum) — compact at any scale.
 
-    Edge list deliberately not cached — same measured trade as
-    PageRank (see the NOT-cached note there): 3 cheap re-derivations
-    beat one columnar materialization at this round count.
+    Edge list: columnar cache was the r11 measured loss (see the
+    PageRank note), but the r13 localCheckpoint A/B won sign-stable
+    (faster 6/6 interleaved pairs at sf0.1, min 2.32 → 1.71 s,
+    identical census) — the 4 consumers (nodes + 3 rounds) read one
+    row-block materialization instead of re-deriving scan+distinct+
+    union each time.
     """
     li = table(spark, sf_dir, "lineitem")
     pairs = li.select("l_partkey", "l_suppkey").distinct()
-    edges = pairs.select(
-        (F.col("l_partkey") * 2).alias("src"),
-        (F.col("l_suppkey") * 2 + 1).alias("dst"),
-    ).unionByName(
+    edges = maybe_local_checkpoint(
         pairs.select(
-            (F.col("l_suppkey") * 2 + 1).alias("src"),
-            (F.col("l_partkey") * 2).alias("dst"),
+            (F.col("l_partkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        ).unionByName(
+            pairs.select(
+                (F.col("l_suppkey") * 2 + 1).alias("src"),
+                (F.col("l_partkey") * 2).alias("dst"),
+            )
         )
     )
     nodes = edges.select("src").distinct().select(F.col("src").alias("node"))
@@ -404,6 +419,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    # r13 A/B NEUTRAL — localCheckpoint(edges) measured not sign-stable
+    # (faster 4/5, min 2.678 vs 2.591 s at sf0.1): same reason as
+    # `graph_triangle_count` — the per-round consumers reuse the mod-97
+    # distinct's shuffle output, so only a tiny (≤97-node) re-agg would
+    # be saved. Left plain.
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))

@@ -201,7 +201,17 @@ def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     """The IVF pipeline parameterized by the number of probed cells —
-    shared by the nprobe=3 query and the recall-vs-nprobe curve."""
+    shared by the nprobe=3 query and the recall-vs-nprobe curve.
+
+    r13 A/B NEUTRAL — hoisting the probe's sqrt(dot(pe,pe)) into the
+    1-row probe broadcast (stage 3 recomputes that 64-term decimal
+    fold per candidate row; `sim_cosine_topk` hoists it) measured
+    bit-identical and faster leg-isolated (1.61 → 1.33 s at the 50k
+    fixture) but NOT sign-stable at the consumer (`sim_ivf_recall`
+    full-query: faster 4/6 interleaved pairs, min 1.82 vs 1.72 s —
+    the brute leg + join dominate). Left as-is under the
+    sign-stability rule; re-try if the candidate set ever grows past
+    ~nprobe/ncells · 50k rows (.scratch/attr_ivf.py)."""
     emb = table(spark, sf_dir, "embeddings")
     prep = emb.select("vec_id", "label", _as_double(F.col("embedding")).alias("e"))
 
