@@ -132,3 +132,34 @@ def test_hilbert_matches_reference_and_is_shuffle_free(spark):
     assert all(0 <= r.haddr < 65536 for r in rows)
     plan = _plan(df)
     assert "Exchange" not in plan
+
+
+def test_pq_build_arrow_and_join_forms_are_value_identical(spark):
+    """r13: the Arrow argmin build (`_pq_build_arrow`) must emit
+    exactly the codebook and code table of the broadcast-join form it
+    replaced — all quantities are int64 (fixed-point vectors, squared
+    L2, partial sums), numpy argmin's first-minimal-index equals the
+    (d, c) struct-min tie-break over code-id-ordered rows, and the
+    toward-zero `div` stays in the JVM, so equality must be EXACT."""
+    from tpctools_spark.queries.retrieval import (
+        _pq_build_arrow,
+        _pq_build_joins,
+    )
+
+    acb, aenc = _pq_build_arrow(spark, SF)
+    assert acb is not None, "numpy/pyarrow ship in this environment"
+    jcb, jenc = _pq_build_joins(spark, SF)
+
+    def canon(df, cols):
+        return sorted(
+            tuple(
+                tuple(r[k]) if isinstance(r[k], list) else r[k]
+                for k in cols
+            )
+            for r in df.collect()
+        )
+
+    assert canon(acb, ["cs", "c", "csv"]) == canon(jcb, ["cs", "c", "csv"])
+    assert canon(aenc, ["vec_id", "label", "s", "code"]) == canon(
+        jenc, ["vec_id", "label", "s", "code"]
+    )

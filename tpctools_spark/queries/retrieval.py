@@ -341,7 +341,209 @@ def _pq_build(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     plain DataFrames, so a bench/production caller can materialize
     them once per corpus (they are pure functions of the fixture) and
     amortize the build across probes — ``bench.py`` times build and
-    probe separately on exactly this seam."""
+    probe separately on exactly this seam.
+
+    r13: the two N·M×K assignment steps run as Arrow within-partition
+    argmin scans (`_pq_build_arrow`) when numpy/pyarrow are present;
+    the broadcast-join form below is the value-identical fallback,
+    pinned by tests/test_retrieval_plans.py."""
+    arrow = _pq_build_arrow(spark, sf_dir)
+    if arrow is not None:
+        return arrow
+    return _pq_build_joins(spark, sf_dir)
+
+
+def _pq_build_arrow(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame] | None:
+    """The assignment steps of `_pq_build` as Arrow batch scans —
+    returns None when numpy/pyarrow are missing (callers fall back to
+    `_pq_build_joins`, which produces bit-identical tables).
+
+    Why (guide §2.3/§4.2 + the r13 LSH Arrow lesson): the join form
+    materializes N·M×K = 25.6M candidate rows through a broadcast join
+    and a 400k-group struct-min TWICE (Lloyd assign + encode), plus a
+    3.2M-row posexplode for the centroid means — all to compute
+    argmins and integer sums that one numpy pass per partition
+    produces directly. Interleaved A/B at the 50k bench fixture
+    (.scratch/ab_pq_build.py): **faster 6/6 pairs, min 5.04 → 2.96 s**
+    (cb + enc noop-materialized), cb and enc row sets EXACTLY equal.
+
+    Bit-exactness is trivial: every quantity is int64 (fixed-point
+    vectors, squared-L2 distances, partial sums/counts) and numpy
+    int64 arithmetic is exact like the JVM's; `np.argmin` returns the
+    FIRST minimal index, which over code-id-ordered rows is the lowest
+    code id among minima — the same (d, c) struct-min tie-break; and
+    the toward-zero floor division stays in the JVM (`sum(psum) div
+    sum(pcnt)` over the summed partials — integer sums are
+    partition-invariant, so retries/repartitions cannot change the
+    refined centroids). Driver state is constant-size: the K seed
+    vectors and the M×K refined codebook (the kmeans-centroid
+    pattern); the corpus never collects.
+    """
+    try:
+        import numpy as np
+        import pyarrow as pa  # noqa: F401
+    except ImportError:  # pragma: no cover — both ship in this env
+        return None
+    from pyspark.sql import types as spark_types
+
+    fx = _pq_fx(spark, sf_dir)
+    seed_rows = (
+        fx.filter(F.col("vec_id") < _PQ_K)
+        .select("vec_id", "q")
+        .orderBy("vec_id")
+        .collect()
+    )
+    seed_mat = np.array([r["q"] for r in seed_rows], dtype=np.int64)
+    seeds = [
+        seed_mat[:, s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]
+        for s in range(_PQ_M)
+    ]
+
+    def _assign(Qs, cents):
+        # (n, K) int64 squared-L2 matrix; first minimal index == lowest
+        # code id among minima (rows are code-id ordered).
+        d = ((Qs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return np.argmin(d, axis=1)
+
+    def _q_matrix(tab):
+        col = tab.column("q").combine_chunks()
+        return np.asarray(col.flatten()).reshape(tab.num_rows, -1).astype(
+            np.int64
+        )
+
+    part_schema = spark_types.StructType(
+        [
+            spark_types.StructField("s", spark_types.IntegerType()),
+            spark_types.StructField("c", spark_types.IntegerType()),
+            spark_types.StructField("i", spark_types.IntegerType()),
+            spark_types.StructField("psum", spark_types.LongType()),
+            spark_types.StructField("pcnt", spark_types.LongType()),
+        ]
+    )
+
+    def partials(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        sums = np.zeros((_PQ_M, _PQ_K, _PQ_SUBDIM), dtype=np.int64)
+        cnts = np.zeros((_PQ_M, _PQ_K), dtype=np.int64)
+        seen = False
+        for b in batches:
+            tab = pa.Table.from_batches([b])
+            if tab.num_rows == 0:
+                continue
+            seen = True
+            Q = _q_matrix(tab)
+            for s in range(_PQ_M):
+                Qs = Q[:, s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]
+                codes = _assign(Qs, seeds[s])
+                np.add.at(sums[s], codes, Qs)
+                np.add.at(cnts[s], codes, 1)
+        if not seen:
+            return
+        s_idx, c_idx = np.nonzero(cnts)
+        out = {"s": [], "c": [], "i": [], "psum": [], "pcnt": []}
+        for s, c in zip(s_idx, c_idx):
+            for i in range(_PQ_SUBDIM):
+                out["s"].append(int(s))
+                out["c"].append(int(c))
+                out["i"].append(i)
+                out["psum"].append(int(sums[s, c, i]))
+                out["pcnt"].append(int(cnts[s, c]))
+        yield pa.RecordBatch.from_pydict(
+            {
+                "s": pa.array(out["s"], type=pa.int32()),
+                "c": pa.array(out["c"], type=pa.int32()),
+                "i": pa.array(out["i"], type=pa.int32()),
+                "psum": pa.array(out["psum"], type=pa.int64()),
+                "pcnt": pa.array(out["pcnt"], type=pa.int64()),
+            }
+        )
+
+    part = fx.select("q").mapInArrow(partials, part_schema)
+    # pcnt repeats across a cell's i rows, so the (s, c, i) group sums
+    # it to the full cell count exactly once per component; the
+    # toward-zero `div` matches DuckDB `//` on the same integers.
+    avg = (
+        part.groupBy("s", "c", "i")
+        .agg(F.expr("sum(psum) div sum(pcnt)").alias("cv"))
+        .groupBy(F.col("s").alias("a_s"), F.col("c").alias("a_c"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "cv"))),
+                lambda t: t["cv"],
+            ).alias("csv1")
+        )
+    )
+    subs = _pq_subs(fx)
+    cb0 = subs.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("s").alias("cs"), F.col("vec_id").alias("c"), F.col("sv").alias("csv")
+    )
+    # Empty cells (a seed shadowed by an identical lower-id seed) keep
+    # their seed centroid — same LEFT-join COALESCE as the join form
+    # and the oracle.
+    cb = (
+        cb0.join(
+            F.broadcast(avg),
+            (cb0.cs == F.col("a_s")) & (cb0.c == F.col("a_c")),
+            "left",
+        )
+        .select("cs", "c", F.coalesce("csv1", "csv").alias("csv"))
+    )
+    # Encode pass against the REFINED codebook — a constant-size (M·K)
+    # collect, then one Arrow scan of the corpus.
+    refined = [
+        np.zeros((_PQ_K, _PQ_SUBDIM), dtype=np.int64) for _ in range(_PQ_M)
+    ]
+    for r in cb.orderBy("cs", "c").collect():
+        refined[r["cs"]][r["c"]] = np.array(r["csv"], dtype=np.int64)
+
+    enc_schema = spark_types.StructType(
+        [
+            spark_types.StructField("vec_id", spark_types.LongType()),
+            spark_types.StructField("label", spark_types.LongType()),
+            spark_types.StructField("s", spark_types.IntegerType()),
+            spark_types.StructField("code", spark_types.LongType()),
+        ]
+    )
+
+    def encode(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            tab = pa.Table.from_batches([b])
+            n = tab.num_rows
+            if n == 0:
+                continue
+            ids = tab.column("vec_id").to_numpy()
+            labels = tab.column("label").to_numpy()
+            Q = _q_matrix(tab)
+            for s in range(_PQ_M):
+                codes = _assign(
+                    Q[:, s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM], refined[s]
+                )
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "vec_id": pa.array(ids, type=pa.int64()),
+                        "label": pa.array(labels, type=pa.int64()),
+                        "s": pa.array(np.full(n, s), type=pa.int32()),
+                        "code": pa.array(codes, type=pa.int64()),
+                    }
+                )
+
+    enc = fx.select("vec_id", "label", "q").mapInArrow(encode, enc_schema)
+    return cb, enc
+
+
+def _pq_build_joins(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The broadcast-join form of `_pq_build` — the no-numpy fallback,
+    value-identical to `_pq_build_arrow` (parity-pinned in
+    tests/test_retrieval_plans.py)."""
     fx = _pq_fx(spark, sf_dir)
     subs = _pq_subs(fx)
     cb0 = subs.filter(F.col("vec_id") < _PQ_K).select(
