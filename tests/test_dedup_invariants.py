@@ -288,7 +288,16 @@ def test_minhash_arrow_and_join_tails_are_value_identical(
     set as the band-join + signature-rejoin fallback (the agreement
     count is all-integer, so only candidate generation could drift).
     Pin full output equality on a generated corpus with planted
-    near-dups exercising both paths."""
+    near-dups exercising both paths.
+
+    r14: the Arrow tail is SIZE-GATED (``_minhash_arrow_enabled``) —
+    this corpus is far below the gate, so the Arrow leg forces the
+    path on via TPCTOOLS_MINHASH_ARROW=1; and the scan now STREAMS
+    sorted batches (carry/flush at bucket-run boundaries), so the
+    Arrow leg also shrinks ``arrow.maxRecordsPerBatch`` to force many
+    batches per partition and exercise run-straddling carries."""
+    import os
+
     from tpctools_spark.generate_corpus import gen_documents
     from tpctools_spark.queries import dedup as D
     from tpctools_spark.registry import spark_queries
@@ -306,7 +315,20 @@ def test_minhash_arrow_and_join_tails_are_value_identical(
         spark.catalog.clearCache()
         return out
 
-    arrow_rows = rows()
+    batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old_batch = spark.conf.get(batch_key, None)
+    os.environ["TPCTOOLS_MINHASH_ARROW"] = "1"
+    spark.conf.set(batch_key, "256")  # many batches → straddled runs
+    try:
+        arrow_rows = rows()
+    finally:
+        os.environ.pop("TPCTOOLS_MINHASH_ARROW", None)
+        if old_batch is None:
+            spark.conf.unset(batch_key)
+        else:
+            spark.conf.set(batch_key, old_batch)
+    # The size gate routes this (tiny) corpus to the join tail without
+    # the forced env — the default dispatch IS the fallback here.
     real = D._minhash_pairs_arrow
     D._minhash_pairs_arrow = lambda *a, **k: None  # force the join tail
     try:
@@ -315,3 +337,30 @@ def test_minhash_arrow_and_join_tails_are_value_identical(
         D._minhash_pairs_arrow = real
     assert arrow_rows, "parity corpus produced no pairs"
     assert arrow_rows == join_rows
+
+
+def test_minhash_arrow_gate_reads_scan_size_and_env(spark):
+    """The r14 size gate: small corpora route to the JVM join tail
+    (the driver-measured −21%/−11% small-tier fix), env forces win
+    either way, and an unknown size estimate gates OPEN (scale-safe:
+    at 100 TB the gate must never fail closed)."""
+    import os
+
+    from tpctools_spark.catalog import table
+    from tpctools_spark.queries import dedup as D
+
+    raw = table(spark, "/root/testdata/sf0.001", "documents")
+    assert not D._minhash_arrow_enabled(raw)  # ~65 KB << 16 MiB gate
+    for forced, want in (("1", True), ("0", False)):
+        os.environ["TPCTOOLS_MINHASH_ARROW"] = forced
+        try:
+            assert D._minhash_arrow_enabled(raw) is want
+        finally:
+            os.environ.pop("TPCTOOLS_MINHASH_ARROW", None)
+
+    class _NoStats:
+        @property
+        def _jdf(self):
+            raise RuntimeError("no plan")
+
+    assert D._minhash_arrow_enabled(_NoStats())  # unknown → open

@@ -203,6 +203,25 @@ def spread_input(df):
     return df.repartition(target)
 
 
+def scan_size_bytes(df) -> int:
+    """Catalyst's size estimate of ``df``'s plan, in bytes — metadata
+    only (file-listing stats the scan already holds), no job.
+
+    Used to SIZE-GATE optimizations whose fixed overhead (Python
+    worker spin-up, Arrow transfer) only amortizes past a data volume
+    — e.g. ``dedup_minhash``'s Arrow tail, a measured r13 win at the
+    500k-doc tier but a −21% loss at 50k docs. Returns -1 when the
+    estimate is unavailable; callers must treat unknown as LARGE (the
+    scale-safe default — at 100 TB the gate must never fail closed).
+    """
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 — estimate only, never fatal
+        return -1
+
+
 def maybe_local_checkpoint(df):
     """``localCheckpoint(eager=False)`` — unless ``TPCTOOLS_NO_CHECKPOINT``
     is set, in which case the plan is returned unchanged.

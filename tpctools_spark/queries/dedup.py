@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from tpctools_spark.catalog import table
 from tpctools_spark.queries._util import (
     release_local_checkpoint as _release_local_checkpoint,
+    scan_size_bytes,
     spread_input,
     trunc_digits,
 )
@@ -305,6 +306,39 @@ def _minhash_band_structs(rows_per_band: int) -> F.Column:
     )
 
 
+# r14 size gate for the Arrow minhash tail (r13 VERDICT item 1): r13
+# dispatched the Arrow tail unconditionally; the driver's bench showed
+# the 500k tier +12% but dedup_minhash_50k −21% and the sf0.1 headline
+# −11% — below ~10⁵ docs the Arrow stage's fixed costs (Python worker
+# handoff, sig32 transfer, the extra sort) exceed the removed
+# band-join+distinct+rejoin cost. The gate reads the documents scan's
+# Catalyst size estimate (metadata only, no job): at or above
+# _MINHASH_ARROW_MIN_BYTES → Arrow tail; below → the value-identical
+# JVM join tail (parity-pinned by tests/test_dedup_invariants.py).
+# Threshold: the bench corpora store ~195-230 B/doc in parquet, so
+# 16 MiB ≈ 8·10⁴ docs — between the measured −21% 50k loss (9.3 MiB
+# on disk) and the measured +12% 500k win (110 MiB), on the
+# conservative side of break-even so the JVM tail keeps every tier it
+# already wins.
+# Unknown stats gate OPEN (at 100 TB the gate must never fail closed).
+# TPCTOOLS_MINHASH_ARROW=1/0 forces the path (parity tests + A/Bs).
+_MINHASH_ARROW_MIN_BYTES = 16 * 1024 * 1024
+
+
+def _minhash_arrow_enabled(raw_docs: DataFrame) -> bool:
+    """True when the Arrow within-bucket tail should serve
+    ``dedup_minhash`` — see ``_MINHASH_ARROW_MIN_BYTES``."""
+    import os
+
+    forced = os.environ.get("TPCTOOLS_MINHASH_ARROW", "")
+    if forced == "1":
+        return True
+    if forced == "0":
+        return False
+    nbytes = scan_size_bytes(raw_docs)
+    return nbytes < 0 or nbytes >= _MINHASH_ARROW_MIN_BYTES
+
+
 def _minhash_pairs_arrow(bands: DataFrame) -> DataFrame | None:
     """``dedup_minhash``'s candidate tail — (doc_a, doc_b, agree) with
     agree ≥ 16 of 32 — as ONE shuffle + an Arrow within-bucket
@@ -334,6 +368,23 @@ def _minhash_pairs_arrow(bands: DataFrame) -> DataFrame | None:
     (doc_a, doc_b, agree) equals the old pre-gate candidate distinct.
 
     Input must carry (doc_id, band, bucket, sig32).
+
+    r14 memory bound (the r13 ADVICE item): the r13 form concatenated
+    the WHOLE shuffle partition in the Python worker, Python-sorted it,
+    and materialized the full O(total-pairs) i/j index arrays before
+    the chunked comparison — worker memory scaled with partition size
+    and with one hot bucket's pair count. Now the (band, bucket) sort
+    happens in the JVM (``sortWithinPartitions`` on the same exchange —
+    spillable, no extra shuffle), the worker STREAMS Arrow batches and
+    flushes complete bucket runs as they close (carry = the one
+    possibly-straddling tail bucket), and pair indices are derived per
+    4M-pair chunk from the per-row prefix counts (``searchsorted`` over
+    the cumulative pair counts) instead of being enumerated up front —
+    peak worker memory is O(flushed region + chunk), independent of
+    partition size and of any single bucket's O(m²) pair count.
+    Outputs are unchanged: pair membership and agreement counts are
+    order-invariant, and every (band, bucket) group still lands in one
+    worker via the repartition.
     """
     try:
         import numpy as np  # noqa: F401
@@ -345,71 +396,74 @@ def _minhash_pairs_arrow(bands: DataFrame) -> DataFrame | None:
     def gen(batches):
         import numpy as np
         import pyarrow as pa
-        import pyarrow.compute as pc
 
-        tabs = [pa.Table.from_batches([b]) for b in batches]
-        if not tabs:
-            return
-        tab = pa.concat_tables(tabs)
-        n = tab.num_rows
-        if n == 0:
-            return
-        idx = pc.sort_indices(
-            tab,
-            sort_keys=[("band", "ascending"), ("bucket", "ascending")],
-        )
-        tab = tab.take(idx)
-        sc = tab.column("sig32").combine_chunks()
-        offs = np.diff(sc.offsets.to_numpy())
-        if sc.null_count or not (offs == N_MINHASH).all():
-            raise ValueError(
-                "_minhash_pairs_arrow: signature arity drift"
+        def flush(tab):
+            """Emit ≥16-agreement pairs of COMPLETE (band, bucket) runs
+            — ``tab`` is sorted by (band, bucket) (JVM sort)."""
+            n = tab.num_rows
+            sc = tab.column("sig32").combine_chunks()
+            offs = np.diff(sc.offsets.to_numpy())
+            if sc.null_count or not (offs == N_MINHASH).all():
+                raise ValueError(
+                    "_minhash_pairs_arrow: signature arity drift"
+                )
+            S = (
+                sc.flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(n, N_MINHASH)
             )
-        S = (
-            sc.flatten()
-            .to_numpy(zero_copy_only=False)
-            .reshape(n, N_MINHASH)
-        )
-        ids = tab.column("doc_id").to_numpy()
-        band = tab.column("band").to_numpy()
-        bucket = tab.column("bucket").to_numpy()
-        change = np.empty(n, dtype=bool)
-        change[0] = True
-        change[1:] = (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1])
-        # Vectorized within-block pair indices: row r (block position
-        # pos[r]) pairs, as the right element, with the pos[r] rows
-        # before it — no per-bucket Python loop.
-        starts_per_row = np.maximum.accumulate(
-            np.where(change, np.arange(n), 0)
-        )
-        pos = np.arange(n) - starts_per_row
-        total = int(pos.sum())
-        if total == 0:
-            return
-        j_idx = np.repeat(np.arange(n), pos)
-        cum = np.concatenate(([0], np.cumsum(pos)[:-1]))
-        i_idx = np.repeat(starts_per_row, pos) + (
-            np.arange(total) - np.repeat(cum, pos)
-        )
-        oa, ob, oc = [], [], []
-        chunk = 4_000_000  # bounds the total×32 comparison buffer
-        for s in range(0, total, chunk):
-            ii, jj = i_idx[s : s + chunk], j_idx[s : s + chunk]
-            agree = (S[ii] == S[jj]).sum(axis=1, dtype=np.int32)
-            keep = agree >= N_MINHASH // 2
-            if keep.any():
-                a, b = ids[ii[keep]], ids[jj[keep]]
-                oa.append(np.minimum(a, b))
-                ob.append(np.maximum(a, b))
-                oc.append(agree[keep])
-        if oa:
-            yield pa.RecordBatch.from_pydict(
+            ids = tab.column("doc_id").to_numpy()
+            band = tab.column("band").to_numpy()
+            bucket = tab.column("bucket").to_numpy()
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            change[1:] = (band[1:] != band[:-1]) | (
+                bucket[1:] != bucket[:-1]
+            )
+            # Row r (bucket position pos[r]) pairs, as the right
+            # element, with the pos[r] rows before it — vectorized, no
+            # per-bucket Python loop. cumpos[r] = #pairs whose right
+            # element is ≤ r, so pair id p maps to j = first row with
+            # cumpos[j] > p and i = run start + offset within j's run.
+            starts_per_row = np.maximum.accumulate(
+                np.where(change, np.arange(n), 0)
+            )
+            pos = np.arange(n) - starts_per_row
+            cumpos = np.cumsum(pos)
+            total = int(cumpos[-1])
+            if total == 0:
+                return None
+            oa, ob, oc = [], [], []
+            chunk = 4_000_000  # bounds index + comparison buffers
+            for s in range(0, total, chunk):
+                pid = np.arange(s, min(s + chunk, total), dtype=np.int64)
+                jj = np.searchsorted(cumpos, pid, side="right")
+                ii = starts_per_row[jj] + (pid - (cumpos[jj] - pos[jj]))
+                agree = (S[ii] == S[jj]).sum(axis=1, dtype=np.int32)
+                keep = agree >= N_MINHASH // 2
+                if keep.any():
+                    a, b = ids[ii[keep]], ids[jj[keep]]
+                    oa.append(np.minimum(a, b))
+                    ob.append(np.maximum(a, b))
+                    oc.append(agree[keep])
+            if not oa:
+                return None
+            return pa.RecordBatch.from_pydict(
                 {
                     "doc_a": pa.array(np.concatenate(oa), type=pa.int64()),
                     "doc_b": pa.array(np.concatenate(ob), type=pa.int64()),
                     "agree": pa.array(np.concatenate(oc), type=pa.int32()),
                 }
             )
+
+        from tpctools_spark.queries.similarity import (
+            _sorted_region_stream,
+        )
+
+        for region in _sorted_region_stream(batches, "band", "bucket"):
+            out = flush(region)
+            if out is not None:
+                yield out
 
     schema = spark_types.StructType(
         [
@@ -420,6 +474,7 @@ def _minhash_pairs_arrow(bands: DataFrame) -> DataFrame | None:
     )
     return (
         bands.repartition(F.col("band"), F.col("bucket"))
+        .sortWithinPartitions("band", "bucket")
         .mapInArrow(gen, schema)
         .distinct()
     )
@@ -445,7 +500,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     with identical found-counts (71423). The new number is the honest
     one; accepted as the standing baseline.
     """
-    docs = spread_input(table(spark, sf_dir, "documents"))
+    raw_docs = table(spark, sf_dir, "documents")
+    docs = spread_input(raw_docs)
     rows_per_band = N_MINHASH // MINHASH_BANDS
 
     # r13: the candidate tail comes from the Arrow within-bucket
@@ -455,12 +511,18 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as the no-numpy fallback, value-identical (pinned by
     # tests/test_dedup_invariants.py's parity test). One consumer →
     # no signature cache on this path.
-    bands_sig = _minhash_signatures(docs).select(
-        "doc_id",
-        F.col("signature").cast("array<int>").alias("sig32"),
-        F.explode(_minhash_band_structs(rows_per_band)).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket", "sig32")
-    arrow_pairs = _minhash_pairs_arrow(bands_sig)
+    # r14: SIZE-GATED — the Arrow tail only pays past
+    # _MINHASH_ARROW_MIN_BYTES of corpus (see the constant's comment
+    # for the driver-measured small-tier losses it prevents); below it
+    # the JVM join tail serves, same values.
+    arrow_pairs = None
+    if _minhash_arrow_enabled(raw_docs):
+        bands_sig = _minhash_signatures(docs).select(
+            "doc_id",
+            F.col("signature").cast("array<int>").alias("sig32"),
+            F.explode(_minhash_band_structs(rows_per_band)).alias("bb"),
+        ).select("doc_id", "bb.band", "bb.bucket", "sig32")
+        arrow_pairs = _minhash_pairs_arrow(bands_sig)
     if arrow_pairs is not None:
         est = F.round(
             F.col("agree").cast("double") / F.lit(float(N_MINHASH)), 4
@@ -918,7 +980,7 @@ def _jaccard_pairs(
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs via an inverted index.
+    """Word-3-gram Jaccard near-dup pairs via an inverted index.
 
     3-gram shingles are selective keys, so the self-join touches only
     documents that actually share a shingle (prefix-filtering family) —
@@ -927,6 +989,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot-gram quadratic guard; see the constant's comment for the recall
     tradeoff). Jaccard is an exact integer ratio, so the threshold
     decision is FP-safe against the oracle.
+
+    Contract note (r13, declared): the engine keys grams by
+    ``xxhash64(gram)`` (guide §2.3 — 8-byte shuffle keys instead of
+    ~25-byte strings) while the DuckDB oracle compares the strings
+    themselves, so cross-engine equality holds with high probability
+    rather than unconditionally: a 64-bit collision between two
+    DISTINCT grams of one corpus would perturb df/pair counts
+    (P ≈ D²/2⁶⁵ ≈ 1e-5 at the 500k tier's ~2·10⁷ distinct grams,
+    ~1e-9 at the oracle SFs). An oracle mismatch at a much larger SF
+    should be triaged as a possible collision before being treated as
+    a regression. Same whp-equivalence class as the md5-derived
+    minhash family; applies to every ``_shared_gram_counts`` consumer
+    (containment, keep-longest, cluster components, the dedup
+    pipelines).
     """
     return _jaccard_pairs(spark, sf_dir).select(
         "doc_a", "doc_b", trunc_digits(F.col("jacc"), 4).alias("jaccard")
@@ -976,7 +1052,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same inverted-index + df-cap core as the Jaccard pairs (shared via
     ``_shared_gram_counts``), so the scale properties carry over:
-    postings shuffle once, hot grams are capped, never all-pairs.
+    postings shuffle once, hot grams are capped, never all-pairs —
+    including the declared xxhash64 gram-keying whp-equivalence to the
+    string-gram oracle (see ``dedup_ngram_jaccard``'s contract note).
     """
     shared = _shared_gram_counts(spark, sf_dir)
     cont = F.col("n_shared").cast("double") / F.least("na", "nb")

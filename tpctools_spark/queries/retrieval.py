@@ -395,6 +395,19 @@ def _pq_build_arrow(
         .orderBy("vec_id")
         .collect()
     )
+    # Seed-contiguity guard (r13 ADVICE): seed_mat's ROW INDEX is used
+    # as the code id below, while the join fallback and cb0 key on the
+    # actual vec_id — a fixture with a gap or duplicate in the first K
+    # ids would silently misalign argmin codes against the codebook.
+    # Fail loudly instead, like the dim-drift guards elsewhere.
+    if len(seed_rows) != _PQ_K or any(
+        r["vec_id"] != i for i, r in enumerate(seed_rows)
+    ):
+        raise ValueError(
+            f"_pq_build_arrow: seed vec_ids must be exactly "
+            f"0..{_PQ_K - 1} (got {len(seed_rows)} rows: "
+            f"{[r['vec_id'] for r in seed_rows[:8]]}…)"
+        )
     seed_mat = np.array([r["q"] for r in seed_rows], dtype=np.int64)
     seeds = [
         seed_mat[:, s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]

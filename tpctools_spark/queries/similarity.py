@@ -841,6 +841,68 @@ def _dot_chain(pa: str, pb: str) -> Column:
     return acc
 
 
+def _sorted_region_stream(batches, key_a, key_b, min_rows=65536):
+    """Yield pyarrow Tables of COMPLETE (key_a, key_b) runs from a
+    stream of Arrow record batches that arrive SORTED by those keys
+    (the caller adds ``sortWithinPartitions`` on the same exchange).
+
+    The r14 memory bound (r13 VERDICT item 3): the r13 Arrow scans
+    ``pa.concat_tables``'d the WHOLE shuffle partition before sorting
+    and scanning, so Python-worker memory scaled with partition size —
+    unbounded at 100 TB, where one shuffle partition is arbitrarily
+    large. Streaming holds at most ``min_rows`` plus one batch plus
+    the one possibly-straddling tail run, regardless of partition
+    size; the sort itself moves to the JVM, which spills. ``min_rows``
+    amortizes the per-flush numpy column conversions over many Arrow
+    batches (a per-10k-batch flush measured ~7% slower at the 500k
+    minhash tier; 64k ≈ half a 32-lane 500k-tier partition, so small
+    tiers behave exactly like the r13 whole-partition form while the
+    bound still holds at scale). Run-scan outputs are unchanged —
+    every run still arrives whole (the repartition keys contain the
+    run keys) and per-run results are order-invariant.
+
+    Worker-side only — numpy/pyarrow imports are the caller's guard.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    buf: list = []  # accumulated tables: carry run + fresh batches
+    nbuf = 0
+
+    def concat():
+        return (
+            pa.concat_tables(buf).combine_chunks()
+            if len(buf) > 1
+            else buf[0]
+        )
+
+    for b in batches:
+        if b.num_rows == 0:
+            continue
+        buf.append(pa.Table.from_batches([b]))
+        nbuf += b.num_rows
+        if nbuf < min_rows:
+            continue
+        t = concat()
+        ka = t.column(key_a).to_numpy(zero_copy_only=False)
+        kb = t.column(key_b).to_numpy(zero_copy_only=False)
+        change = (ka[1:] != ka[:-1]) | (kb[1:] != kb[:-1])
+        nz = np.flatnonzero(change)
+        if nz.size == 0:
+            buf = [t]  # one giant run — must keep accumulating
+            nbuf = t.num_rows
+            continue
+        last_start = int(nz[-1]) + 1
+        yield t.slice(0, last_start)
+        tail = t.slice(last_start)
+        buf = [tail]
+        nbuf = tail.num_rows
+    if buf:
+        t = concat()
+        if t.num_rows:
+            yield t
+
+
 def _cell_blocks(tab):
     """Worker-side scaffolding for the Arrow within-cell pair scans:
     sort an Arrow table of one shuffle partition by (label, subcell)
@@ -939,40 +1001,45 @@ def _prune_dropped_arrow(scored: DataFrame) -> DataFrame | None:
         import numpy as np
         import pyarrow as pa
 
-        tabs = [pa.Table.from_batches([b]) for b in batches]
-        if not tabs:
-            return
-        tab = pa.concat_tables(tabs)
-        if tab.num_rows == 0:
-            return
-        out = []
-        ids_all = None
-        for stab, E, blk in _cell_blocks(tab):
-            if ids_all is None:
-                ids_all = stab.column("vec_id").to_numpy()
-                cc_all = stab.column("cent_cos").to_numpy()
-                nrm_all = stab.column("nrm").to_numpy()
-            cos = _pair_dot_block(E, blk) / np.outer(
-                nrm_all[blk], nrm_all[blk]
-            )
-            ci = cc_all[blk]
-            ic = ids_all[blk]
-            better = (ci[None, :] < ci[:, None]) | (
-                (ci[None, :] == ci[:, None]) & (ic[None, :] < ic[:, None])
-            )
-            drop = ((cos >= tau) & better).any(axis=1)
-            if drop.any():
-                out.append(ic[drop])
-        if out:
-            yield pa.RecordBatch.from_pydict(
-                {"vec_id": pa.array(np.concatenate(out), type=pa.int64())}
-            )
+        # r14: stream complete (label, subcell) runs instead of
+        # concatenating the whole partition — see _sorted_region_stream
+        # for the memory bound; per-run outputs are order-invariant.
+        for tab in _sorted_region_stream(batches, "label", "subcell"):
+            out = []
+            ids_all = None
+            for stab, E, blk in _cell_blocks(tab):
+                if ids_all is None:
+                    ids_all = stab.column("vec_id").to_numpy()
+                    cc_all = stab.column("cent_cos").to_numpy()
+                    nrm_all = stab.column("nrm").to_numpy()
+                cos = _pair_dot_block(E, blk) / np.outer(
+                    nrm_all[blk], nrm_all[blk]
+                )
+                ci = cc_all[blk]
+                ic = ids_all[blk]
+                better = (ci[None, :] < ci[:, None]) | (
+                    (ci[None, :] == ci[:, None])
+                    & (ic[None, :] < ic[:, None])
+                )
+                drop = ((cos >= tau) & better).any(axis=1)
+                if drop.any():
+                    out.append(ic[drop])
+            if out:
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "vec_id": pa.array(
+                            np.concatenate(out), type=pa.int64()
+                        )
+                    }
+                )
 
     schema = spark_types.StructType(
         [spark_types.StructField("vec_id", spark_types.LongType())]
     )
-    return scored.repartition(F.col("label"), F.col("subcell")).mapInArrow(
-        gen, schema
+    return (
+        scored.repartition(F.col("label"), F.col("subcell"))
+        .sortWithinPartitions("label", "subcell")
+        .mapInArrow(gen, schema)
     )
 
 
@@ -1004,40 +1071,42 @@ def _emb_pairs_arrow(tagged: DataFrame) -> DataFrame | None:
         import numpy as np
         import pyarrow as pa
 
-        tabs = [pa.Table.from_batches([b]) for b in batches]
-        if not tabs:
-            return
-        tab = pa.concat_tables(tabs)
-        if tab.num_rows == 0:
-            return
-        oa, ob, oc = [], [], []
-        ids_all = None
-        for stab, E, blk in _cell_blocks(tab):
-            if ids_all is None:
-                ids_all = stab.column("vec_id").to_numpy()
-                nrm_all = stab.column("nrm").to_numpy()
-            cos = _pair_dot_block(E, blk) / np.outer(
-                nrm_all[blk], nrm_all[blk]
-            )
-            ic = ids_all[blk]
-            iu, ju = np.triu_indices(ic.shape[0], 1)
-            cv = cos[iu, ju]
-            keep = cv >= 0.3
-            if keep.any():
-                va, vb = ic[iu[keep]], ic[ju[keep]]
-                oa.append(np.minimum(va, vb))
-                ob.append(np.maximum(va, vb))
-                oc.append(cv[keep])
-        if oa:
-            yield pa.RecordBatch.from_pydict(
-                {
-                    "vec_a": pa.array(np.concatenate(oa), type=pa.int64()),
-                    "vec_b": pa.array(np.concatenate(ob), type=pa.int64()),
-                    "cosine_raw": pa.array(
-                        np.concatenate(oc), type=pa.float64()
-                    ),
-                }
-            )
+        # r14: stream complete (label, subcell) runs instead of
+        # concatenating the whole partition — see _sorted_region_stream
+        # for the memory bound; pair sets are order-invariant.
+        for tab in _sorted_region_stream(batches, "label", "subcell"):
+            oa, ob, oc = [], [], []
+            ids_all = None
+            for stab, E, blk in _cell_blocks(tab):
+                if ids_all is None:
+                    ids_all = stab.column("vec_id").to_numpy()
+                    nrm_all = stab.column("nrm").to_numpy()
+                cos = _pair_dot_block(E, blk) / np.outer(
+                    nrm_all[blk], nrm_all[blk]
+                )
+                ic = ids_all[blk]
+                iu, ju = np.triu_indices(ic.shape[0], 1)
+                cv = cos[iu, ju]
+                keep = cv >= 0.3
+                if keep.any():
+                    va, vb = ic[iu[keep]], ic[ju[keep]]
+                    oa.append(np.minimum(va, vb))
+                    ob.append(np.maximum(va, vb))
+                    oc.append(cv[keep])
+            if oa:
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "vec_a": pa.array(
+                            np.concatenate(oa), type=pa.int64()
+                        ),
+                        "vec_b": pa.array(
+                            np.concatenate(ob), type=pa.int64()
+                        ),
+                        "cosine_raw": pa.array(
+                            np.concatenate(oc), type=pa.float64()
+                        ),
+                    }
+                )
 
     schema = spark_types.StructType(
         [
@@ -1049,6 +1118,7 @@ def _emb_pairs_arrow(tagged: DataFrame) -> DataFrame | None:
     return (
         tagged.select("vec_id", "label", "subcell", "nrm", "e")
         .repartition(F.col("label"), F.col("subcell"))
+        .sortWithinPartitions("label", "subcell")
         .mapInArrow(gen, schema)
     )
 
@@ -1081,37 +1151,35 @@ def _emb_incr_hits_arrow(tagged: DataFrame) -> DataFrame | None:
         import numpy as np
         import pyarrow as pa
 
-        tabs = [pa.Table.from_batches([b]) for b in batches]
-        if not tabs:
-            return
-        tab = pa.concat_tables(tabs)
-        if tab.num_rows == 0:
-            return
-        ob, on = [], []
-        ids_all = None
-        for stab, E, blk in _cell_blocks(tab):
-            if ids_all is None:
-                ids_all = stab.column("vec_id").to_numpy()
-                nrm_all = stab.column("nrm").to_numpy()
-            ic = ids_all[blk]
-            bmask = (ic % 9 == 0) & (ic > 0)
-            if not bmask.any() or bmask.all():
-                continue
-            cos = _pair_dot_block(E, blk) / np.outer(
-                nrm_all[blk], nrm_all[blk]
-            )
-            hits = (cos[np.ix_(bmask, ~bmask)] >= 0.3).sum(axis=1)
-            keep = hits > 0
-            if keep.any():
-                ob.append(ic[bmask][keep])
-                on.append(hits[keep].astype(np.int64))
-        if ob:
-            yield pa.RecordBatch.from_pydict(
-                {
-                    "bd": pa.array(np.concatenate(ob), type=pa.int64()),
-                    "n": pa.array(np.concatenate(on), type=pa.int64()),
-                }
-            )
+        # r14: stream complete (label, subcell) runs instead of
+        # concatenating the whole partition — see _sorted_region_stream
+        # for the memory bound; per-vector counts are order-invariant.
+        for tab in _sorted_region_stream(batches, "label", "subcell"):
+            ob, on = [], []
+            ids_all = None
+            for stab, E, blk in _cell_blocks(tab):
+                if ids_all is None:
+                    ids_all = stab.column("vec_id").to_numpy()
+                    nrm_all = stab.column("nrm").to_numpy()
+                ic = ids_all[blk]
+                bmask = (ic % 9 == 0) & (ic > 0)
+                if not bmask.any() or bmask.all():
+                    continue
+                cos = _pair_dot_block(E, blk) / np.outer(
+                    nrm_all[blk], nrm_all[blk]
+                )
+                hits = (cos[np.ix_(bmask, ~bmask)] >= 0.3).sum(axis=1)
+                keep = hits > 0
+                if keep.any():
+                    ob.append(ic[bmask][keep])
+                    on.append(hits[keep].astype(np.int64))
+            if ob:
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "bd": pa.array(np.concatenate(ob), type=pa.int64()),
+                        "n": pa.array(np.concatenate(on), type=pa.int64()),
+                    }
+                )
 
     schema = spark_types.StructType(
         [
@@ -1122,6 +1190,7 @@ def _emb_incr_hits_arrow(tagged: DataFrame) -> DataFrame | None:
     return (
         tagged.select("vec_id", "label", "subcell", "nrm", "e")
         .repartition(F.col("label"), F.col("subcell"))
+        .sortWithinPartitions("label", "subcell")
         .mapInArrow(gen, schema)
     )
 
