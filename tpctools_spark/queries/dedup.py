@@ -1560,10 +1560,15 @@ def _min_label_components(
     (3.09 vs 2.57 s, slower in all pairs): near-dup graphs converge in
     ~2 rounds, the separate sum job over the already-checkpointed
     (cached-block) labels is nearly free, and the CollectMetrics
-    listener wait costs more than it saves. Two jobs per round stay.
+    listener wait costs more than it saves.
+
+    r14 UPDATE: one job per round after all, by a different mechanism —
+    ``localCheckpoint(eager=False)`` lets the convergence agg itself
+    materialize the round's checkpoint blocks (no CollectMetrics, no
+    listener wait; A/B at the in-loop comment).
     """
     nodes = edges.select(F.col("src").alias("doc_id")).distinct()
-    # Eager localCheckpoint, not cache(): each round references the
+    # localCheckpoint, not cache(): each round references the
     # label table TWICE (neighbor step + halving lookup), so a cached
     # lineage doubles the LOGICAL PLAN every round — by round ~10 the
     # plan tree alone OOMs the driver. Checkpointing truncates the
@@ -1585,9 +1590,26 @@ def _min_label_components(
     # filtering pays off when ROUNDS are many (deep BFS/chains); here
     # pointer halving already bounds that case, so full propagation
     # stays.
+    # r14 (VERDICT item 7 — the 50k tier's 0.70 inverse core-ratio is
+    # driver round-trips): eager=False checkpoints let each round's
+    # convergence agg materialize the checkpoint blocks inside the
+    # SAME job — ONE job per round instead of two (checkpoint job +
+    # sum job). Values are unchanged (the agg reads the identical rows
+    # it persists; fingerprints identical every rep). Interleaved A/B
+    # with clearCache-per-rep (.scratch/ab_cc_lazy.py): floors 4.156 →
+    # 3.648 s at 50k (3/5) and 19.34 → 17.28 s at 500k (3/4), wash at
+    # the 5k headline — not sign-stable on this round's noisy host,
+    # kept for the structural job-count halving plus floor-better at
+    # both tiers. The VERDICT's other suggestion — checking
+    # convergence only every 2nd round — is provably WORSE on the
+    # 2-round graphs that dominate here: monotonicity makes the
+    # batched compare valid (sum_{k} == sum_{k-2} ⟹ both rounds
+    # changed nothing), but it trades one cheap sum for one extra
+    # graph-sized propagate round (2 propagates + 2 sums become 4
+    # propagates + 2 sums), so it was not shipped.
     labels = nodes.select(
         "doc_id", F.col("doc_id").alias("cluster_id")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     rounds = 0
     while True:
@@ -1633,11 +1655,11 @@ def _min_label_components(
                         "cluster_id"
                     ),
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
         else:
             stepped = None
-            new_labels = stepped_plan.localCheckpoint()
+            new_labels = stepped_plan.localCheckpoint(eager=False)
         cur_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
         if stepped is not None:
             stepped.unpersist()
