@@ -901,6 +901,24 @@ def _shared_gram_counts(
     # floor lower (6.69 vs 8.58 s min) — the sort-based collect_list
     # streams postings at JVM speed and the Arrow transfer of 24M
     # postings buys nothing stable. Kept the JVM shape.
+    # r14 A/B NEUTRAL (not shipped): dropping ``n`` from the postings
+    # shuffle (collect_list(doc_id) instead of struct(doc_id, n)) and
+    # re-attaching sizes to the ~77k aggregated pairs via two
+    # AQE-broadcastable joins on the 500k-row sizes projection
+    # (.scratch/ab_shared_sizes.py) measured a WASH at the 500k tier —
+    # identical fingerprint (76853, 943218756463667954), old min
+    # 5.78 s vs new 6.07 s, new faster only 2/4 interleaved pairs. The
+    # sort-based collect_list is per-row-overhead-bound, not
+    # bytes-bound, so the 8 B/posting saved does not beat the two
+    # extra join stages. Kept the n-through-the-shuffle shape.
+    # r14 ANALYZED, not viable: a pigeonhole pre-filter for the df-cap
+    # agg (global df > CAP ⟹ some partition-local count ≥
+    # ceil((CAP+1)/P); shuffle only those candidate grams) needs a
+    # partition-local count, which the DataFrame API can only express
+    # through a Python/Arrow pass over all ~24M hashed grams — the
+    # boundary transfer alone costs more than the ~1.4 s exact agg it
+    # would replace (the same economics that made the r13 Arrow gram
+    # pair scan a loss).
     # r11 A/B NEGATIVE: replacing this posting-list build with a
     # shuffled-hash SELF-JOIN on gram (both legs behind one
     # ReusedExchange, per-partition hash join instead of collect_list)
